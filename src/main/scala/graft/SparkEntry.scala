@@ -1,13 +1,37 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.RefQueries
+import graft.util.Sessions
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` maps operator-inventory entries (SURVEY.md §2) to runnable
+  * DataFrame builders over a testdata dir; `oracleSql` holds the DuckDB
+  * equivalent for hash-checked queries (absent key ⇒ rows-only check,
+  * reserved for RNG/ML ops per SURVEY.md §5.3).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. Runs the
+    * SURVEY §7.2 vertical slice (CSV scan → clean → join → aggregate).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    Sessions.tune(spark)
+    RefQueries.qE2e(spark, "/root/testdata/sf0.001")
+  }
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    RefQueries.queries.map { case (k, f) =>
+      k -> { (s: SparkSession, dir: String) => f(Sessions.tune(s), dir) }
+    }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops →
+    * driver records a weaker rows-only check.
+    */
+  def oracleSql: Map[String, String] =
+    RefQueries.oracleSql
 }

@@ -1,0 +1,68 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.util.Sessions
+
+/** Readers for the driver's synthetic tables (TESTDATA.md) and generic
+  * parquet/CSV sources (SURVEY.md §2.1 S1-S3).
+  *
+  * All readers are plain `spark.read` scans so Catalyst keeps format-level
+  * pushdown (parquet filter pushdown, column pruning, partition pruning)
+  * — nothing here materializes or collects.
+  */
+object Tables {
+
+  /** S2/S3: parquet scan of a named testdata table. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The `events` table, with its TIMESTAMP(NANOS) `ts` column converted
+    * to Spark's microsecond TimestampType.
+    *
+    * Spark 4 cannot read parquet NANOS timestamps natively; with
+    * `spark.sql.legacy.parquet.nanosAsLong` the column arrives as raw
+    * nanos (long) and `ts div 1000` truncates to microseconds — the same
+    * truncation DuckDB applies reading the file, so oracle comparisons
+    * agree exactly.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    Sessions.tune(spark)
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => raw // already a timestamp (e.g. re-exported data)
+    }
+  }
+
+  /** S1: CSV scan with header + schema inference (two-pass read), the
+    * reference's raw-layer entry point
+    * (`/root/reference/src/pipeline/main_etl.py:47-52`).
+    *
+    * `timestampFormat` is explicit so timestamps round-trip CSV at full
+    * microsecond precision.
+    */
+  val CsvTimestampFormat = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+  def csvInfer(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("inferSchema", "true")
+      .option("timestampFormat", CsvTimestampFormat)
+      .csv(path)
+
+  /** CSV export used by tests/bench to exercise S1 end-to-end: writes
+    * `df` as headered CSV (lossless doubles, microsecond timestamps) and
+    * returns the written path.
+    */
+  def exportCsv(df: DataFrame, path: String): String = {
+    df.write
+      .mode("overwrite")
+      .option("header", "true")
+      .option("timestampFormat", CsvTimestampFormat)
+      .csv(path)
+    path
+  }
+}

@@ -1,0 +1,55 @@
+package graft.util
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory for the graft engine.
+  *
+  * Mirrors the reference's session builder
+  * (`/root/reference/src/utils/spark_builder.py:4-18`: appName + master +
+  * WARN log level) and adds the scale defaults the reference leaves
+  * implicit: UTC session timezone (SURVEY.md §5.3 oracle parity), AQE on,
+  * shuffle parallelism sized to the machine instead of Spark's 200
+  * default, and nanosecond-parquet compatibility (the driver's `events`
+  * table is TIMESTAMP(NANOS), which Spark 4 otherwise refuses to read).
+  */
+object Sessions {
+
+  /** SQL confs that are runtime-settable; applied both at build time and
+    * defensively onto externally built sessions (Verify/Bench/driver).
+    */
+  val sqlConfs: Seq[(String, String)] = Seq(
+    "spark.sql.session.timeZone"             -> "UTC",
+    "spark.sql.adaptive.enabled"             -> "true",
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled"    -> "true",
+    // events.parquet stores TIMESTAMP(NANOS); read as long nanos and
+    // convert explicitly (see sources.Tables.events).
+    "spark.sql.legacy.parquet.nanosAsLong"   -> "true",
+  )
+
+  def get(
+      appName: String,
+      master: String = "local[*]",
+      shufflePartitions: Int = 32,
+  ): SparkSession = {
+    val b = SparkSession
+      .builder()
+      .appName(appName)
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.ui.enabled", "false")
+    sqlConfs.foreach { case (k, v) => b.config(k, v) }
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    tune(spark)
+  }
+
+  /** Apply graft's runtime-settable confs to an existing session. */
+  def tune(spark: SparkSession): SparkSession = {
+    sqlConfs.foreach { case (k, v) =>
+      try spark.conf.set(k, v)
+      catch { case _: org.apache.spark.sql.AnalysisException => () }
+    }
+    spark
+  }
+}

@@ -1,0 +1,103 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Runs each oracle SQL from <outdir>/oracle_sql.json against DuckDB (with
+the sf tables registered as views) and compares to the Spark parquet dump
+in <outdir>/<name>/. Mimics the driver: sort columns by name, then
+compare row-by-row values exactly.
+
+Usage: python3 tools/check.py <sfdir> <outdir>
+"""
+import glob
+import json
+import math
+import sys
+
+import duckdb
+import pandas as pd
+import pyarrow.parquet as pq
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+
+def main(sfdir, outdir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        files = glob.glob(f"{outdir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        try:
+            want = con.sql(sql).arrow()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        import pyarrow as pa
+        got = pa.concat_tables([pq.read_table(f) for f in sorted(files)],
+                               promote_options="permissive")
+        wcols, gcols = sorted(want.column_names), sorted(got.column_names)
+        if wcols != gcols:
+            print(f"FAIL {name}: columns differ: oracle={wcols} spark={gcols}")
+            n_fail += 1
+            continue
+        if want.num_rows != got.num_rows:
+            print(f"FAIL {name}: rows differ: oracle={want.num_rows} spark={got.num_rows}")
+            n_fail += 1
+            continue
+        wt = {c: str(want.schema.field(c).type) for c in wcols}
+        gt = {c: str(got.schema.field(c).type) for c in gcols}
+        tdiff = {c: (wt[c], gt[c]) for c in wcols if wt[c] != gt[c]}
+        if tdiff:
+            print(f"WARN {name}: type diff {tdiff}")
+        bad = None
+        for c in wcols:
+            wv = [norm(x) for x in want.column(c).to_pylist()]
+            gv = [norm(x) for x in got.column(c).to_pylist()]
+            for i, (a, b) in enumerate(zip(wv, gv)):
+                pa, pb = pd.isna(a), pd.isna(b)
+                if pa and pb:
+                    continue
+                if pa != pb or str(a) != str(b):
+                    bad = (c, i, a, b)
+                    break
+            if bad:
+                break
+        if bad:
+            c, i, a, b = bad
+            print(f"FAIL {name}: col {c} row {i}: oracle={a!r} spark={b!r}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(want)} rows)")
+            n_pass += 1
+    # rows-only queries (in outdir but not in oracle)
+    for d in sorted(glob.glob(f"{outdir}/q_*")):
+        name = d.split("/")[-1]
+        if name not in oracle:
+            files = glob.glob(f"{d}/*.parquet")
+            n = sum(len(pd.read_parquet(f)) for f in files) if files else 0
+            status = "PASS" if n > 0 else "FAIL"
+            print(f"{status} {name} (rows-only: {n} rows)")
+            if n > 0:
+                n_pass += 1
+            else:
+                n_fail += 1
+    print(f"== {n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
