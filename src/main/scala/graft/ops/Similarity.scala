@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`) — SURVEY.md
+  * §7.4 extension surface.
+  *
+  * Two paths:
+  *  - [[cosineTopK]]: exact brute force — broadcast the (small) query set
+  *    against all candidates; per-candidate work is a codegen'd
+  *    fold over the vector, and the only shuffle is the final top-k per
+  *    query. The baseline and the verifier for the approximate path.
+  *  - [[lshBuckets]] / [[bucketedTopK]]: the scale path — deterministic
+  *    random-hyperplane signatures bucket the corpus so each query only
+  *    scores its own bucket (LSH for cosine distance, Charikar 2002).
+  *    At 100 TB the bucket column doubles as a partition/clustering key.
+  *
+  * All arithmetic is double-precision in array order (left fold), making
+  * scores bit-reproducible across runs and engines.
+  */
+object Similarity {
+
+  /** Dot product of two float-array columns, accumulated in double in
+    * array order (deterministic left fold).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Squared L2 norm, double, array order. */
+  def normSq(a: Column): Column =
+    aggregate(
+      transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(normSq(a)) * sqrt(normSq(b)))
+
+  /** Exact top-k cosine neighbours for each query vector.
+    *
+    * `queries` must be small enough to broadcast (the usual ANN serving
+    * shape: thousands of probes against a huge corpus). The cross join is
+    * explicitly broadcast so candidates stream map-side with no shuffle;
+    * the window's shuffle moves only (qid, cid, score) triples, never
+    * vectors.
+    */
+  def cosineTopK(
+      queries: DataFrame, // (qid, qe: array<float>)
+      candidates: DataFrame, // (cid, ce: array<float>)
+      k: Int,
+      scoreRounding: Column => Column = identity,
+  ): DataFrame = {
+    val scored = candidates
+      .crossJoin(broadcast(queries))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("score", scoreRounding(cosine(col("qe"), col("ce"))))
+      .select("qid", "cid", "score")
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("cid"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Deterministic random-hyperplane LSH bucket id (`nBits` sign bits).
+    *
+    * Hyperplane component j,i is ±1 derived from md5(j||'_'||i) — no RNG
+    * state to persist, reproducible everywhere. Returns an integer bucket
+    * in [0, 2^nBits).
+    */
+  def lshBucket(vec: Column, nBits: Int = 8): Column =
+    (0 until nBits)
+      .map { j =>
+        // sign bit of <v, h_j> where h_j[i] = ±1 from md5 nibble parity
+        val proj = aggregate(
+          transform(
+            sequence(lit(0), size(vec) - lit(1)),
+            i => {
+              val x = element_at(vec, i + lit(1)).cast("double")
+              val sign =
+                substring(md5(concat(lit(s"${j}_"), i.cast("string"))), 1, 1) < "8"
+              when(sign, x).otherwise(-x)
+            }),
+          lit(0.0), (acc, x) => acc + x)
+        when(proj >= 0.0, lit(1 << j)).otherwise(lit(0))
+      }
+      .reduce(_ + _)
+
+  /** Corpus bucketing for the approximate path: attach bucket ids. */
+  def lshBuckets(df: DataFrame, vecCol: String, nBits: Int = 8): DataFrame =
+    df.withColumn("bucket", lshBucket(col(vecCol), nBits))
+
+  /** Approximate top-k: score only candidates sharing the query's LSH
+    * bucket. Trades recall for a 2^nBits fan-in reduction; callers verify
+    * recall against [[cosineTopK]] on a sample.
+    */
+  def bucketedTopK(
+      queries: DataFrame, // (qid, qe)
+      candidates: DataFrame, // (cid, ce)
+      k: Int,
+      nBits: Int = 4,
+      scoreRounding: Column => Column = identity,
+  ): DataFrame = {
+    val qb = queries.withColumn("bucket", lshBucket(col("qe"), nBits))
+    val cb = candidates.withColumn("bucket", lshBucket(col("ce"), nBits))
+    val scored = cb
+      .join(broadcast(qb), Seq("bucket"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("score", scoreRounding(cosine(col("qe"), col("ce"))))
+      .select("qid", "cid", "score")
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("cid"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines (SURVEY.md
+  * §7.4): tokenization, shingling, quality scoring, language ID,
+  * fingerprinting.
+  *
+  * Everything here is a narrow per-row projection built from codegen'd
+  * built-in functions and higher-order lambdas — no UDFs, no shuffle — so
+  * the operators scale linearly with input splits at 100 TB and stay
+  * inside whole-stage codegen.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. The corpus convention is single-space separated,
+    * lowercase; callers needing unicode-aware splitting can pass a custom
+    * pattern.
+    */
+  def tokens(text: Column, pattern: String = " "): Column =
+    split(text, pattern)
+
+  /** Distinct n-word shingles of the token array (empty when fewer than
+    * `n` tokens — guarded so `sequence` never sees a negative range).
+    */
+  def shingles(toks: Column, n: Int = 3): Column =
+    when(
+      size(toks) >= n,
+      array_distinct(
+        transform(
+          sequence(lit(0), size(toks) - lit(n)),
+          j => concat_ws(" ",
+            (1 to n).map(i => element_at(toks, j + lit(i))): _*))),
+    ).otherwise(array().cast("array<string>"))
+
+  /** Default stopword list used by the quality/langid heuristics. */
+  val EnStopwords: Seq[String] =
+    Seq("the", "and", "of", "to", "a", "in", "is", "it", "for", "on")
+
+  /** Count of tokens contained in `words`. */
+  def hitCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, x => x.isInCollection(words)))
+
+  /** BPE-ish token count: alpha runs, digit runs, and single symbols —
+    * the standard cheap proxy for subword token counts.
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+
+  /** Ratio of non-alphanumeric/space characters. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[a-z0-9 ]", ""))) / length(text)
+
+  /** Mean token length via an exact integer fold (deterministic). */
+  def avgTokenLen(toks: Column): Column =
+    aggregate(transform(toks, x => length(x)), lit(0), (a, x) => a + x) /
+      size(toks)
+
+  /** Stopword-hit ratio, a standard fluency proxy. */
+  def stopwordRatio(toks: Column, words: Seq[String] = EnStopwords): Column =
+    hitCount(toks, words) / size(toks)
+
+  /** n-gram-heuristic language ID: score each language by marker-word
+    * hits, predict the argmax (ties resolve in declaration order).
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "in"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht"),
+  )
+
+  def langHits(toks: Column): Seq[(String, Column)] =
+    LangMarkers.map { case (lang, ws) => lang -> hitCount(toks, ws) }
+
+  def langPredict(hits: Seq[(String, Column)]): Column =
+    // argmax with first-wins ties: lang_i wins if hits_i >= hits_j ∀ j>i
+    hits.zipWithIndex.foldRight(lit(hits.last._1)) {
+      case (((lang, c), i), rest) =>
+        val later = hits.drop(i + 1).map(_._2)
+        if (later.isEmpty) lit(lang)
+        else when(later.foldLeft(lit(true))((acc, o) => acc && c >= o), lang)
+          .otherwise(rest)
+    }
+
+  /** Composite quality score in [0,1]: length saturation × (1 − punct
+    * noise) × stopword fluency. Deterministic double arithmetic.
+    */
+  def qualityScore(text: Column, toks: Column): Column =
+    least(lit(1.0), size(toks) / lit(100.0)) *
+      (lit(1.0) - punctRatio(text)) *
+      (lit(0.5) + lit(0.5) * stopwordRatio(toks))
+
+  /** Document fingerprints: full-content md5, winnowed min-shingle md5
+    * (stable under small edits elsewhere in the doc), and an 8-char
+    * prefix for cheap bucketing.
+    */
+  def fingerprints(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val sh = shingles(tokens(t), 3)
+    df.withColumn("fp_full", md5(t))
+      .withColumn("fp_min", array_min(transform(sh, s => md5(s))))
+      .withColumn("fp_head", substring(md5(t), 1, 8))
+  }
+}

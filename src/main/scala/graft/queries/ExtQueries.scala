@@ -1,0 +1,299 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.queries.Det._
+import graft.queries.{Oracle => O}
+import graft.sources.Tables
+
+/** LLM-pipeline extension queries (SURVEY.md §7.4) over the `documents`
+  * and `embeddings` tables: deduplication (exact, MinHash+LSH, n-gram
+  * Jaccard, SimHash), similarity search (brute-force and LSH-bucketed
+  * cosine top-k), text analysis (stats, language ID, quality,
+  * fingerprints), and the multimodal binary pipeline.
+  *
+  * Each query pairs a Spark builder with DuckDB oracle SQL computing the
+  * identical result; the md5-derived hashing makes MinHash/LSH
+  * cross-engine deterministic (no RNG seeds). `q_dedup_simhash` is the
+  * one rows-only entry (its Murmur3 token hash has no DuckDB
+  * equivalent); it is property-tested in ScalaTest instead.
+  */
+object ExtQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "embeddings")
+
+  // ---- dedup ----------------------------------------------------------
+
+  def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup
+      .exactDuplicates(docs(s, dir), "doc_id",
+        Dedup.wordSetKey(TextAnalysis.tokens(col("text"))))
+      .orderBy("keep_id")
+
+  def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    docs(s, dir)
+      .filter(size(toks) >= 3)
+      .withColumn("sig_arr",
+        Dedup.minhashSignature(TextAnalysis.shingles(toks, 3), 8))
+      .select(col("doc_id"), concat_ws(",", col("sig_arr")).as("sig"))
+      .orderBy("doc_id")
+  }
+
+  def qDedupLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup
+      .lshCandidatePairs(docs(s, dir), "doc_id", "text", k = 8, bands = 4)
+      .orderBy("doc_a", "doc_b")
+
+  def qDedupNear(s: SparkSession, dir: String): DataFrame =
+    Dedup
+      .nearDuplicatePairs(docs(s, dir), "doc_id", "text", threshold = 0.8)
+      .withColumn("jac", r6(col("jac")))
+      .orderBy("doc_a", "doc_b")
+
+  def qDedupNgram(s: SparkSession, dir: String): DataFrame = {
+    val tk = docs(s, dir)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+    // bounded id-window candidates via equi-join on doc_id+offset (no
+    // theta join: stays a shuffled hash join at scale)
+    val a = tk.toDF("doc_a", "toks_a")
+      .withColumn("off", explode(expr("sequence(1, 3)")))
+      .withColumn("doc_b", col("doc_a") + col("off"))
+    a.join(tk.toDF("doc_b", "toks_b"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        r6(Dedup.jaccard(col("toks_a"), col("toks_b"))).as("jac"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashes(docs(s, dir), "doc_id", "text").orderBy("doc_id")
+
+  // ---- similarity -----------------------------------------------------
+
+  private def queriesDf(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+  private def candsDf(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).select(col("vec_id").as("cid"), col("embedding").as("ce"))
+
+  def qSimTopk(s: SparkSession, dir: String): DataFrame =
+    Similarity
+      .cosineTopK(queriesDf(s, dir), candsDf(s, dir), k = 10, scoreRounding = r6)
+      .select("qid", "cid", "score", "rank")
+      .orderBy("qid", "rank")
+
+  def qSimLsh(s: SparkSession, dir: String): DataFrame =
+    Similarity
+      .bucketedTopK(queriesDf(s, dir), candsDf(s, dir), k = 10, nBits = 4,
+        scoreRounding = r6)
+      .select("qid", "cid", "score", "rank")
+      .orderBy("qid", "rank")
+
+  // ---- text analysis --------------------------------------------------
+
+  def qTextStats(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    docs(s, dir).select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      length(col("text")).as("n_chars_c"),
+      TextAnalysis.bpeTokenCount(col("text")).as("n_bpe"),
+      r6(TextAnalysis.avgTokenLen(toks)).as("avg_token_len"),
+      r6(TextAnalysis.punctRatio(col("text"))).as("punct_ratio"),
+      r6(TextAnalysis.stopwordRatio(toks)).as("stop_ratio"),
+    ).orderBy("doc_id")
+  }
+
+  def qLangId(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val hits = TextAnalysis.langHits(toks)
+    val hitCols = hits.map { case (lang, c) => c.as(s"${lang}_hits") }
+    docs(s, dir)
+      .select(col("doc_id") +: hitCols :+
+        TextAnalysis.langPredict(hits).as("lang_pred"): _*)
+      .orderBy("doc_id")
+  }
+
+  def qQuality(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    docs(s, dir).select(
+      col("doc_id"),
+      r6(TextAnalysis.qualityScore(col("text"), toks)).as("quality"),
+    ).orderBy("doc_id")
+  }
+
+  def qFingerprint(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis
+      .fingerprints(docs(s, dir))
+      .select("doc_id", "fp_full", "fp_min", "fp_head")
+      .orderBy("doc_id")
+
+  // ---- multimodal -----------------------------------------------------
+
+  def qMultimodal(s: SparkSession, dir: String): DataFrame = {
+    val blobs = Multimodal.asBlobs(docs(s, dir), "doc_id", "text", "image")
+    Multimodal.extractFeatures(blobs).toDF().orderBy("doc_id")
+  }
+
+  // ---- registry -------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_dedup_lsh" -> (qDedupLsh _),
+    "q_dedup_near" -> (qDedupNear _),
+    "q_dedup_ngram" -> (qDedupNgram _),
+    "q_dedup_simhash" -> (qDedupSimhash _),
+    "q_sim_topk" -> (qSimTopk _),
+    "q_sim_lsh" -> (qSimLsh _),
+    "q_text_stats" -> (qTextStats _),
+    "q_lang_id" -> (qLangId _),
+    "q_quality" -> (qQuality _),
+    "q_fingerprint" -> (qFingerprint _),
+    "q_multimodal" -> (qMultimodal _),
+  )
+
+  // ---- oracle SQL -----------------------------------------------------
+
+  /** Shared DuckDB CTE fragments. */
+  private val wCte =
+    "w AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)"
+  private val shCte =
+    "s AS (SELECT doc_id, list_distinct(list_transform(" +
+      "range(greatest(len(w) - 2, 0)), " +
+      "j -> w[j+1] || ' ' || w[j+2] || ' ' || w[j+3])) AS sh " +
+      "FROM w WHERE len(w) >= 3)"
+  private val sigCte =
+    "g AS (SELECT doc_id, list_transform(range(0, 8), " +
+      "i -> list_min(list_transform(sh, s -> md5(s || '#' || i)))) AS sig FROM s)"
+  private val bandsCte =
+    "bands AS (" +
+      "SELECT doc_id, 0 AS band_idx, md5(sig[1] || sig[2]) AS band_hash FROM g " +
+      "UNION ALL SELECT doc_id, 1, md5(sig[3] || sig[4]) FROM g " +
+      "UNION ALL SELECT doc_id, 2, md5(sig[5] || sig[6]) FROM g " +
+      "UNION ALL SELECT doc_id, 3, md5(sig[7] || sig[8]) FROM g)"
+  private val pairsCte =
+    "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a " +
+      "JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash " +
+      "AND a.doc_id < b.doc_id GROUP BY 1, 2)"
+
+  private val stopList =
+    "['the', 'and', 'of', 'to', 'a', 'in', 'is', 'it', 'for', 'on']"
+  private def hitsSql(words: Seq[String]): String =
+    s"len(list_filter(string_split(text, ' '), x -> list_contains(" +
+      words.map(w => s"'$w'").mkString("[", ", ", "]") + ", x)))::INT"
+
+  private val punctSql =
+    "((length(text) - length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))) / length(text))"
+  private val stopRatioSql =
+    s"(${hitsSql(TextAnalysis.EnStopwords)} / len(string_split(text, ' ')))"
+
+  /** DuckDB cosine between two list<float> cols, double left-fold (same
+    * order as Spark's `aggregate`).
+    */
+  private def cosSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(len($a)), i -> $a[i+1]::DOUBLE * $b[i+1]::DOUBLE)) / " +
+      s"(sqrt(list_sum(list_transform($a, x -> x::DOUBLE * x::DOUBLE))) * " +
+      s"sqrt(list_sum(list_transform($b, x -> x::DOUBLE * x::DOUBLE))))"
+
+  /** DuckDB random-hyperplane bucket id, mirroring Similarity.lshBucket. */
+  private def bucketSql(v: String, nBits: Int): String =
+    (0 until nBits).map { j =>
+      s"(CASE WHEN list_sum(list_transform(range(len($v)), " +
+        s"i -> CASE WHEN substr(md5('$j' || '_' || i), 1, 1) < '8' " +
+        s"THEN $v[i+1]::DOUBLE ELSE -$v[i+1]::DOUBLE END)) >= 0 " +
+        s"THEN ${1 << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  val oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      ("SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) " +
+        "AS content_key, min(doc_id) AS keep_id, count(*) AS copies " +
+        "FROM documents GROUP BY 1 ORDER BY keep_id"),
+    "q_dedup_minhash" ->
+      (s"WITH $wCte, $shCte, $sigCte " +
+        "SELECT doc_id, list_aggregate(sig, 'string_agg', ',') AS sig " +
+        "FROM g ORDER BY doc_id"),
+    "q_dedup_lsh" ->
+      (s"WITH $wCte, $shCte, $sigCte, $bandsCte, $pairsCte " +
+        "SELECT doc_a, doc_b FROM p ORDER BY doc_a, doc_b"),
+    "q_dedup_near" ->
+      (s"WITH $wCte, $shCte, $sigCte, $bandsCte, $pairsCte, " +
+        "tk AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS td FROM documents) " +
+        "SELECT doc_a, doc_b, " +
+        O.r6("len(list_intersect(ta.td, tb.td)) / len(list_distinct(list_concat(ta.td, tb.td)))") +
+        " AS jac FROM p " +
+        "JOIN tk ta ON ta.doc_id = p.doc_a JOIN tk tb ON tb.doc_id = p.doc_b " +
+        "WHERE len(list_intersect(ta.td, tb.td)) / len(list_distinct(list_concat(ta.td, tb.td))) >= 0.8 " +
+        "ORDER BY doc_a, doc_b"),
+    "q_dedup_ngram" ->
+      ("WITH tk AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS td FROM documents) " +
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        O.r6("len(list_intersect(a.td, b.td)) / len(list_distinct(list_concat(a.td, b.td)))") +
+        " AS jac FROM tk a JOIN tk b ON b.doc_id - a.doc_id BETWEEN 1 AND 3 " +
+        "ORDER BY doc_a, doc_b"),
+    "q_sim_topk" ->
+      ("WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5), " +
+        "c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings), " +
+        s"s AS (SELECT qid, cid, ${O.r6(cosSql("qe", "ce"))} AS score " +
+        "FROM q JOIN c ON qid != cid), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rnk FROM s) " +
+        "SELECT qid, cid, score, rnk::INT AS rank FROM r WHERE rnk <= 10 " +
+        "ORDER BY qid, rank"),
+    "q_sim_lsh" ->
+      (s"WITH q AS (SELECT vec_id AS qid, embedding AS qe, ${bucketSql("embedding", 4)} AS bucket " +
+        "FROM embeddings WHERE vec_id < 5), " +
+        s"c AS (SELECT vec_id AS cid, embedding AS ce, ${bucketSql("embedding", 4)} AS bucket " +
+        "FROM embeddings), " +
+        s"s AS (SELECT qid, cid, ${O.r6(cosSql("qe", "ce"))} AS score " +
+        "FROM q JOIN c USING (bucket) WHERE qid != cid), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rnk FROM s) " +
+        "SELECT qid, cid, score, rnk::INT AS rank FROM r WHERE rnk <= 10 " +
+        "ORDER BY qid, rank"),
+    "q_text_stats" ->
+      ("SELECT doc_id, len(string_split(text, ' '))::INT AS n_tokens, " +
+        "length(text)::INT AS n_chars_c, " +
+        "len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))::INT AS n_bpe, " +
+        O.r6("list_sum(list_transform(string_split(text, ' '), x -> length(x)))::INT / len(string_split(text, ' '))") +
+        " AS avg_token_len, " +
+        O.r6(punctSql) + " AS punct_ratio, " +
+        O.r6(stopRatioSql) + " AS stop_ratio " +
+        "FROM documents ORDER BY doc_id"),
+    "q_lang_id" ->
+      ("SELECT doc_id, " +
+        TextAnalysis.LangMarkers.map { case (lang, ws) =>
+          s"${hitsSql(ws)} AS ${lang}_hits"
+        }.mkString(", ") + ", " +
+        "CASE WHEN " + hitsSql(TextAnalysis.LangMarkers(0)._2) + " >= " +
+        hitsSql(TextAnalysis.LangMarkers(1)._2) + " AND " +
+        hitsSql(TextAnalysis.LangMarkers(0)._2) + " >= " +
+        hitsSql(TextAnalysis.LangMarkers(2)._2) + " THEN 'en' WHEN " +
+        hitsSql(TextAnalysis.LangMarkers(1)._2) + " >= " +
+        hitsSql(TextAnalysis.LangMarkers(2)._2) + " THEN 'es' ELSE 'de' END AS lang_pred " +
+        "FROM documents ORDER BY doc_id"),
+    "q_quality" ->
+      ("SELECT doc_id, " +
+        O.r6("least(1.0, len(string_split(text, ' ')) / 100.0) * " +
+          s"(1.0 - $punctSql) * (0.5 + 0.5 * $stopRatioSql)") +
+        " AS quality FROM documents ORDER BY doc_id"),
+    "q_fingerprint" ->
+      (s"WITH $wCte, $shCte " +
+        "SELECT w.doc_id, md5(text) AS fp_full, " +
+        "list_min(list_transform(sh, s -> md5(s))) AS fp_min, " +
+        "substr(md5(text), 1, 8) AS fp_head " +
+        "FROM w LEFT JOIN s ON w.doc_id = s.doc_id ORDER BY w.doc_id"),
+    "q_multimodal" ->
+      ("SELECT doc_id, 'image' AS kind, length(text)::INT AS n_bytes, " +
+        "ascii(substr(text, 1, 1))::INT AS head_byte, " +
+        "list_sum(list_transform(range(1, least(length(text), 16) + 1), " +
+        "i -> ascii(substr(text, i, 1))))::BIGINT AS byte_sum_16, " +
+        "(1 + ascii(substr(text, 1, 1)) % 64)::INT AS fake_width, " +
+        "(1 + ascii(substr(text, 2, 1)) % 64)::INT AS fake_height " +
+        "FROM documents ORDER BY doc_id"),
+  )
+}
