@@ -41,16 +41,19 @@ object Tables {
     * reference's raw-layer entry point
     * (`/root/reference/src/pipeline/main_etl.py:47-52`).
     *
-    * `timestampFormat` is explicit so timestamps round-trip CSV at full
-    * microsecond precision.
+    * Write format is explicit so timestamps round-trip CSV at full
+    * microsecond precision; the read format makes the fraction optional
+    * so plain `HH:mm:ss` data (the reference's taxi CSV shape) still
+    * infers as timestamp.
     */
   val CsvTimestampFormat = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+  val CsvTimestampReadFormat = "yyyy-MM-dd HH:mm:ss[.SSSSSS]"
 
   def csvInfer(spark: SparkSession, path: String): DataFrame =
     spark.read
       .option("header", "true")
       .option("inferSchema", "true")
-      .option("timestampFormat", CsvTimestampFormat)
+      .option("timestampFormat", CsvTimestampReadFormat)
       .csv(path)
 
   /** CSV export used by tests/bench to exercise S1 end-to-end: writes

@@ -1,0 +1,72 @@
+package graft.ml
+
+import org.apache.spark.ml.PipelineModel
+
+import graft.SparkTestBase
+import graft.etl.Transformations
+import graft.serve.Scoring
+import graft.sources.Tables
+
+class TrainerSpec extends SparkTestBase {
+
+  // small config: full fixture, shallow/short GBT — semantics, not quality
+  val cfg = Trainer.TrainConfig(sampleFraction = 1.0, maxRows = 0, maxIter = 3)
+
+  lazy val clean =
+    Transformations.cleanAndTransform(Tables.csvInfer(spark, FixtureCsv)).cache()
+
+  lazy val trained: (PipelineModel, Trainer.Metrics) = {
+    val path = tmpDir("model") + "/fare_model"
+    val r = Trainer.trainFareModel(clean, path, cfg)
+    (PipelineModel.load(path), r._2) // round-trip through disk (M7)
+  }
+
+  test("training produces finite metrics and a loadable model") {
+    val (_, m) = trained
+    assert(m.rmse.isFinite && m.rmse > 0)
+    assert(m.mae.isFinite && m.mae > 0 && m.mae <= m.rmse)
+    assert(m.trainRows > 0 && m.testRows > 0)
+  }
+
+  test("split is disjoint and complete") {
+    val prepared = Trainer.prepare(clean)
+    val n = prepared.count()
+    val Array(tr, te) = prepared.randomSplit(Array(0.8, 0.2), 42L)
+    assert(tr.count() + te.count() == n)
+    assert(tr.intersect(te).count() <= // identical rows may repeat in data
+      prepared.groupBy(Trainer.FeatureCols.map(org.apache.spark.sql.functions.col): _*)
+        .count().filter("count > 1").count())
+  }
+
+  test("save/load round-trip predicts identically (M7)") {
+    val (loaded, _) = trained
+    val sample = Trainer.prepare(clean).limit(20).cache()
+    val direct = Trainer.trainFareModel(clean, "", cfg)._1
+    val a = direct.transform(sample).select("prediction").collect().map(_.getDouble(0))
+    val b = loaded.transform(sample).select("prediction").collect().map(_.getDouble(0))
+    assert(a.sameElements(b))
+  }
+
+  test("scoring: single request round trip with HALF_EVEN rounding") {
+    val (model, _) = trained
+    val req = Scoring.ScoringRequest(
+      trip_distance = 2.5,
+      trip_duration_min = Scoring.estimateDurationMin(2.5),
+      passenger_count = 1, pickup_hour = 9, payment_type = 1)
+    val p = Scoring.predict(spark, model, req)
+    assert(p.isFinite)
+    assert(p == Scoring.round2(p)) // idempotent 2-dp
+  }
+
+  test("round2 is banker's rounding (Python round parity)") {
+    assert(Scoring.round2(2.125) == 2.12) // 2.125 dyadic-exact, HALF_EVEN down
+    assert(Scoring.round2(2.375) == 2.38) // exact, HALF_EVEN up
+    assert(Scoring.round2(-2.125) == -2.12)
+    assert(Scoring.round2(1.005) == 1.0)  // 1.005 stored below boundary
+  }
+
+  test("duration heuristic matches webapp formula") {
+    assert(Scoring.estimateDurationMin(12.0) == 60.0)
+    assert(Scoring.estimateDurationMin(2.5) == 2.5 / 12.0 * 60.0)
+  }
+}

