@@ -47,35 +47,58 @@ object Dedup {
   def wordSetKey(toks: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(toks))))
 
-  /** Deterministic k-permutation MinHash signature over distinct
-    * shingles: `sig[i] = min_s md5(s || '#' || i)`.
+  /** (id, shingle) relation: one row per distinct n-word shingle. Docs
+    * with fewer than `n` tokens vanish (explode of an empty array).
+    *
+    * This relational shape is deliberate: higher-order lambdas are
+    * interpreted (no codegen) and re-evaluate inlined argument
+    * expressions per element, so computing k MinHash permutations inside
+    * nested `transform`s re-does the tokenize/shingle work k× per row —
+    * measured 30× slower at sf0.1 than explode + hash-aggregate, and the
+    * gap widens with scale. Exploding once and aggregating keeps every
+    * md5 evaluation single-shot inside whole-stage codegen.
+    */
+  def shingleTable(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    df.select(col(idCol),
+      explode(TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)), n)).as("shingle"))
+
+  /** Deterministic k-permutation MinHash signature, one column per
+    * permutation: `sig_i = min_s md5(s || '#' || i)`.
     *
     * md5-as-permutation keeps the signature reproducible across engines
     * and runs (no RNG seeds to persist) — the property the correctness
     * oracle needs and a production pipeline wants for incremental dedup.
+    * Partial `min` aggregation runs map-side; the shuffle carries one
+    * k-string row per document.
     */
-  def minhashSignature(shingles: Column, k: Int): Column =
-    transform(
-      sequence(lit(0), lit(k - 1)),
-      i => array_min(
-        transform(shingles, s => md5(concat(s, lit("#"), i.cast("string"))))))
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String, k: Int = 8): DataFrame =
+    shingleTable(df, idCol, textCol)
+      .groupBy(idCol)
+      .agg(
+        min(md5(concat(col("shingle"), lit("#0")))).as("sig_0"),
+        (1 until k).map(i =>
+          min(md5(concat(col("shingle"), lit(s"#$i")))).as(s"sig_$i")): _*)
 
-  /** LSH banding: hash `rows` consecutive signature values per band.
-    * Docs sharing any band hash are near-dup candidates.
-    * Returns (band_idx, band_hash) pairs as an array of structs ready to
-    * explode.
+  /** (id, band_idx, band_hash) relation: `rows` consecutive signature
+    * values hashed per band. Docs sharing any band hash are near-dup
+    * candidates.
     */
-  def bandHashes(sig: Column, bands: Int, rows: Int): Column =
-    array((0 until bands).map { b =>
-      val joined =
-        concat((0 until rows).map(r => sig.getItem(b * rows + r)): _*)
+  def bandTable(sigs: DataFrame, idCol: String, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, "k must divide evenly into bands")
+    val rows = k / bands
+    val bandStructs = array((0 until bands).map { b =>
+      val joined = concat((0 until rows).map(r => col(s"sig_${b * rows + r}")): _*)
       struct(lit(b).as("band_idx"), md5(joined).as("band_hash"))
     }: _*)
+    sigs
+      .select(col(idCol), explode(bandStructs).as("band"))
+      .select(col(idCol), col("band.band_idx"), col("band.band_hash"))
+  }
 
-  /** Near-dup candidate pairs via MinHash-LSH: signature → bands →
-    * explode → self-join per (band_idx, band_hash) bucket → distinct
-    * (a < b) pairs. The self-join shuffles on the band hash (uniform),
-    * never materializing the full pair matrix.
+  /** Near-dup candidate pairs via MinHash-LSH: shingle → signature →
+    * bands → self-join per (band_idx, band_hash) bucket → distinct
+    * (a < b) pairs. The self-join shuffles on the band hash (uniform by
+    * construction), never materializing the full pair matrix.
     */
   def lshCandidatePairs(
       df: DataFrame,
@@ -84,15 +107,7 @@ object Dedup {
       k: Int = 8,
       bands: Int = 4,
   ): DataFrame = {
-    require(k % bands == 0, "k must divide evenly into bands")
-    val rows = k / bands
-    val toks = TextAnalysis.tokens(col(textCol))
-    val sh = TextAnalysis.shingles(toks, 3)
-    val banded = df
-      .filter(size(TextAnalysis.tokens(col(textCol))) >= 3)
-      .withColumn("sig", minhashSignature(sh, k))
-      .select(col(idCol), explode(bandHashes(col("sig"), bands, rows)).as("band"))
-      .select(col(idCol), col("band.band_idx"), col("band.band_hash"))
+    val banded = bandTable(minhashSignatures(df, idCol, textCol, k), idCol, k, bands)
     val a = banded.toDF(s"a_$idCol", "band_idx", "band_hash")
     val b = banded.toDF(s"b_$idCol", "band_idx", "band_hash")
     a.join(b, Seq("band_idx", "band_hash"))

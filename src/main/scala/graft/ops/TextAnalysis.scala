@@ -23,16 +23,25 @@ object TextAnalysis {
 
   /** Distinct n-word shingles of the token array (empty when fewer than
     * `n` tokens — guarded so `sequence` never sees a negative range).
+    *
+    * `toks` is bound once as a lambda variable via a 1-element array:
+    * higher-order lambdas are interpreted and re-evaluate inlined
+    * argument expressions on every element access, so referencing e.g. a
+    * `split(...)` column directly inside the body would re-split the text
+    * per shingle per word.
     */
   def shingles(toks: Column, n: Int = 3): Column =
-    when(
-      size(toks) >= n,
-      array_distinct(
-        transform(
-          sequence(lit(0), size(toks) - lit(n)),
-          j => concat_ws(" ",
-            (1 to n).map(i => element_at(toks, j + lit(i))): _*))),
-    ).otherwise(array().cast("array<string>"))
+    element_at(
+      transform(array(toks), t =>
+        when(
+          size(t) >= n,
+          array_distinct(
+            transform(
+              sequence(lit(0), size(t) - lit(n)),
+              j => concat_ws(" ",
+                (1 to n).map(i => element_at(t, j + lit(i))): _*))),
+        ).otherwise(array().cast("array<string>"))),
+      1)
 
   /** Default stopword list used by the quality/langid heuristics. */
   val EnStopwords: Seq[String] =

@@ -35,15 +35,11 @@ object ExtQueries {
         Dedup.wordSetKey(TextAnalysis.tokens(col("text"))))
       .orderBy("keep_id")
 
-  def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
-    val toks = TextAnalysis.tokens(col("text"))
-    docs(s, dir)
-      .filter(size(toks) >= 3)
-      .withColumn("sig_arr",
-        Dedup.minhashSignature(TextAnalysis.shingles(toks, 3), 8))
-      .select(col("doc_id"), concat_ws(",", col("sig_arr")).as("sig"))
+  def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashSignatures(docs(s, dir), "doc_id", "text", 8)
+      .select(col("doc_id"),
+        concat_ws(",", (0 until 8).map(i => col(s"sig_$i")): _*).as("sig"))
       .orderBy("doc_id")
-  }
 
   def qDedupLsh(s: SparkSession, dir: String): DataFrame =
     Dedup

@@ -55,17 +55,10 @@ object RefQueries {
       "('3-MEDIUM', 3, 'medium'), ('5-LOW', 5, 'low')) " +
       "AS l(o_orderpriority, prio_rank, prio_class)"
 
-  /** Event-type lookup for the e2e slice; omits 'error' → null desc. */
-  private def eventLookup(s: SparkSession): DataFrame =
-    s.createDataFrame(Seq(
-      ("click", "Click"), ("view", "View"),
-      ("purchase", "Purchase"), ("signup", "Signup"),
-    )).toDF("event_type", "event_desc")
-
   private val eventLookupSql =
-    "(VALUES ('click', 'Click'), ('view', 'View'), " +
-      "('purchase', 'Purchase'), ('signup', 'Signup')) " +
-      "AS l(event_type, event_desc)"
+    graft.etl.EventsPipeline.EventLookup
+      .map { case (k, v) => s"('$k', '$v')" }
+      .mkString("(VALUES ", ", ", ") AS l(event_type, event_desc)")
 
   // ---- queries --------------------------------------------------------
 
@@ -149,28 +142,15 @@ object RefQueries {
     val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_e2e_csv"
     Tables.exportCsv(Tables.events(s, dir), tmp)
     val raw = Tables.csvInfer(s, tmp)
-    val sec = col("ts").cast("long")
-    val durMin = (timestamp_seconds(sec + floor(col("value"))).cast("long") - sec) / 60.0
-    raw
-      .withColumn("ts", col("ts").cast("timestamp")) // P1 (defensive re-cast)
-      .withColumn("dur_min", durMin)
-      .filter("value > 0 AND user_id >= 0")                       // F1
-      .filter(col("dur_min").between(1, 180))                     // F2
-      .filter(col("value") > 0.5 && col("value") < 400.0 &&
-        col("user_id") > 1 && col("user_id") < 140)               // F3
-      .withColumn("rate", col("value") / (col("dur_min") / 60.0)) // P6
-      .filter(col("rate").between(0, 50000))                      // F4
-      .withColumn("d", to_date(col("ts")))                        // P3
-      .withColumn("hr", hour(col("ts")))                          // P4
-      .join(broadcast(eventLookup(s)), Seq("event_type"), "left") // J1
-      .groupBy("d", "hr", "event_desc")                           // A1
+    graft.etl.EventsPipeline.clean(raw) // P1-P6, F1-F4, J1
+      .groupBy("d", "hr", "event_desc") // A1
       .agg(
         count(lit(1)).as("total_events"),
         davg(col("value")).as("avg_value"),
         davg(col("dur_min")).as("avg_dur_min"),
         davg(col("rate")).as("avg_rate"),
       )
-      .orderBy("d", "hr", "event_desc")                           // O1
+      .orderBy("d", "hr", "event_desc") // O1
   }
 
   /** O5: seeded Bernoulli sample — rows-only check (RNG engine-specific). */
