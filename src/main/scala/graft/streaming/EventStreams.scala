@@ -1,0 +1,103 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface for the events table: the streaming
+  * analog of the batch trips_by_hour aggregation, plus stateful per-user
+  * session tracking.
+  *
+  * The reference is batch-only (SURVEY.md §2.8 — its "near-real-time" is
+  * request/response scoring), so this module is part of the 100 TB
+  * extension surface: the same event-time aggregation a production
+  * pipeline runs continuously, with watermarked state eviction so
+  * executor state stays bounded regardless of stream length.
+  */
+object EventStreams {
+
+  final case class Event(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+  final case class UserStats(user_id: Long, n_events: Long, sum_value: Double)
+
+  /** File-based streaming source over a directory of events parquet
+    * (micro-batch per new file). Schema must be supplied — streaming
+    * reads cannot infer.
+    */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE")
+      .parquet(dir)
+
+  /** Watermarked event-time hourly aggregation — the streaming
+    * trips_by_hour: tumbling 1-hour windows per event_type, state
+    * dropped once the watermark passes (late data beyond 2h discarded).
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum("value").as("sum_value"),
+      )
+      .select(
+        col("window.start").as("hour_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Stateful running per-user totals via mapGroupsWithState — the
+    * custom-state shape (KeyValueGroupedDataset) for logic windowed
+    * aggregation can't express.
+    *
+    * `evictIdleAfter` (production): a ProcessingTime timeout evicts idle
+    * users so state stays bounded on an unbounded key space. Pass None in
+    * tests — with a timeout configured, Spark's no-data trigger re-fires
+    * continuously to check timers, so `processAllAvailable` never settles.
+    */
+  def runningUserStats(
+      events: Dataset[Event],
+      evictIdleAfter: Option[String] = None): Dataset[UserStats] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val timeoutConf =
+      if (evictIdleAfter.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserStats, UserStats](timeoutConf) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[UserStats]) =>
+          val prev = state.getOption.getOrElse(UserStats(userId, 0L, 0.0))
+          val next = batch.foldLeft(prev) { (acc, e) =>
+            UserStats(userId, acc.n_events + 1, acc.sum_value + e.value)
+          }
+          state.update(next)
+          evictIdleAfter.foreach(state.setTimeoutDuration)
+          next
+      }
+  }
+
+  /** Drive a streaming aggregate into an in-memory table and block until
+    * all available input is processed (test/bootstrap harness).
+    */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode): Unit = {
+    val q = df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+  }
+
+  /** Production-shaped sink: append to partitioned parquet with a
+    * checkpoint for exactly-once restart.
+    */
+  def toParquetSink(df: DataFrame, path: String, checkpoint: String) =
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .option("path", path)
+      .format("parquet")
+}

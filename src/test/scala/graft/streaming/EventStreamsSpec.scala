@@ -1,0 +1,90 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkTestBase
+import graft.streaming.EventStreams.{Event, UserStats}
+
+class EventStreamsSpec extends SparkTestBase {
+
+  private def ts(h: Int, m: Int = 0) =
+    Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+
+  val batch1 = Seq(
+    Event(ts(0, 10), 1, "click", 10.0),
+    Event(ts(0, 20), 2, "view", 5.0),
+    Event(ts(1, 5), 1, "click", 7.0),
+  )
+  val batch2 = Seq(
+    Event(ts(1, 30), 2, "click", 2.0),
+    Event(ts(2, 0), 3, "purchase", 100.0),
+  )
+
+  test("hourly windowed aggregation matches the batch equivalent") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(batch1: _*)
+    input.addData(batch2: _*)
+    EventStreams.runToMemory(
+      EventStreams.hourlyCounts(input.toDF()), "hourly", OutputMode.Complete())
+
+    val got = spark.table("hourly")
+      .orderBy("hour_start", "event_type")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+
+    val want = (batch1 ++ batch2).toDF()
+      .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("s"))
+      .orderBy("hour_start", "event_type")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+
+    assert(got.sameElements(want))
+  }
+
+  test("stateful running user totals accumulate across micro-batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.runningUserStats(input.toDS())
+      .toDF()
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("user_stats").start()
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // latest state per user across updates
+    val last = spark.table("user_stats")
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("sum_value"))).as("s"))
+      .select(col("user_id"), col("s.n_events"), col("s.sum_value"))
+      .as[UserStats].collect().map(u => u.user_id -> u).toMap
+
+    assert(last(1L) == UserStats(1, 2, 17.0))
+    assert(last(2L) == UserStats(2, 2, 7.0))
+    assert(last(3L) == UserStats(3, 1, 100.0))
+  }
+
+  test("file-source streaming over events parquet produces rows") {
+    import graft.sources.Tables
+    // stage a static batch as the stream's input directory
+    val dir = tmpDir("stream_in")
+    Tables.events(spark, Sf0001)
+      .select("ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(dir)
+    EventStreams.runToMemory(
+      EventStreams.hourlyCounts(EventStreams.readEventStream(spark, dir)),
+      "hourly_file", OutputMode.Complete())
+    assert(spark.table("hourly_file").count() > 0)
+  }
+}
