@@ -68,9 +68,18 @@ object Similarity {
     *
     * Hyperplane component j,i is ±1 derived from md5(j||'_'||i) — no RNG
     * state to persist, reproducible everywhere. Returns an integer bucket
-    * in [0, 2^nBits).
+    * in [0, 2^nBits). Implemented as a codegen'd Catalyst expression
+    * ([[graft.functions.CosineLsh]]); [[lshBucketHof]] is the declarative
+    * reference implementation it is property-tested against.
     */
   def lshBucket(vec: Column, nBits: Int = 8): Column =
+    graft.functions.CosineLsh.bucketOf(vec, nBits)
+
+  /** Built-in-functions form of [[lshBucket]] — interpreted lambda HOFs
+    * re-evaluate the md5 per (bit, element) per row, so this is the slow
+    * path kept only as the semantic oracle for the codegen expression.
+    */
+  def lshBucketHof(vec: Column, nBits: Int = 8): Column =
     (0 until nBits)
       .map { j =>
         // sign bit of <v, h_j> where h_j[i] = ±1 from md5 nibble parity

@@ -85,6 +85,20 @@ class OpsSpec extends SparkTestBase {
     info(s"bucketed recall: $hits/${exact.count()}")
   }
 
+  test("codegen LSH bucket matches the declarative HOF reference bit-for-bit") {
+    for (nBits <- Seq(1, 4, 8)) {
+      val mismatches = emb.select(
+        Similarity.lshBucket(col("embedding"), nBits).as("fast"),
+        Similarity.lshBucketHof(col("embedding"), nBits).as("ref"))
+        .filter(col("fast") =!= col("ref"))
+        .count()
+      assert(mismatches == 0, s"nBits=$nBits")
+      val range = emb.select(Similarity.lshBucket(col("embedding"), nBits).as("b"))
+        .agg(min("b"), max("b")).head()
+      assert(range.getInt(0) >= 0 && range.getInt(1) < (1 << nBits))
+    }
+  }
+
   test("text stats: ratios in [0,1], counts consistent") {
     val t = TextAnalysis
     val s = docs.select(
