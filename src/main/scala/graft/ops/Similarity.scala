@@ -101,6 +101,75 @@ object Similarity {
   def lshBuckets(df: DataFrame, vecCol: String, nBits: Int = 8): DataFrame =
     df.withColumn("bucket", lshBucket(col(vecCol), nBits))
 
+  /** IVF coarse quantizer: a deterministic stride-subset of the corpus
+    * serves as centroids (`id % stride == 0`) — no k-means RNG state to
+    * persist, reproducible across engines, and at 100 TB the centroid set
+    * stays a broadcastable few thousand rows for any corpus size by
+    * raising the stride.
+    */
+  def ivfCentroids(vecs: DataFrame, idCol: String, vecCol: String, stride: Int): DataFrame =
+    vecs.filter(col(idCol) % stride === 0)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("cv"))
+
+  /** Cell assignment: each vector goes to its best centroid by rounded
+    * cosine, ties broken by centroid id. Scoring is a map-side
+    * broadcast cross join; the argmax window shuffles only
+    * (id, centroid_id, score) triples, never embeddings.
+    */
+  private def ivfAssign(
+      vecs: DataFrame, // (id, v)
+      idCol: String,
+      centroids: DataFrame,
+      nProbe: Int,
+      scoreRounding: Column => Column): DataFrame = {
+    val w = Window.partitionBy(idCol).orderBy(col("cs").desc, col("centroid_id"))
+    vecs
+      .crossJoin(broadcast(centroids))
+      .withColumn("cs", scoreRounding(cosine(col("v"), col("cv"))))
+      .select(col(idCol), col("centroid_id"), col("cs"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= nProbe)
+      .select(col(idCol), col("centroid_id"))
+  }
+
+  /** IVF approximate top-k (inverted-file ANN): candidates live in
+    * exactly one cell, queries probe their `nProbe` nearest cells, and
+    * the exact cosine runs only within probed cells — corpus scan work
+    * drops by ~|cells|/nProbe. The cell id doubles as the partition key
+    * at scale, so a probe touches only its cells' partitions. Recall is
+    * verified against [[cosineTopK]] in the spec.
+    */
+  def ivfTopK(
+      queries: DataFrame, // (qid, qe)
+      candidates: DataFrame, // (cid, ce)
+      k: Int,
+      stride: Int = 64,
+      nProbe: Int = 2,
+      scoreRounding: Column => Column = identity,
+  ): DataFrame = {
+    val cen = ivfCentroids(
+      candidates.select(col("cid").as("id"), col("ce")), "id", "ce", stride)
+    val cCells = ivfAssign(
+      candidates.select(col("cid"), col("ce").as("v")), "cid", cen, 1, scoreRounding)
+    val qCells = ivfAssign(
+      queries.select(col("qid"), col("qe").as("v")), "qid", cen, nProbe, scoreRounding)
+    // each (qid, cid) pair arises at most once: a candidate has one cell.
+    // qCells (nQueries × nProbe rows) broadcasts, so the probe is a
+    // map-side semi-join against the cell-keyed candidate assignment —
+    // no shuffle keyed on the (skewed) cell id.
+    val scored = cCells
+      .join(broadcast(qCells), "centroid_id")
+      .join(broadcast(queries), "qid")
+      .join(candidates, "cid")
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("score", scoreRounding(cosine(col("qe"), col("ce"))))
+      .select("qid", "cid", "score")
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("cid"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Approximate top-k: score only candidates sharing the query's LSH
     * bucket. Trades recall for a 2^nBits fan-in reduction; callers verify
     * recall against [[cosineTopK]] on a sample.

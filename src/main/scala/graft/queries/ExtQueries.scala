@@ -90,6 +90,13 @@ object ExtQueries {
       .select("qid", "cid", "score", "rank")
       .orderBy("qid", "rank")
 
+  def qSimIvf(s: SparkSession, dir: String): DataFrame =
+    Similarity
+      .ivfTopK(queriesDf(s, dir), candsDf(s, dir), k = 10, stride = 64,
+        nProbe = 2, scoreRounding = r6)
+      .select("qid", "cid", "score", "rank")
+      .orderBy("qid", "rank")
+
   // ---- text analysis --------------------------------------------------
 
   def qTextStats(s: SparkSession, dir: String): DataFrame = {
@@ -147,6 +154,7 @@ object ExtQueries {
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_sim_topk" -> (qSimTopk _),
     "q_sim_lsh" -> (qSimLsh _),
+    "q_sim_ivf" -> (qSimIvf _),
     "q_text_stats" -> (qTextStats _),
     "q_lang_id" -> (qLangId _),
     "q_quality" -> (qQuality _),
@@ -248,6 +256,25 @@ object ExtQueries {
         "FROM embeddings), " +
         s"s AS (SELECT qid, cid, ${O.r6(cosSql("qe", "ce"))} AS score " +
         "FROM q JOIN c USING (bucket) WHERE qid != cid), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rnk FROM s) " +
+        "SELECT qid, cid, score, rnk::INT AS rank FROM r WHERE rnk <= 10 " +
+        "ORDER BY qid, rank"),
+    "q_sim_ivf" ->
+      ("WITH cen AS (SELECT vec_id AS centroid_id, embedding AS cv " +
+        "FROM embeddings WHERE vec_id % 64 = 0), " +
+        "cand AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings), " +
+        "q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5), " +
+        s"ca0 AS (SELECT cid, centroid_id, ${O.r6(cosSql("ce", "cv"))} AS cs " +
+        "FROM cand CROSS JOIN cen), " +
+        "ca AS (SELECT cid, centroid_id FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY cid ORDER BY cs DESC, centroid_id) AS rn FROM ca0) WHERE rn = 1), " +
+        s"qa0 AS (SELECT qid, centroid_id, ${O.r6(cosSql("qe", "cv"))} AS cs " +
+        "FROM q CROSS JOIN cen), " +
+        "qa AS (SELECT qid, centroid_id FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY qid ORDER BY cs DESC, centroid_id) AS rn FROM qa0) WHERE rn <= 2), " +
+        s"s AS (SELECT qid, cid, ${O.r6(cosSql("qe", "ce"))} AS score " +
+        "FROM qa JOIN ca USING (centroid_id) JOIN q USING (qid) JOIN cand USING (cid) " +
+        "WHERE qid != cid), " +
         "r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rnk FROM s) " +
         "SELECT qid, cid, score, rnk::INT AS rank FROM r WHERE rnk <= 10 " +
         "ORDER BY qid, rank"),

@@ -85,6 +85,18 @@ class OpsSpec extends SparkTestBase {
     info(s"bucketed recall: $hits/${exact.count()}")
   }
 
+  test("IVF top-k: candidates partition into cells, probe recall reported") {
+    val q = emb.filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val approx = Similarity.ivfTopK(q, c, 10, stride = 64, nProbe = 2).cache()
+    assert(approx.filter(col("qid") === col("cid")).count() == 0)
+    assert(approx.groupBy("qid", "cid").count().filter(col("count") > 1).count() == 0)
+    val exact = Similarity.cosineTopK(q, c, 10).select("qid", "cid")
+    val hits = approx.select("qid", "cid").intersect(exact).count()
+    assert(approx.count() > 0)
+    info(s"IVF recall: $hits/${exact.count()}")
+  }
+
   test("codegen LSH bucket matches the declarative HOF reference bit-for-bit") {
     for (nBits <- Seq(1, 4, 8)) {
       val mismatches = emb.select(
