@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Similarity}
+import graft.queries.RefQueries
+import graft.sources.Tables
+
+/** Physical-plan regression tests: the properties the 100 TB design
+  * depends on must be visible in `explain`, not assumed — a silent
+  * regression to a cartesian product or an unpruned scan is invisible at
+  * test scale and fatal at cluster scale (SURVEY.md §4.2).
+  */
+class PlanSpec extends SparkTestBase {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("parquet scan: predicate pushed down and columns pruned") {
+    val df = Tables.table(spark, Sf0001, "lineitem")
+      .filter(col("l_quantity") > 10)
+      .select("l_orderkey", "l_quantity")
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,10"),
+      s"no pushdown in:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_extendedprice"), "scan reads unprojected columns")
+  }
+
+  test("q_join plans as a broadcast hash left-outer join, not a shuffle") {
+    val p = plan(RefQueries.qJoin(spark, Sf0001))
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+    assert(p.contains("LeftOuter"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q_agg runs partial+final hash aggregation around one exchange") {
+    val p = plan(RefQueries.qAgg(spark, Sf0001))
+    val nAgg = p.linesIterator.count(_.contains("HashAggregate ("))
+    assert(nAgg >= 2, s"expected partial+final HashAggregate in:\n$p")
+    assert(p.contains("hashpartitioning"))
+  }
+
+  test("filter pipeline stays inside whole-stage codegen") {
+    val df = RefQueries.qFilter(spark, Sf0001)
+    df.collect() // AQE finalizes codegen spans only on execution
+    val p = df.queryExecution.executedPlan.toString
+    // `*(n)` prefixes mark whole-stage-codegen spans in tree form;
+    // scan→filter→project must share one span (no interpreted break)
+    assert(p.contains("*(1) Filter") && p.contains("*(1) Project"),
+      s"filter/project not fused into one codegen span:\n$p")
+  }
+
+  test("brute-force top-k broadcasts the query side (no cartesian shuffle)") {
+    val emb = Tables.table(spark, Sf0001, "embeddings")
+    val q = emb.filter(col("vec_id") < 3).select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val p = plan(Similarity.cosineTopK(q, c, 5))
+    assert(p.contains("BroadcastNestedLoopJoin"), s"cross join not broadcast in:\n$p")
+    assert(!p.contains("CartesianProduct"), "cross join fell back to a full shuffle")
+  }
+
+  test("LSH candidate self-join is an equi-join on the band hash") {
+    val docs = Tables.table(spark, Sf0001, "documents")
+    val p = plan(Dedup.lshCandidatePairs(docs, "doc_id", "text"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair generation must never be all-pairs:\n$p")
+    assert(p.contains("band_hash"))
+  }
+
+  test("partitioned parquet layout prunes by partition key on read") {
+    val dir = tmpDir("plan_part")
+    Tables.events(spark, Sf0001)
+      .withColumn("day", to_date(col("ts")))
+      .write.partitionBy("day").mode("overwrite").parquet(dir)
+    val read = spark.read.parquet(dir).filter(col("day") === "2024-01-01")
+    val p = plan(read)
+    assert(p.contains("PartitionFilters: [isnotnull(day"), s"no partition pruning in:\n$p")
+  }
+}
