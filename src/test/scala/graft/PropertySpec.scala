@@ -1,0 +1,175 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.etl.Transformations
+import graft.ops.{Dedup, Similarity}
+
+/** Property-based tests (SURVEY.md §5.2): the clean-transform invariants
+  * against an independent Scala-side oracle on generated rows, the
+  * properties of the RNG operators the DuckDB gate can't hash-check
+  * (sample / randomSplit, §5.3), and algebraic laws of the similarity
+  * primitives.
+  */
+class PropertySpec extends SparkTestBase {
+
+  import PropertySpec.TaxiRow
+
+  /** Deterministic ScalaCheck sampling: the scalatest/scalacheck bridge
+    * artifact is not on the (offline) classpath, so generators are driven
+    * directly with fixed seeds — same coverage, reproducible failures.
+    */
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  // mix of in-range and out-of-range values so every filter fires both ways
+  private val genRow: Gen[TaxiRow] = for {
+    t0 <- Gen.choose(1420070400L, 1422748800L) // Jan 2015
+    durMin <- Gen.oneOf(Gen.choose(-10.0, 0.9), Gen.choose(1.0, 180.0), Gen.choose(180.5, 300.0))
+    dist <- Gen.oneOf(Gen.const(0.0), Gen.choose(0.1, 50.0), Gen.choose(50.0, 500.0))
+    fare <- Gen.oneOf(Gen.const(0.0), Gen.choose(0.01, 200.0))
+    total <- Gen.oneOf(Gen.const(0.0), Gen.choose(0.01, 250.0))
+    pax <- Gen.choose(0, 6)
+    plon <- Gen.choose(-76.0, -71.0)
+    plat <- Gen.choose(39.0, 43.0)
+    dlon <- Gen.choose(-76.0, -71.0)
+    dlat <- Gen.choose(39.0, 43.0)
+    pay <- Gen.choose(0, 8)
+  } yield TaxiRow(
+    new Timestamp(t0 * 1000L),
+    new Timestamp((t0 + (durMin * 60).toLong) * 1000L),
+    dist, fare, total, pax, plon, plat, dlon, dlat, pay)
+
+  /** Scala-side oracle for the clean filters, same double arithmetic. */
+  private def survives(r: TaxiRow): Boolean = {
+    val dur = (r.tpep_dropoff_datetime.getTime / 1000L -
+      r.tpep_pickup_datetime.getTime / 1000L) / 60.0
+    val base = r.trip_distance > 0 && r.fare_amount > 0 && r.total_amount > 0 &&
+      r.passenger_count > 0 && dur >= 1 && dur <= 180 &&
+      r.pickup_longitude > -75 && r.pickup_longitude < -72 &&
+      r.dropoff_longitude > -75 && r.dropoff_longitude < -72 &&
+      r.pickup_latitude > 40 && r.pickup_latitude < 42 &&
+      r.dropoff_latitude > 40 && r.dropoff_latitude < 42
+    base && {
+      val speed = r.trip_distance / (dur / 60.0)
+      speed >= 0 && speed <= 120
+    }
+  }
+
+  test("cleanAndTransform keeps exactly the rows an independent oracle keeps") {
+    import spark.implicits._
+    for (seed <- 1L to 3L) {
+      val rows = sample(Gen.listOfN(300, genRow), seed)
+        val cleaned = Transformations.cleanAndTransform(rows.toDF()).cache()
+        try {
+          assert(cleaned.count() == rows.count(survives))
+          // left join: desc non-null iff payment_type has a lookup row
+          val missing = cleaned
+            .filter(col("payment_type").between(1, 6) && col("payment_desc").isNull)
+            .count()
+          val spurious = cleaned
+            .filter(!col("payment_type").between(1, 6) && col("payment_desc").isNotNull)
+            .count()
+          assert(missing == 0 && spurious == 0)
+          // derived ranges hold on every surviving row
+          assert(cleaned.filter(
+            !col("trip_duration_min").between(1, 180) ||
+              !col("avg_speed_kmh").between(0, 120) ||
+              !col("pickup_hour").between(0, 23)).count() == 0)
+        } finally cleaned.unpersist()
+    }
+  }
+
+  test("sample is seed-deterministic with binomially plausible size") {
+    import spark.implicits._
+    val df = (1L to 5000L).toDF("id").cache()
+    for (f <- Seq(0.05, 0.2, 0.5)) {
+      val a = df.sample(withReplacement = false, f, seed = 42)
+      val b = df.sample(withReplacement = false, f, seed = 42)
+      val idsA = a.as[Long].collect().sorted
+      assert(idsA.sameElements(b.as[Long].collect().sorted), "same seed, same rows")
+      val n = 5000.0
+      val sd = math.sqrt(n * f * (1 - f))
+      assert(math.abs(idsA.length - n * f) < 6 * sd, s"f=$f n=${idsA.length}")
+    }
+    df.unpersist()
+  }
+
+  test("randomSplit partitions: parts disjoint and union-complete") {
+    import spark.implicits._
+    val df = (1L to 4000L).toDF("id")
+    val Array(a, b) = df.randomSplit(Array(0.8, 0.2), seed = 42)
+    val (sa, sb) = (a.as[Long].collect().toSet, b.as[Long].collect().toSet)
+    assert((sa & sb).isEmpty)
+    assert((sa | sb).size == 4000)
+  }
+
+  test("codegen LSH bucket == HOF reference on arbitrary float vectors") {
+    import spark.implicits._
+    val genVec = Gen.choose(1, 96).flatMap(d =>
+      Gen.listOfN(d, Gen.chooseNum(-10.0f, 10.0f, 0.0f)))
+    for ((nBits, seed) <- Seq((1, 1L), (3, 2L), (8, 3L))) {
+      val vecs = sample(Gen.listOfN(50, genVec), seed)
+      val df = vecs.map(v => Tuple1(v.toArray)).toDF("v")
+      val bad = df.select(
+        Similarity.lshBucket(col("v"), nBits).as("fast"),
+        Similarity.lshBucketHof(col("v"), nBits).as("ref"))
+        .filter(col("fast") =!= col("ref") || col("fast") < 0 ||
+          col("fast") >= (1 << nBits))
+        .count()
+      assert(bad == 0)
+    }
+  }
+
+  test("jaccard: symmetric, bounded, identity on non-empty sets") {
+    import spark.implicits._
+    val genToks = Gen.listOfN(12, Gen.oneOf("a", "b", "c", "d", "e", "f"))
+    for (seed <- 1L to 3L) {
+      val ps = sample(Gen.listOfN(40, Gen.zip(genToks, genToks)), seed)
+      val df = ps.map { case (a, b) => (a.toArray, b.toArray) }.toDF("a", "b")
+      val bad = df.select(
+        Dedup.jaccard(col("a"), col("b")).as("ab"),
+        Dedup.jaccard(col("b"), col("a")).as("ba"),
+        Dedup.jaccard(col("a"), col("a")).as("aa"))
+        .filter(col("ab") =!= col("ba") || !col("ab").between(0, 1) ||
+          col("aa") =!= 1.0)
+        .count()
+      assert(bad == 0)
+    }
+  }
+
+  test("simhash is token-permutation invariant") {
+    import spark.implicits._
+    val genToks = Gen.nonEmptyListOf(Gen.identifier.map(_.take(8)))
+    for (seed <- 1L to 3L) {
+      val docs = sample(Gen.listOfN(30, genToks), seed)
+      val df = docs.zipWithIndex
+        .map { case (t, i) => (i.toLong, t.mkString(" "), scala.util.Random.shuffle(t).mkString(" ")) }
+        .toDF("doc_id", "text", "shuffled")
+      val ha = Dedup.simhashes(df, "doc_id", "text").toDF("doc_id", "h1")
+      val hb = Dedup.simhashes(df.select(col("doc_id"), col("shuffled").as("text")),
+        "doc_id", "text").toDF("doc_id", "h2")
+      assert(ha.join(hb, "doc_id").filter(col("h1") =!= col("h2")).count() == 0)
+    }
+  }
+}
+
+object PropertySpec {
+  /** Top-level so Spark's product encoder needs no outer instance. */
+  final case class TaxiRow(
+      tpep_pickup_datetime: Timestamp,
+      tpep_dropoff_datetime: Timestamp,
+      trip_distance: Double,
+      fare_amount: Double,
+      total_amount: Double,
+      passenger_count: Int,
+      pickup_longitude: Double,
+      pickup_latitude: Double,
+      dropoff_longitude: Double,
+      dropoff_latitude: Double,
+      payment_type: Int)
+}
