@@ -149,6 +149,36 @@ object Dedup {
       .select("doc_a", "doc_b", "jac")
   }
 
+  /** Embedding-cosine near-dup pairs: LSH-bucket the vectors (codegen'd
+    * random-hyperplane signature, [[Similarity.lshBucket]]), self-join
+    * within buckets, verify candidates with exact cosine ≥ threshold.
+    *
+    * The all-pairs matrix is never materialized — the self-join is an
+    * equi-join on the bucket id, so at 100 TB the shuffle is
+    * hash-partitioned on a uniform key and each task compares only its
+    * bucket. Recall follows the hyperplane-agreement probability
+    * (1 − θ/π)^nBits; raise nBits for precision, add signature bands
+    * (run with several bit offsets) for recall.
+    */
+  def embeddingDupPairs(
+      emb: DataFrame, // (id, vec: array<float>)
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nBits: Int = 4,
+  ): DataFrame = {
+    val withBucket = emb.select(
+      col(idCol), col(vecCol),
+      Similarity.lshBucket(col(vecCol), nBits).as("bucket"))
+    val a = withBucket.toDF("id_a", "va", "bucket")
+    val b = withBucket.toDF("id_b", "vb", "bucket")
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", Similarity.cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
   /** SimHash fingerprint per document (custom Catalyst expression,
     * codegen'd); near-dups have small Hamming distance.
     */

@@ -90,6 +90,13 @@ object ExtQueries {
       .select("qid", "cid", "score", "rank")
       .orderBy("qid", "rank")
 
+  def qDedupEmbed(s: SparkSession, dir: String): DataFrame =
+    Dedup
+      .embeddingDupPairs(emb(s, dir).select("vec_id", "embedding"),
+        "vec_id", "embedding", threshold = 0.35, nBits = 4)
+      .withColumn("cos", r6(col("cos")))
+      .orderBy("id_a", "id_b")
+
   def qSimIvf(s: SparkSession, dir: String): DataFrame =
     Similarity
       .ivfTopK(queriesDf(s, dir), candsDf(s, dir), k = 10, stride = 64,
@@ -152,6 +159,7 @@ object ExtQueries {
     "q_dedup_near" -> (qDedupNear _),
     "q_dedup_ngram" -> (qDedupNgram _),
     "q_dedup_simhash" -> (qDedupSimhash _),
+    "q_dedup_embed" -> (qDedupEmbed _),
     "q_sim_topk" -> (qSimTopk _),
     "q_sim_lsh" -> (qSimLsh _),
     "q_sim_ivf" -> (qSimIvf _),
@@ -259,6 +267,13 @@ object ExtQueries {
         "r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rnk FROM s) " +
         "SELECT qid, cid, score, rnk::INT AS rank FROM r WHERE rnk <= 10 " +
         "ORDER BY qid, rank"),
+    "q_dedup_embed" ->
+      (s"WITH e AS (SELECT vec_id, embedding AS v, ${bucketSql("embedding", 4)} AS bucket " +
+        "FROM embeddings), " +
+        s"p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${cosSql("a.v", "b.v")} AS c " +
+        "FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) " +
+        s"SELECT id_a, id_b, ${O.r6("c")} AS cos FROM p WHERE c >= 0.35 " +
+        "ORDER BY id_a, id_b"),
     "q_sim_ivf" ->
       ("WITH cen AS (SELECT vec_id AS centroid_id, embedding AS cv " +
         "FROM embeddings WHERE vec_id % 64 = 0), " +

@@ -85,6 +85,22 @@ class OpsSpec extends SparkTestBase {
     info(s"bucketed recall: $hits/${exact.count()}")
   }
 
+  test("embedding near-dup pairs: canonical order, verified, bucket-local") {
+    val pairs = Dedup.embeddingDupPairs(
+      emb.select("vec_id", "embedding"), "vec_id", "embedding",
+      threshold = 0.3, nBits = 2).cache()
+    assert(pairs.filter(col("id_a") >= col("id_b")).count() == 0)
+    assert(pairs.filter(col("cos") < 0.3 || col("cos") > 1.0).count() == 0)
+    // every pair's vectors share their LSH bucket by construction
+    val bk = emb.select(col("vec_id"),
+      Similarity.lshBucket(col("embedding"), 2).as("b"))
+    val crossBucket = pairs
+      .join(bk.toDF("id_a", "ba"), "id_a")
+      .join(bk.toDF("id_b", "bb"), "id_b")
+      .filter(col("ba") =!= col("bb"))
+    assert(crossBucket.count() == 0)
+  }
+
   test("IVF top-k: candidates partition into cells, probe recall reported") {
     val q = emb.filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val c = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"))
