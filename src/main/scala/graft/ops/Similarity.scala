@@ -101,6 +101,37 @@ object Similarity {
   def lshBuckets(df: DataFrame, vecCol: String, nBits: Int = 8): DataFrame =
     df.withColumn("bucket", lshBucket(col(vecCol), nBits))
 
+  /** [[cosineTopK]] with the bounded-heap typed aggregator instead of a
+    * window: each map task pre-reduces its candidate slice to ≤ k
+    * entries per query, so the shuffle carries bounded heaps rather than
+    * every scored pair — the scale path when candidates-per-query is
+    * large. Output is identical to [[cosineTopK]] (same tie-breaks);
+    * the spec asserts row-for-row agreement.
+    */
+  def cosineTopKAgg(
+      queries: DataFrame, // (qid, qe: array<float>)
+      candidates: DataFrame, // (cid, ce: array<float>)
+      k: Int,
+      scoreRounding: Column => Column = identity,
+  ): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val scored = candidates
+      .crossJoin(broadcast(queries))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid").cast("long"), col("cid").cast("long"),
+        scoreRounding(cosine(col("qe"), col("ce"))).as("score"))
+      .as[(Long, Long, Double)]
+    scored
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(new graft.functions.TopKAggregator(k).toColumn)
+      .flatMap { case (qid, top) =>
+        top.iterator.zipWithIndex.map { case ((cid, s), i) => (qid, cid, s, i + 1) }
+      }
+      .toDF("qid", "cid", "score", "rank")
+  }
+
   /** IVF coarse quantizer: a deterministic stride-subset of the corpus
     * serves as centroids (`id % stride == 0`) — no k-means RNG state to
     * persist, reproducible across engines, and at 100 TB the centroid set

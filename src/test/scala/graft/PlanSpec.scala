@@ -63,6 +63,16 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), "cross join fell back to a full shuffle")
   }
 
+  test("typed top-k aggregator pre-reduces map-side (partial+final)") {
+    val emb = Tables.table(spark, Sf0001, "embeddings")
+    val q = emb.filter(col("vec_id") < 3).select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val p = plan(Similarity.cosineTopKAgg(q, c, 5))
+    val nAgg = p.linesIterator.count(l =>
+      l.contains("ObjectHashAggregate (") || l.contains("SortAggregate ("))
+    assert(nAgg >= 2, s"expected partial+final typed aggregation in:\n$p")
+  }
+
   test("LSH candidate self-join is an equi-join on the band hash") {
     val docs = Tables.table(spark, Sf0001, "documents")
     val p = plan(Dedup.lshCandidatePairs(docs, "doc_id", "text"))

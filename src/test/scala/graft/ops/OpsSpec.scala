@@ -85,6 +85,20 @@ class OpsSpec extends SparkTestBase {
     info(s"bucketed recall: $hits/${exact.count()}")
   }
 
+  test("bounded-heap top-k aggregator agrees with the window form row-for-row") {
+    val q = emb.filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val viaWindow = Similarity.cosineTopK(q, c, 7)
+      .select("qid", "cid", "score", "rank").orderBy("qid", "rank").collect()
+    val viaAgg = Similarity.cosineTopKAgg(q, c, 7)
+      .orderBy("qid", "rank").collect()
+    assert(viaWindow.length == viaAgg.length && viaWindow.length == 35)
+    viaWindow.zip(viaAgg).foreach { case (w, a) =>
+      assert(w.getLong(0) == a.getLong(0) && w.getLong(1) == a.getLong(1) &&
+        w.getDouble(2) == a.getDouble(2) && w.getInt(3) == a.getInt(3))
+    }
+  }
+
   test("embedding near-dup pairs: canonical order, verified, bucket-local") {
     val pairs = Dedup.embeddingDupPairs(
       emb.select("vec_id", "embedding"), "vec_id", "embedding",
