@@ -40,6 +40,13 @@ object Bench {
       df.head(5) // the reference's show(5) without stdout noise
       df
     }
+    timed("read_typed") {
+      // production read path: explicit schema, one pass — same actions as
+      // "read" (head 5), so the delta IS the schema-inference tax
+      val df = Tables.csvTyped(spark, s"$tmp/events_csv", raw.schema)
+      df.head(5)
+      df
+    }
     val clean = timed("clean")(EventsPipeline.clean(raw)) // lazy: plan only
     timed("write") {
       clean.cache()

@@ -56,6 +56,22 @@ object Tables {
       .option("timestampFormat", CsvTimestampReadFormat)
       .csv(path)
 
+  /** S1 production overload: explicit-schema CSV read — one pass instead
+    * of inference's two (the reference's dominant read cost, SURVEY.md
+    * §6/§7.3). Same parsing options as [[csvInfer]], so the two read
+    * paths yield identical rows whenever the supplied schema equals the
+    * inferred one (asserted in SourcesSpec).
+    */
+  def csvTyped(
+      spark: SparkSession,
+      path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("timestampFormat", CsvTimestampReadFormat)
+      .schema(schema)
+      .csv(path)
+
   /** CSV export used by tests/bench to exercise S1 end-to-end: writes
     * `df` as headered CSV (lossless doubles, microsecond timestamps) and
     * returns the written path.
