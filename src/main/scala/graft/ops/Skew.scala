@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for aggregations (SCALE.md §3): when one grouping key
+  * dominates (a hot date, a viral document), the single reducer owning
+  * it becomes the stage's critical path. The two-phase salted form
+  * splits each key across `nSalts` reducers on a deterministic row
+  * hash, partially aggregates, then recombines — both phases shuffle
+  * uniformly.
+  *
+  * Only algebraic aggregates decompose this way (count/sum/min/max and
+  * avg as sum÷count); holistic ones (exact median, count-distinct) need
+  * sketches instead. That constraint is the API: callers name the
+  * columns, the combinator builds both phases.
+  *
+  * Note Spark's built-in partial aggregation already handles *uniform*
+  * load map-side; salting targets the reducer-side hot-key case that
+  * partial aggregation can't fix when a single key's partials all meet
+  * at one reducer — relevant once per-key partial state is large
+  * (collect_list-like) or AQE skew handling doesn't apply (it only
+  * splits join sides, not aggregations).
+  */
+object Skew {
+
+  /** count + per-column sum/avg by `keys`, salted. Results equal the
+    * direct `groupBy(keys)` bit-for-bit on counts and integral sums;
+    * double sums agree up to re-association (same caveat as any
+    * parallel sum).
+    */
+  def saltedAgg(
+      df: DataFrame,
+      keys: Seq[String],
+      sumCols: Seq[String],
+      avgCols: Seq[String],
+      nSalts: Int = 16,
+  ): DataFrame = {
+    require(nSalts > 0)
+    val acc = (sumCols ++ avgCols).distinct
+    // deterministic uniform salt: hash of the full row, not rand() —
+    // reruns and speculative tasks agree
+    val salted = df.withColumn(
+      "_salt", pmod(hash(df.columns.map(col): _*), lit(nSalts)))
+    val phase1 = salted
+      .groupBy((keys :+ "_salt").map(col): _*)
+      .agg(
+        count(lit(1)).as("_cnt"),
+        acc.map(c => sum(col(c)).as(s"_sum_$c")): _*)
+    val finalAggs =
+      Seq(sum(col("_cnt")).as("n")) ++
+        sumCols.map(c => sum(col(s"_sum_$c")).as(s"sum_$c")) ++
+        avgCols.map(c => (sum(col(s"_sum_$c")) / sum(col("_cnt"))).as(s"avg_$c"))
+    phase1
+      .groupBy(keys.map(col): _*)
+      .agg(finalAggs.head, finalAggs.tail: _*)
+  }
+}

@@ -143,6 +143,24 @@ object ExtQueries {
       .select("doc_id", "fp_full", "fp_min", "fp_head")
       .orderBy("doc_id")
 
+  // ---- skew -----------------------------------------------------------
+
+  /** Salted two-phase aggregation vs the DuckDB direct group-by: the
+    * oracle computes the unsalted form, so a pass proves the salt phases
+    * recombine exactly. Sums ride DECIMAL (Det discipline) so the extra
+    * re-association is bit-invisible.
+    */
+  def qAggSalted(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.table(s, dir, "lineitem")
+      .withColumn("price_dec", col("l_extendedprice").cast("decimal(25,6)"))
+    graft.ops.Skew
+      .saltedAgg(li, Seq("l_returnflag", "l_linestatus"),
+        Seq("price_dec"), Nil, nSalts = 16)
+      .select(col("l_returnflag"), col("l_linestatus"), col("n"),
+        r6(col("sum_price_dec").cast("double") / col("n")).as("avg_price"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
   // ---- multimodal -----------------------------------------------------
 
   def qMultimodal(s: SparkSession, dir: String): DataFrame = {
@@ -168,6 +186,7 @@ object ExtQueries {
     "q_quality" -> (qQuality _),
     "q_fingerprint" -> (qFingerprint _),
     "q_multimodal" -> (qMultimodal _),
+    "q_agg_salted" -> (qAggSalted _),
   )
 
   // ---- oracle SQL -----------------------------------------------------
@@ -223,6 +242,10 @@ object ExtQueries {
     }.mkString("(", " + ", ")")
 
   val oracleSql: Map[String, String] = Map(
+    "q_agg_salted" ->
+      ("SELECT l_returnflag, l_linestatus, count(*) AS n, " +
+        O.r6("CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / count(*)") +
+        " AS avg_price FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"),
     "q_dedup_exact" ->
       ("SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) " +
         "AS content_key, min(doc_id) AS keep_id, count(*) AS copies " +

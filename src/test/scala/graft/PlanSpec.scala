@@ -81,6 +81,32 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("band_hash"))
   }
 
+  test("bucketed tables co-locate the fact join: no shuffle before the join") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Tables.table(spark, Sf0001, "lineitem")
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable("li_bucketed")
+      Tables.table(spark, Sf0001, "orders")
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable("ord_bucketed")
+      val j = spark.table("li_bucketed")
+        .join(spark.table("ord_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+      j.collect()
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), s"expected sort-merge join in:\n$p")
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle either side:\n$p")
+      assert(p.contains("SelectedBucketsCount"), s"scan not bucket-aware:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    }
+  }
+
   test("partitioned parquet layout prunes by partition key on read") {
     val dir = tmpDir("plan_part")
     Tables.events(spark, Sf0001)

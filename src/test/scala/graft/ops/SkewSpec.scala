@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.sources.Tables
+
+/** The salted two-phase aggregation must be a pure re-association of the
+  * direct group-by: identical counts, identical integral sums, and
+  * double aggregates equal up to parallel-sum re-association.
+  */
+class SkewSpec extends SparkTestBase {
+
+  test("saltedAgg equals direct groupBy on a skewed key distribution") {
+    val ev = Tables.events(spark, Sf0001)
+      .withColumn("day", to_date(col("ts"))) // few distinct values = skewed keys
+    val direct = ev.groupBy("day")
+      .agg(count(lit(1)).as("n"), sum("user_id").as("sum_user_id"),
+        avg("value").as("avg_value"))
+    val saltedDf = Skew.saltedAgg(ev, Seq("day"), Seq("user_id"), Seq("value"), nSalts = 8)
+
+    val d = direct.orderBy("day").collect()
+    val s = saltedDf.orderBy("day").collect()
+    assert(d.length == s.length && d.nonEmpty)
+    d.zip(s).foreach { case (a, b) =>
+      assert(a.getDate(0) == b.getDate(0))
+      assert(a.getLong(1) == b.getLong(1), "count must be exact")
+      assert(a.getLong(2) == b.getLong(2), "integral sum must be exact")
+      assert(math.abs(a.getDouble(3) - b.getDouble(3)) <= 1e-9 * math.abs(a.getDouble(3)),
+        "double avg equal up to re-association")
+    }
+  }
+
+  test("salting is deterministic across reruns") {
+    val ev = Tables.events(spark, Sf0001)
+    val a = Skew.saltedAgg(ev, Seq("event_type"), Nil, Seq("value"), 8).collect()
+    val b = Skew.saltedAgg(ev, Seq("event_type"), Nil, Seq("value"), 8).collect()
+    assert(a.map(_.toString).sorted.sameElements(b.map(_.toString).sorted))
+  }
+}
