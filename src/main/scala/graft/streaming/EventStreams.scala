@@ -78,6 +78,35 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup — the continuous form of the batch content-
+    * hash dedup (graft.ops.Dedup): keep the first event per key, where
+    * state for a key is dropped once the watermark passes it, so state
+    * size tracks the late-data window, not the stream's history. The
+    * 100 TB/endless-stream property: bounded state regardless of volume.
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String], watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Event-time sessionization with the built-in session_window (gap
+    * closes a session) — declarative, watermark-evicted, no custom state
+    * function needed (Spark-first: flatMapGroupsWithState is reserved
+    * for semantics the built-in can't express).
+    */
+  def userSessions(events: DataFrame, gap: String): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum("value").as("sum_value"),
+      )
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
   /** Drive a streaming aggregate into an in-memory table and block until
     * all available input is processed (test/bootstrap harness).
     */

@@ -75,6 +75,53 @@ class EventStreamsSpec extends SparkTestBase {
     assert(last(3L) == UserStats(3, 1, 100.0))
   }
 
+  test("streaming dedup keeps one event per key across micro-batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.dedupStream(input.toDF(), Seq("user_id", "event_type"), "1 hour")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("dedup").start()
+    try {
+      input.addData(batch1: _*) // user 1 has two clicks (t 0:10 and 1:05)
+      q.processAllAvailable()
+      input.addData(batch2: _*) // user 2 click duplicates batch1's view? no: new type
+      input.addData(Event(ts(1, 45), 1, "click", 99.0)) // dup within watermark
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("dedup")
+      .groupBy("user_id", "event_type").count()
+      .filter(col("count") > 1)
+    assert(out.count() == 0, "duplicate (user, type) escaped the dedup")
+    // first-wins: user 1's click kept the original value, not 99.0
+    val kept = spark.table("dedup")
+      .filter(col("user_id") === 1 && col("event_type") === "click")
+      .select("value").collect().map(_.getDouble(0))
+    assert(kept.sameElements(Array(10.0)))
+  }
+
+  test("session windows close after the gap and match batch semantics") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val events = Seq(
+      Event(ts(0, 0), 7, "click", 1.0),
+      Event(ts(0, 10), 7, "click", 2.0), // same session (10 < 30 min gap)
+      Event(ts(2, 0), 7, "click", 4.0), // new session
+      Event(ts(0, 5), 8, "view", 8.0),
+    )
+    val input = MemoryStream[Event]
+    input.addData(events: _*)
+    EventStreams.runToMemory(
+      EventStreams.userSessions(input.toDF(), "30 minutes"),
+      "sessions", OutputMode.Complete())
+    val got = spark.table("sessions")
+      .orderBy("user_id", "session_start")
+      .collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getDouble(4)))
+    // user 7: sessions {2 events, 3.0} then {1 event, 4.0}; user 8: {1, 8.0}
+    assert(got.sameElements(Array((7L, 2L, 3.0), (7L, 1L, 4.0), (8L, 1L, 8.0))))
+  }
+
   test("file-source streaming over events parquet produces rows") {
     import graft.sources.Tables
     // stage a static batch as the stream's input directory
