@@ -97,6 +97,15 @@ object ExtQueries {
       .withColumn("cos", r6(col("cos")))
       .orderBy("id_a", "id_b")
 
+  /** Same result contract as [[qSimTopk]] via the bounded-heap typed
+    * aggregator — sharing q_sim_topk's oracle SQL makes the cross-engine
+    * gate prove the two execution strategies agree.
+    */
+  def qSimTopkAgg(s: SparkSession, dir: String): DataFrame =
+    Similarity
+      .cosineTopKAgg(queriesDf(s, dir), candsDf(s, dir), k = 10, scoreRounding = r6)
+      .orderBy("qid", "rank")
+
   def qSimIvf(s: SparkSession, dir: String): DataFrame =
     Similarity
       .ivfTopK(queriesDf(s, dir), candsDf(s, dir), k = 10, stride = 64,
@@ -181,6 +190,7 @@ object ExtQueries {
     "q_sim_topk" -> (qSimTopk _),
     "q_sim_lsh" -> (qSimLsh _),
     "q_sim_ivf" -> (qSimIvf _),
+    "q_sim_topk_agg" -> (qSimTopkAgg _),
     "q_text_stats" -> (qTextStats _),
     "q_lang_id" -> (qLangId _),
     "q_quality" -> (qQuality _),
@@ -313,6 +323,14 @@ object ExtQueries {
         s"s AS (SELECT qid, cid, ${O.r6(cosSql("qe", "ce"))} AS score " +
         "FROM qa JOIN ca USING (centroid_id) JOIN q USING (qid) JOIN cand USING (cid) " +
         "WHERE qid != cid), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rnk FROM s) " +
+        "SELECT qid, cid, score, rnk::INT AS rank FROM r WHERE rnk <= 10 " +
+        "ORDER BY qid, rank"),
+    "q_sim_topk_agg" ->
+      ("WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5), " +
+        "c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings), " +
+        s"s AS (SELECT qid, cid, ${O.r6(cosSql("qe", "ce"))} AS score " +
+        "FROM q JOIN c ON qid != cid), " +
         "r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rnk FROM s) " +
         "SELECT qid, cid, score, rnk::INT AS rank FROM r WHERE rnk <= 10 " +
         "ORDER BY qid, rank"),
