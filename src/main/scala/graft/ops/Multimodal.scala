@@ -76,6 +76,29 @@ object Multimodal {
     }
   }
 
+  /** Resize stub: nearest-neighbour downsample of the payload to a fixed
+    * `side × side` byte grid — the plumbing shape of image resizing
+    * (fixed-size output schema regardless of input size, so downstream
+    * batches are uniform). A real impl swaps the byte sampling for a
+    * codec's scaler; the output contract is unchanged.
+    */
+  def resizeStub(media: Dataset[MediaRecord], side: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val n = side * side
+    media
+      .mapPartitions { it =>
+        it.map { r =>
+          val len = r.payload.length
+          val grid =
+            if (len == 0) Array.fill(n)(0)
+            else Array.tabulate(n)(i => r.payload((i.toLong * len / n).toInt) & 0xff)
+          (r.doc_id, side, grid)
+        }
+      }
+      .toDF("doc_id", "side", "pixels")
+  }
+
   /** Frame-sampling stub: pick `n` evenly spaced bytes ("frames") from
     * the payload — the plumbing shape of video frame extraction.
     */

@@ -169,5 +169,10 @@ class OpsSpec extends SparkTestBase {
     assert(feats.filter(col("fake_width") < 1 || col("fake_width") > 64).count() == 0)
     val frames = Multimodal.sampleFrames(blobs, 4)
     assert(frames.count() == docs.count() * 4)
+    val resized = Multimodal.resizeStub(blobs, 8)
+    assert(resized.count() == docs.count())
+    // fixed-size output contract: every grid is exactly side², values byte-range
+    assert(resized.filter(size(col("pixels")) =!= 64).count() == 0)
+    assert(resized.filter(exists(col("pixels"), p => p < 0 || p > 255)).count() == 0)
   }
 }
