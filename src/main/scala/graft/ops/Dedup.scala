@@ -96,9 +96,16 @@ object Dedup {
   }
 
   /** Near-dup candidate pairs via MinHash-LSH: shingle → signature →
-    * bands → self-join per (band_idx, band_hash) bucket → distinct
-    * (a < b) pairs. The self-join shuffles on the band hash (uniform by
-    * construction), never materializing the full pair matrix.
+    * bands → per-(band_idx, band_hash) bucket pair expansion → distinct
+    * (a < b) pairs.
+    *
+    * Buckets are grouped (`collect_list` of ids per band hash) rather
+    * than self-joined: a self-join evaluates the whole
+    * shingle→signature→band lineage once per branch and shuffles it
+    * twice, while the group-by computes signatures once and shuffles
+    * only (band, id) rows. Pair expansion happens inside each bucket —
+    * bucket sizes track the corpus duplication rate (uniform md5 keys),
+    * so the expansion never approaches the all-pairs matrix.
     */
   def lshCandidatePairs(
       df: DataFrame,
@@ -108,11 +115,18 @@ object Dedup {
       bands: Int = 4,
   ): DataFrame = {
     val banded = bandTable(minhashSignatures(df, idCol, textCol, k), idCol, k, bands)
-    val a = banded.toDF(s"a_$idCol", "band_idx", "band_hash")
-    val b = banded.toDF(s"b_$idCol", "band_idx", "band_hash")
-    a.join(b, Seq("band_idx", "band_hash"))
-      .filter(col(s"a_$idCol") < col(s"b_$idCol"))
-      .select(col(s"a_$idCol").as("doc_a"), col(s"b_$idCol").as("doc_b"))
+    val buckets = banded
+      .groupBy("band_idx", "band_hash")
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    // all (i < j) pairs within the sorted bucket: ids is ascending, so
+    // pairing each element with its tail yields canonical doc_a < doc_b
+    buckets
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> " +
+          "transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x AS doc_a, y AS doc_b))))"
+      )).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
   }
 

@@ -73,11 +73,16 @@ class PlanSpec extends SparkTestBase {
     assert(nAgg >= 2, s"expected partial+final typed aggregation in:\n$p")
   }
 
-  test("LSH candidate self-join is an equi-join on the band hash") {
+  test("LSH candidate generation: one signature pass, no join, no all-pairs") {
     val docs = Tables.table(spark, Sf0001, "documents")
     val p = plan(Dedup.lshCandidatePairs(docs, "doc_id", "text"))
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+    assert(!p.contains("Join"), s"bucket grouping must not self-join:\n$p")
+    assert(!p.contains("CartesianProduct"),
       s"pair generation must never be all-pairs:\n$p")
+    // exactly one scan of the documents table: the signature pipeline is
+    // not duplicated across join branches
+    val nScans = p.linesIterator.count(_.trim.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(nScans == 1, s"expected a single documents scan in:\n$p")
     assert(p.contains("band_hash"))
   }
 
