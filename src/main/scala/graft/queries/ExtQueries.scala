@@ -152,6 +152,17 @@ object ExtQueries {
       .select("doc_id", "fp_full", "fp_min", "fp_head")
       .orderBy("doc_id")
 
+  /** Winnowed Karp–Rabin fingerprint (codegen'd rolling hash). No DuckDB
+    * spelling exists for the one-pass recurrence, so this is a rows-only
+    * gate entry; cross-checked against a naive reimplementation in
+    * OpsSpec instead.
+    */
+  def qFingerprintRoll(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      graft.functions.RollingHash.winnowedMin(col("text"), 16).as("fp_roll"),
+    ).orderBy("doc_id")
+
   // ---- skew -----------------------------------------------------------
 
   /** Salted two-phase aggregation vs the DuckDB direct group-by: the
@@ -195,6 +206,7 @@ object ExtQueries {
     "q_lang_id" -> (qLangId _),
     "q_quality" -> (qQuality _),
     "q_fingerprint" -> (qFingerprint _),
+    "q_fingerprint_roll" -> (qFingerprintRoll _),
     "q_multimodal" -> (qMultimodal _),
     "q_agg_salted" -> (qAggSalted _),
   )

@@ -141,6 +141,30 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("rolling-hash fingerprint matches a naive per-window recompute") {
+    import graft.functions.RollingHash
+    val w = 16
+    def naive(text: String): Long = {
+      val b = text.getBytes("UTF-8")
+      def hashOf(from: Int, until: Int): Long =
+        b.slice(from, until).foldLeft(0L)((h, c) => h * RollingHash.Base + (c & 0xff))
+      if (b.isEmpty) 0L
+      else if (b.length <= w) hashOf(0, b.length)
+      else (0 to b.length - w).map(i => hashOf(i, i + w))
+        .min(Ordering.fromLessThan[Long](java.lang.Long.compareUnsigned(_, _) < 0))
+    }
+    val got = docs.select(col("doc_id"), col("text"),
+      RollingHash.winnowedMin(col("text"), w).as("fp")).collect()
+    got.foreach { r =>
+      assert(r.getLong(2) == naive(r.getString(1)), s"doc ${r.getLong(0)}")
+    }
+    // identical content → identical fingerprint; differing content rarely collides
+    val dupFps = docs.groupBy("text")
+      .agg(countDistinct(RollingHash.winnowedMin(col("text"), w)).as("n"))
+      .filter(col("n") =!= 1)
+    assert(dupFps.count() == 0)
+  }
+
   test("text stats: ratios in [0,1], counts consistent") {
     val t = TextAnalysis
     val s = docs.select(
