@@ -152,6 +152,24 @@ object ExtQueries {
       .select("doc_id", "fp_full", "fp_min", "fp_head")
       .orderBy("doc_id")
 
+  /** Corpus token-frequency profile: explode tokens → count per token →
+    * top 20 by frequency (token tie-break) + distinct-vocabulary size.
+    * The shuffle carries (token, partial count) pairs — partial
+    * aggregation collapses repeats map-side, so the exchange is bounded
+    * by vocabulary, not corpus size.
+    */
+  def qTopTokens(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+    val vocab = toks.select(countDistinct("token").as("vocab_size"))
+    toks
+      .groupBy("token")
+      .agg(count(lit(1)).as("freq"))
+      .crossJoin(vocab)
+      .orderBy(col("freq").desc, col("token"))
+      .limit(20)
+  }
+
   /** Winnowed Karp–Rabin fingerprint (codegen'd rolling hash). No DuckDB
     * spelling exists for the one-pass recurrence, so this is a rows-only
     * gate entry; cross-checked against a naive reimplementation in
@@ -207,6 +225,7 @@ object ExtQueries {
     "q_quality" -> (qQuality _),
     "q_fingerprint" -> (qFingerprint _),
     "q_fingerprint_roll" -> (qFingerprintRoll _),
+    "q_top_tokens" -> (qTopTokens _),
     "q_multimodal" -> (qMultimodal _),
     "q_agg_salted" -> (qAggSalted _),
   )
@@ -378,6 +397,11 @@ object ExtQueries {
         "list_min(list_transform(sh, s -> md5(s))) AS fp_min, " +
         "substr(md5(text), 1, 8) AS fp_head " +
         "FROM w LEFT JOIN s ON w.doc_id = s.doc_id ORDER BY w.doc_id"),
+    "q_top_tokens" ->
+      ("WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents), " +
+        "v AS (SELECT count(DISTINCT token) AS vocab_size FROM t) " +
+        "SELECT token, count(*) AS freq, vocab_size FROM t CROSS JOIN v " +
+        "GROUP BY token, vocab_size ORDER BY freq DESC, token LIMIT 20"),
     "q_multimodal" ->
       ("SELECT doc_id, 'image' AS kind, length(text)::INT AS n_bytes, " +
         "ascii(substr(text, 1, 1))::INT AS head_byte, " +

@@ -107,6 +107,77 @@ object EventStreams {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("sum_value"))
 
+  final case class SessionSummary(
+      user_id: Long,
+      session_start: Timestamp,
+      session_end: Timestamp,
+      n_events: Long,
+      sum_value: Double)
+
+  /** Internal session state (public: Spark's generated encoder code must
+    * reach the accessors — a `private` case class fails janino
+    * compilation inside the state serializer).
+    */
+  final case class OpenSession(
+      user_id: Long, startMs: Long, lastMs: Long, nEvents: Long, sumValue: Double)
+
+  /** Custom-state sessionization via flatMapGroupsWithState: sessions
+    * close `gapMs` after their last event and are EMITTED ON CLOSE via
+    * event-time timeout — the output shape `session_window` can't give
+    * (it emits aggregates, not close events, and only on watermark
+    * commit of the window). Demonstrates the full custom-state contract:
+    * event-time timers, state eviction, and append-mode emission.
+    *
+    * State per user is one fixed-size record; the watermark bounds how
+    * long a silent user's record lives. At 100 TB-of-stream the state
+    * store scales with ACTIVE users, not history.
+    */
+  def sessionize(
+      events: Dataset[Event],
+      gapMs: Long): Dataset[SessionSummary] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, SessionSummary](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[OpenSession]) =>
+          val sorted = batch.toSeq.sortBy(_.ts.getTime)
+          var open = state.getOption
+          val closed = Seq.newBuilder[SessionSummary]
+          def close(s: OpenSession): Unit = closed += SessionSummary(
+            s.user_id, new Timestamp(s.startMs), new Timestamp(s.lastMs + gapMs),
+            s.nEvents, s.sumValue)
+          if (sorted.isEmpty) {
+            // timer fired: the watermark passed last + gap with no new data
+            open.foreach(close(_))
+            open = None
+          } else {
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              open match {
+                case Some(s) if t - s.lastMs <= gapMs =>
+                  open = Some(s.copy(lastMs = math.max(s.lastMs, t),
+                    nEvents = s.nEvents + 1, sumValue = s.sumValue + e.value))
+                case Some(s) =>
+                  close(s)
+                  open = Some(OpenSession(userId, t, t, 1L, e.value))
+                case None =>
+                  open = Some(OpenSession(userId, t, t, 1L, e.value))
+              }
+            }
+          }
+          open match {
+            case Some(s) =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + gapMs)
+            case None => state.remove()
+          }
+          closed.result().iterator
+      }
+  }
+
   /** Drive a streaming aggregate into an in-memory table and block until
     * all available input is processed (test/bootstrap harness).
     */

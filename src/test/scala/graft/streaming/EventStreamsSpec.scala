@@ -122,6 +122,33 @@ class EventStreamsSpec extends SparkTestBase {
     assert(got.sameElements(Array((7L, 2L, 3.0), (7L, 1L, 4.0), (8L, 1L, 8.0))))
   }
 
+  test("flatMapGroupsWithState sessions emit on close as the watermark advances") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.sessionize(input.toDS(), gapMs = 30 * 60 * 1000L)
+      .toDF()
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("closed_sessions").start()
+    try {
+      input.addData(
+        Event(ts(0, 0), 7, "click", 1.0),
+        Event(ts(0, 10), 7, "click", 2.0)) // one open session for user 7
+      q.processAllAvailable()
+      assert(spark.table("closed_sessions").count() == 0, "session still open")
+      // an event far in the future pushes the watermark (2h behind max ts)
+      // beyond user 7's session close timer → the timer fires, session emits
+      input.addData(Event(ts(9, 0), 8, "view", 5.0))
+      q.processAllAvailable()
+      input.addData(Event(ts(9, 30), 8, "view", 5.0)) // extra batch: timers fire on the NEXT trigger
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("closed_sessions")
+      .filter(col("user_id") === 7)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getDouble(4)))
+    assert(got.sameElements(Array((7L, 2L, 3.0))), s"got ${got.mkString(",")}")
+  }
+
   test("file-source streaming over events parquet produces rows") {
     import graft.sources.Tables
     // stage a static batch as the stream's input directory
