@@ -163,6 +163,48 @@ object Dedup {
       .select("doc_a", "doc_b", "jac")
   }
 
+  /** Connected components over a duplicate-pair list: each doc gets the
+    * minimum doc id reachable through pair edges as its `cluster_id` —
+    * the step that turns pairwise near-dups into dedupable groups (keep
+    * one representative per cluster, drop the rest).
+    *
+    * Distributed min-label propagation: labels start as own id; each
+    * round every node takes the min of its own and its neighbours'
+    * labels; fixed point when nothing changes. Each round is two
+    * hash-partitioned operations (edge join + min aggregate); the driver
+    * only sees the converged/changed counter, never data. Rounds ≈ the
+    * cluster graph's diameter — small for duplicate clusters, which are
+    * near-cliques (for adversarial long-chain graphs, switch to
+    * large-star/small-star, same DataFrame skeleton).
+    * `localCheckpoint` truncates the growing lineage each round so the
+    * plan stays O(1) regardless of iteration count.
+    */
+  def duplicateClusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val neighbourLabels = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.union(neighbourLabels)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.withColumnRenamed("label", "prev"), "id")
+        .filter(col("label") =!= col("prev"))
+        .count()
+      labels = next
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** Embedding-cosine near-dup pairs: LSH-bucket the vectors (codegen'd
     * random-hyperplane signature, [[Similarity.lshBucket]]), self-join
     * within buckets, verify candidates with exact cosine ≥ threshold.

@@ -69,6 +69,15 @@ object ExtQueries {
   def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashes(docs(s, dir), "doc_id", "text").orderBy("doc_id")
 
+  /** Near-dup clusters: verified MinHash-LSH pairs → connected
+    * components (min reachable id as cluster id).
+    */
+  def qDedupClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup
+      .duplicateClusters(
+        Dedup.nearDuplicatePairs(docs(s, dir), "doc_id", "text", threshold = 0.8))
+      .orderBy("doc_id")
+
   // ---- similarity -----------------------------------------------------
 
   private def queriesDf(s: SparkSession, dir: String): DataFrame =
@@ -216,6 +225,7 @@ object ExtQueries {
     "q_dedup_ngram" -> (qDedupNgram _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_embed" -> (qDedupEmbed _),
+    "q_dedup_clusters" -> (qDedupClusters _),
     "q_sim_topk" -> (qSimTopk _),
     "q_sim_lsh" -> (qSimLsh _),
     "q_sim_ivf" -> (qSimIvf _),
@@ -307,6 +317,18 @@ object ExtQueries {
         "JOIN tk ta ON ta.doc_id = p.doc_a JOIN tk tb ON tb.doc_id = p.doc_b " +
         "WHERE len(list_intersect(ta.td, tb.td)) / len(list_distinct(list_concat(ta.td, tb.td))) >= 0.8 " +
         "ORDER BY doc_a, doc_b"),
+    "q_dedup_clusters" ->
+      (s"WITH RECURSIVE $wCte, $shCte, $sigCte, $bandsCte, $pairsCte, " +
+        "vp AS (SELECT doc_a, doc_b FROM p, " +
+        "(SELECT doc_id, list_distinct(string_split(text, ' ')) AS td FROM documents) ta, " +
+        "(SELECT doc_id, list_distinct(string_split(text, ' ')) AS td FROM documents) tb " +
+        "WHERE ta.doc_id = p.doc_a AND tb.doc_id = p.doc_b " +
+        "AND len(list_intersect(ta.td, tb.td)) / len(list_distinct(list_concat(ta.td, tb.td))) >= 0.8), " +
+        "e AS (SELECT doc_a AS src, doc_b AS dst FROM vp " +
+        "UNION ALL SELECT doc_b, doc_a FROM vp), " +
+        "reach(id, r) AS (SELECT src, src FROM e " +
+        "UNION SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id) " +
+        "SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY doc_id"),
     "q_dedup_ngram" ->
       ("WITH tk AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS td FROM documents) " +
         "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +

@@ -33,6 +33,28 @@ class OpsSpec extends SparkTestBase {
     assert(near <= cand)
   }
 
+  test("duplicate clusters match a driver-side union-find on the same pairs") {
+    val pairs = Dedup.nearDuplicatePairs(docs, "doc_id", "text", threshold = 0.5).cache()
+    val got = Dedup.duplicateClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent oracle: classic union-find over the collected pairs
+    val edges = pairs.select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(k => k -> find(k)).toMap
+    assert(got.keySet == want.keySet)
+    // same partition: min-reachable-id labels agree with union-find roots
+    got.foreach { case (id, c) => assert(c == want(id), s"doc $id") }
+  }
+
   test("simhash: word-permuted duplicates collapse to identical hashes") {
     val multisetKey =
       md5(concat_ws(" ", array_sort(TextAnalysis.tokens(col("text")))))
