@@ -190,6 +190,21 @@ object ExtQueries {
       graft.functions.RollingHash.winnowedMin(col("text"), 16).as("fp_roll"),
     ).orderBy("doc_id")
 
+  /** Batch sessionization with the built-in session_window — the same
+    * operator the streaming module runs continuously, here oracle-checked
+    * against a lag/cumulative-sum spelling in DuckDB (gap-break when the
+    * inter-arrival is ≥ gap, matching session_window's exclusive end).
+    */
+  def qSessions(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(session_window(col("ts"), "6 hours"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start")
+
   // ---- skew -----------------------------------------------------------
 
   /** Salted two-phase aggregation vs the DuckDB direct group-by: the
@@ -236,6 +251,7 @@ object ExtQueries {
     "q_fingerprint" -> (qFingerprint _),
     "q_fingerprint_roll" -> (qFingerprintRoll _),
     "q_top_tokens" -> (qTopTokens _),
+    "q_sessions" -> (qSessions _),
     "q_multimodal" -> (qMultimodal _),
     "q_agg_salted" -> (qAggSalted _),
   )
@@ -419,6 +435,16 @@ object ExtQueries {
         "list_min(list_transform(sh, s -> md5(s))) AS fp_min, " +
         "substr(md5(text), 1, 8) AS fp_head " +
         "FROM w LEFT JOIN s ON w.doc_id = s.doc_id ORDER BY w.doc_id"),
+    "q_sessions" ->
+      ("WITH e AS (SELECT ts::TIMESTAMP AS t, user_id, value FROM events), " +
+        "m AS (SELECT t, user_id, value, " +
+        "CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w >= INTERVAL 6 HOUR " +
+        "THEN 1 ELSE 0 END AS brk FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)), " +
+        "s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY t " +
+        "ROWS UNBOUNDED PRECEDING) AS sid FROM m) " +
+        "SELECT min(t) AS session_start, max(t) + INTERVAL 6 HOUR AS session_end, " +
+        "user_id, count(*) AS n_events, " + O.dsum("value") + " AS sum_value " +
+        "FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"),
     "q_top_tokens" ->
       ("WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents), " +
         "v AS (SELECT count(DISTINCT token) AS vocab_size FROM t) " +
