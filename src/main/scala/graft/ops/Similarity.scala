@@ -36,7 +36,18 @@ object Similarity {
       transform(a, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
+  /** Cosine similarity — codegen'd native expression
+    * ([[graft.functions.CosineSim]]); [[cosineHof]] is the declarative
+    * reference it is property-tested against (bit-identical by
+    * construction: same accumulation order).
+    */
   def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSim.cosine(a, b)
+
+  /** Built-in-functions spelling of [[cosine]] — interpreted, three array
+    * walks; kept as the semantic oracle for the native expression.
+    */
+  def cosineHof(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(normSq(a)) * sqrt(normSq(b)))
 
   /** Exact top-k cosine neighbours for each query vector.

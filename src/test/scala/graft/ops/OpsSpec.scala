@@ -149,6 +149,18 @@ class OpsSpec extends SparkTestBase {
     info(s"IVF recall: $hits/${exact.count()}")
   }
 
+  test("codegen cosine matches the declarative HOF reference bit-for-bit") {
+    val pairs = emb.select(col("vec_id").as("a_id"), col("embedding").as("va"))
+      .crossJoin(emb.select(col("vec_id").as("b_id"), col("embedding").as("vb")))
+      .filter(col("a_id") < col("b_id")).limit(5000)
+    val bad = pairs.select(
+      Similarity.cosine(col("va"), col("vb")).as("fast"),
+      Similarity.cosineHof(col("va"), col("vb")).as("ref"))
+      .filter(col("fast") =!= col("ref"))
+      .count()
+    assert(bad == 0)
+  }
+
   test("codegen LSH bucket matches the declarative HOF reference bit-for-bit") {
     for (nBits <- Seq(1, 4, 8)) {
       val mismatches = emb.select(
