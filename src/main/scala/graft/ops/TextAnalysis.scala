@@ -100,6 +100,29 @@ object TextAnalysis {
       (lit(1.0) - punctRatio(text)) *
       (lit(0.5) + lit(0.5) * stopwordRatio(toks))
 
+  /** Relational TF-IDF: term frequency per (doc, token), document
+    * frequency per token, smoothed idf `ln((N+1)/(df+1)) + 1`
+    * (scikit-learn's convention).
+    *
+    * Two shuffles, both on uniform keys: the (doc, token) group-by and
+    * the token-keyed df join — each bounded by vocabulary × docs-present,
+    * never corpus bytes. At 100 TB the df table is a broadcastable side
+    * input once vocabulary is capped (top-k by df); the full-join form
+    * here is the general case.
+    */
+  def tfidf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val tf = toks.groupBy(idCol, "token").agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy("token")
+      .agg(countDistinct(col(idCol)).as("df"))
+    val nDocs = df.agg(countDistinct(col(idCol)).as("n_docs"))
+    tf.join(docFreq, "token")
+      .crossJoin(broadcast(nDocs)) // lazy scalar: no driver-side action
+      .withColumn("idf", log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0)
+      .withColumn("tfidf", col("tf") * col("idf"))
+      .drop("n_docs")
+  }
+
   /** Document fingerprints: full-content md5, winnowed min-shingle md5
     * (stable under small edits elsewhere in the doc), and an 8-char
     * prefix for cheap bucketing.

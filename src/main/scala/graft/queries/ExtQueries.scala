@@ -190,6 +190,21 @@ object ExtQueries {
       graft.functions.RollingHash.winnowedMin(col("text"), 16).as("fp_roll"),
     ).orderBy("doc_id")
 
+  /** Per-document top-3 distinguishing terms by TF-IDF (smoothed idf,
+    * rounded before ranking so cross-engine log ulps can't flip ranks).
+    */
+  def qTfidf(s: SparkSession, dir: String): DataFrame = {
+    val scored = TextAnalysis.tfidf(docs(s, dir), "doc_id", "text")
+      .withColumn("tfidf", r6(col("tfidf")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("tfidf").desc, col("token"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("token"), col("tf"), col("tfidf"), col("rnk"))
+      .orderBy("doc_id", "rnk")
+  }
+
   /** Batch sessionization with the built-in session_window — the same
     * operator the streaming module runs continuously, here oracle-checked
     * against a lag/cumulative-sum spelling in DuckDB (gap-break when the
@@ -252,6 +267,7 @@ object ExtQueries {
     "q_fingerprint_roll" -> (qFingerprintRoll _),
     "q_top_tokens" -> (qTopTokens _),
     "q_sessions" -> (qSessions _),
+    "q_tfidf" -> (qTfidf _),
     "q_multimodal" -> (qMultimodal _),
     "q_agg_salted" -> (qAggSalted _),
   )
@@ -435,6 +451,18 @@ object ExtQueries {
         "list_min(list_transform(sh, s -> md5(s))) AS fp_min, " +
         "substr(md5(text), 1, 8) AS fp_head " +
         "FROM w LEFT JOIN s ON w.doc_id = s.doc_id ORDER BY w.doc_id"),
+    "q_tfidf" ->
+      ("WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents), " +
+        "tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2), " +
+        "dfq AS (SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1), " +
+        "nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents), " +
+        "sc AS (SELECT doc_id, token, tf, " +
+        O.r6("tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0)") + " AS tfidf " +
+        "FROM tf JOIN dfq USING (token) CROSS JOIN nd), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id " +
+        "ORDER BY tfidf DESC, token) AS rnk FROM sc) " +
+        "SELECT doc_id, token, tf, tfidf, rnk::INT AS rnk FROM r WHERE rnk <= 3 " +
+        "ORDER BY doc_id, rnk"),
     "q_sessions" ->
       ("WITH e AS (SELECT ts::TIMESTAMP AS t, user_id, value FROM events), " +
         "m AS (SELECT t, user_id, value, " +

@@ -210,6 +210,20 @@ class OpsSpec extends SparkTestBase {
     assert(s.filter("b < n").count() == 0) // BPE-ish splits ≥ whitespace tokens
   }
 
+  test("tfidf: smoothed idf bounds and df monotonicity") {
+    val scored = TextAnalysis.tfidf(docs, "doc_id", "text").cache()
+    // smoothed idf ∈ [1, ln(N+1)+1]; tf ≥ 1; tfidf = tf·idf
+    val n = docs.count()
+    assert(scored.filter(col("idf") < 1.0 || col("idf") > math.log(n + 1.0) + 1.0).count() == 0)
+    assert(scored.filter(col("tf") < 1).count() == 0)
+    assert(scored.filter(abs(col("tfidf") - col("tf") * col("idf")) > 1e-12).count() == 0)
+    // a token in every doc scores the minimum idf
+    val ubiquitous = scored.groupBy("token").agg(max("df").as("df"), min("idf").as("idf"))
+      .filter(col("df") === n)
+    assert(ubiquitous.filter(abs(col("idf") - (math.log((n + 1.0) / (n + 1.0)) + 1.0)) > 1e-12).count() == 0)
+    scored.unpersist()
+  }
+
   test("language ID predicts a declared language") {
     val toks = TextAnalysis.tokens(col("text"))
     val pred = docs.select(
