@@ -178,6 +178,33 @@ object EventStreams {
       }
   }
 
+  /** Stream–static enrichment join: the batch lookup join (J1) applied
+    * per micro-batch. The static side broadcasts once; no stream state,
+    * no watermark needed — the shape for dimension enrichment at any
+    * stream rate.
+    */
+  def enriched(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    val lookup = spark
+      .createDataFrame(graft.etl.EventsPipeline.EventLookup)
+      .toDF("event_type", "event_desc")
+    events.join(broadcast(lookup), Seq("event_type"), "left")
+  }
+
+  /** foreachBatch sink: per-micro-batch handler receiving (batchDf,
+    * batchId) — the production shape for idempotent upserts/merges into
+    * stores the native sinks can't address. Exactly-once comes from the
+    * checkpoint replaying batch ids: handlers must be idempotent per
+    * batchId (e.g. overwrite a batchId-keyed partition, as the spec
+    * does).
+    */
+  def toForeachBatchSink(df: DataFrame, checkpoint: String)(
+      handler: (DataFrame, Long) => Unit) =
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(handler)
+
   /** Drive a streaming aggregate into an in-memory table and block until
     * all available input is processed (test/bootstrap harness).
     */

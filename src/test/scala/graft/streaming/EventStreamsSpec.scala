@@ -149,6 +149,39 @@ class EventStreamsSpec extends SparkTestBase {
     assert(got.sameElements(Array((7L, 2L, 3.0))), s"got ${got.mkString(",")}")
   }
 
+  test("stream-static join enriches each micro-batch from the broadcast lookup") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(batch1: _*)
+    input.addData(Event(ts(3, 0), 9, "unknown_type", 1.0)) // lookup miss → null
+    EventStreams.runToMemory(
+      EventStreams.enriched(input.toDF()), "enriched_events", OutputMode.Append())
+    val out = spark.table("enriched_events")
+    assert(out.count() == batch1.length + 1)
+    assert(out.filter(col("event_type") === "click" && col("event_desc") =!= "Click").count() == 0)
+    assert(out.filter(col("event_type") === "unknown_type" && col("event_desc").isNotNull).count() == 0)
+  }
+
+  test("foreachBatch sink writes batchId-keyed partitions (idempotent shape)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val outDir = tmpDir("fb_out")
+    val input = MemoryStream[Event]
+    val q = EventStreams.toForeachBatchSink(input.toDF(), tmpDir("fb_ckpt")) {
+      (batch, batchId) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+    }.start()
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val written = spark.read.parquet(s"$outDir/batch_id=*")
+    assert(written.count() == (batch1 ++ batch2).length)
+  }
+
   test("file-source streaming over events parquet produces rows") {
     import graft.sources.Tables
     // stage a static batch as the stream's input directory
