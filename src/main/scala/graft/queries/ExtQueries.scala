@@ -205,6 +205,28 @@ object ExtQueries {
       .orderBy("doc_id", "rnk")
   }
 
+  /** Window analytics over the event stream: per-user row numbering,
+    * running value totals, and previous-event deltas — the analytic
+    * function family (ranking/aggregate/offset windows) the reference
+    * never uses but an analytics engine must provide. Running sums
+    * accumulate left-to-right in both engines (same sequential order →
+    * same doubles), rounded defensively.
+    */
+  def qWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val wRows = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.events(s, dir)
+      .select(
+        col("event_id"), col("user_id"),
+        row_number().over(w).as("rn"),
+        r6(sum("value").over(wRows)).as("running_value"),
+        r6(col("value") - coalesce(lag("value", 1).over(w), lit(0.0))).as("delta_prev"),
+      )
+      .orderBy("user_id", "rn")
+  }
+
   /** Batch sessionization with the built-in session_window — the same
     * operator the streaming module runs continuously, here oracle-checked
     * against a lag/cumulative-sum spelling in DuckDB (gap-break when the
@@ -268,6 +290,7 @@ object ExtQueries {
     "q_top_tokens" -> (qTopTokens _),
     "q_sessions" -> (qSessions _),
     "q_tfidf" -> (qTfidf _),
+    "q_window" -> (qWindow _),
     "q_multimodal" -> (qMultimodal _),
     "q_agg_salted" -> (qAggSalted _),
   )
@@ -451,6 +474,15 @@ object ExtQueries {
         "list_min(list_transform(sh, s -> md5(s))) AS fp_min, " +
         "substr(md5(text), 1, 8) AS fp_head " +
         "FROM w LEFT JOIN s ON w.doc_id = s.doc_id ORDER BY w.doc_id"),
+    "q_window" ->
+      ("WITH e AS (SELECT event_id, user_id, ts::TIMESTAMP AS t, value FROM events) " +
+        "SELECT event_id, user_id, " +
+        "row_number() OVER w AS rn, " +
+        O.r6("sum(value) OVER (PARTITION BY user_id ORDER BY t, event_id " +
+          "ROWS UNBOUNDED PRECEDING)") + " AS running_value, " +
+        O.r6("value - coalesce(lag(value, 1) OVER w, 0.0)") + " AS delta_prev " +
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id) " +
+        "ORDER BY user_id, rn"),
     "q_tfidf" ->
       ("WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents), " +
         "tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2), " +
