@@ -205,6 +205,46 @@ object ExtQueries {
       .orderBy("doc_id", "rnk")
   }
 
+  /** Set operations (absent from the reference, SURVEY §2.8 — provided
+    * for engine completeness): urgent ∪ high-value customers, urgent ∩
+    * high-value, urgent ∖ high-value, with distinct/ALL variants
+    * distinguished by count.
+    */
+  def qSetOps(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.table(s, dir, "orders")
+    val urgent = orders.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("custkey"))
+    val highValue = orders.filter(col("o_totalprice") > 450000)
+      .select(col("o_custkey").as("custkey"))
+    val union = urgent.union(highValue).distinct()
+      .withColumn("set_op", lit("union"))
+    val intersect = urgent.intersect(highValue)
+      .withColumn("set_op", lit("intersect"))
+    val except = urgent.except(highValue)
+      .withColumn("set_op", lit("except"))
+    union.unionByName(intersect).unionByName(except)
+      .groupBy("set_op").agg(count(lit(1)).as("n"), min("custkey").as("min_key"),
+        max("custkey").as("max_key"))
+      .orderBy("set_op")
+  }
+
+  /** Rollup aggregation (grouping-sets family, absent from the
+    * reference): order counts and decimal-summed totals by
+    * (priority, status) with subtotal and grand-total rows;
+    * GROUPING() flags mark the aggregation level.
+    */
+  def qRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "orders")
+      .rollup("o_orderpriority", "o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("sum_price"),
+        grouping("o_orderpriority").as("g_prio"),
+        grouping("o_orderstatus").as("g_status"),
+      )
+      .orderBy(col("g_prio"), col("g_status"), col("o_orderpriority"),
+        col("o_orderstatus"))
+
   /** Window analytics over the event stream: per-user row numbering,
     * running value totals, and previous-event deltas — the analytic
     * function family (ranking/aggregate/offset windows) the reference
@@ -291,6 +331,8 @@ object ExtQueries {
     "q_sessions" -> (qSessions _),
     "q_tfidf" -> (qTfidf _),
     "q_window" -> (qWindow _),
+    "q_setops" -> (qSetOps _),
+    "q_rollup" -> (qRollup _),
     "q_multimodal" -> (qMultimodal _),
     "q_agg_salted" -> (qAggSalted _),
   )
@@ -474,6 +516,25 @@ object ExtQueries {
         "list_min(list_transform(sh, s -> md5(s))) AS fp_min, " +
         "substr(md5(text), 1, 8) AS fp_head " +
         "FROM w LEFT JOIN s ON w.doc_id = s.doc_id ORDER BY w.doc_id"),
+    "q_setops" ->
+      ("WITH urgent AS (SELECT o_custkey AS custkey FROM orders " +
+        "WHERE o_orderpriority = '1-URGENT'), " +
+        "hv AS (SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 450000), " +
+        "u AS (SELECT DISTINCT custkey, 'union' AS set_op FROM " +
+        "(SELECT custkey FROM urgent UNION ALL SELECT custkey FROM hv)), " +
+        "i AS (SELECT custkey, 'intersect' AS set_op FROM " +
+        "(SELECT custkey FROM urgent INTERSECT SELECT custkey FROM hv)), " +
+        "e AS (SELECT custkey, 'except' AS set_op FROM " +
+        "(SELECT custkey FROM urgent EXCEPT SELECT custkey FROM hv)), " +
+        "allrows AS (SELECT * FROM u UNION ALL SELECT * FROM i UNION ALL SELECT * FROM e) " +
+        "SELECT set_op, count(*) AS n, min(custkey) AS min_key, max(custkey) AS max_key " +
+        "FROM allrows GROUP BY 1 ORDER BY set_op"),
+    "q_rollup" ->
+      ("SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders, " +
+        O.dsum("o_totalprice") + " AS sum_price, " +
+        "GROUPING(o_orderpriority) AS g_prio, GROUPING(o_orderstatus) AS g_status " +
+        "FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus) " +
+        "ORDER BY g_prio, g_status, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST"),
     "q_window" ->
       ("WITH e AS (SELECT event_id, user_id, ts::TIMESTAMP AS t, value FROM events) " +
         "SELECT event_id, user_id, " +
