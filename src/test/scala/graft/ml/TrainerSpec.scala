@@ -58,6 +58,24 @@ class TrainerSpec extends SparkTestBase {
     assert(p == Scoring.round2(p)) // idempotent 2-dp
   }
 
+  test("scoring CLI: line protocol with heuristic fill and error path") {
+    import graft.serve.ScoringMain
+    val (model, _) = trained
+    val out = ScoringMain.scoreLines(spark, model, Iterator(
+      "2.5, 12.5, 1, 9, 1", // full 5-field record
+      "2.5, 1, 9, 1", // 4 fields → duration heuristic
+      "", // blank skipped
+      "2.5, oops, 1, 9, 1", // bad number → ERROR line
+    )).toList
+    assert(out.length == 3)
+    assert(out(0).toDouble.isFinite && out(1).toDouble.isFinite)
+    assert(out(2).startsWith("ERROR:"))
+    // 4-field line equals a 5-field line with the heuristic duration
+    val manual = ScoringMain.scoreLines(spark, model,
+      Iterator(s"2.5, ${Scoring.estimateDurationMin(2.5)}, 1, 9, 1")).toList
+    assert(out(1) == manual.head)
+  }
+
   test("round2 is banker's rounding (Python round parity)") {
     assert(Scoring.round2(2.125) == 2.12) // 2.125 dyadic-exact, HALF_EVEN down
     assert(Scoring.round2(2.375) == 2.38) // exact, HALF_EVEN up
