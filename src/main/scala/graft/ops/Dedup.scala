@@ -180,9 +180,13 @@ object Dedup {
     * plan stays O(1) regardless of iteration count.
     */
   def duplicateClusters(pairs: DataFrame): DataFrame = {
-    val edges = pairs
+    // materialize the pair pipeline once: the union below references
+    // `pairs` twice, and without this both branches would re-run the
+    // full upstream (shingle→minhash→LSH→verify) lineage in one job
+    val p = pairs.select("doc_a", "doc_b").localCheckpoint()
+    val edges = p
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))

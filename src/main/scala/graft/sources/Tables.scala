@@ -72,6 +72,27 @@ object Tables {
       .schema(schema)
       .csv(path)
 
+  /** Production data hygiene: explicit-schema CSV read that QUARANTINES
+    * malformed rows instead of dropping or failing — PERMISSIVE mode
+    * with a `_corrupt_record` column carrying the raw line. At 100 TB a
+    * fraction of bad rows is a certainty; the caller splits the frame
+    * on `_corrupt_record IS NULL` and routes rejects to a quarantine
+    * sink rather than poisoning the curated layer.
+    */
+  def csvPermissive(
+      spark: SparkSession,
+      path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val withCorrupt = schema.add("_corrupt_record", "string")
+    spark.read
+      .option("header", "true")
+      .option("timestampFormat", CsvTimestampReadFormat)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(withCorrupt)
+      .csv(path)
+  }
+
   /** CSV export used by tests/bench to exercise S1 end-to-end: writes
     * `df` as headered CSV (lossless doubles, microsecond timestamps) and
     * returns the written path.

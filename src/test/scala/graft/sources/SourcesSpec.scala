@@ -15,6 +15,26 @@ class SourcesSpec extends SparkTestBase {
     assert(typed.exceptAll(inferred).isEmpty && inferred.exceptAll(typed).isEmpty)
   }
 
+  test("permissive CSV read quarantines malformed rows, keeps good ones") {
+    val dir = tmpDir("csv_bad")
+    val f = new java.io.PrintWriter(s"$dir/data.csv")
+    f.println("a,b,c")
+    f.println("1,2.5,x")
+    f.println("oops,not_a_double,y") // malformed under the schema
+    f.println("3,4.5,z")
+    f.close()
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "a INT, b DOUBLE, c STRING")
+    val df = Tables.csvPermissive(spark, dir, schema).cache()
+    import org.apache.spark.sql.functions.col
+    val good = df.filter(col("_corrupt_record").isNull)
+    val bad = df.filter(col("_corrupt_record").isNotNull)
+    assert(good.count() == 2)
+    assert(bad.count() == 1)
+    assert(bad.head().getAs[String]("_corrupt_record").contains("oops"))
+    df.unpersist()
+  }
+
   test("events reader normalizes nanos timestamps to TimestampType") {
     val ev = Tables.events(spark, Sf0001)
     assert(ev.schema("ts").dataType.typeName == "timestamp")
