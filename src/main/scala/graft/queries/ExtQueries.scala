@@ -205,6 +205,12 @@ object ExtQueries {
       .orderBy("doc_id", "rnk")
   }
 
+  /** HLL sketch profile — rows-only entry (Spark's HLL++ registers are
+    * engine-specific; the exact/approx tolerance is spec-asserted).
+    */
+  def qVocabSketch(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabProfile(docs(s, dir), "doc_id", "text")
+
   /** Set operations (absent from the reference, SURVEY §2.8 — provided
     * for engine completeness): urgent ∪ high-value customers, urgent ∩
     * high-value, urgent ∖ high-value, with distinct/ALL variants
@@ -332,6 +338,7 @@ object ExtQueries {
     "q_tfidf" -> (qTfidf _),
     "q_window" -> (qWindow _),
     "q_setops" -> (qSetOps _),
+    "q_vocab_sketch" -> (qVocabSketch _),
     "q_rollup" -> (qRollup _),
     "q_multimodal" -> (qMultimodal _),
     "q_agg_salted" -> (qAggSalted _),

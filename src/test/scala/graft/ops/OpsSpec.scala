@@ -210,6 +210,16 @@ class OpsSpec extends SparkTestBase {
     assert(s.filter("b < n").count() == 0) // BPE-ish splits ≥ whitespace tokens
   }
 
+  test("HLL sketch cardinalities land within the declared error bound") {
+    val p = TextAnalysis.vocabProfile(docs, "doc_id", "text").head()
+    val (vExact, vApprox) = (p.getLong(0), p.getLong(1))
+    val (dExact, dApprox) = (p.getLong(2), p.getLong(3))
+    // rsd 0.02 → allow 5 sigma ≈ 10%
+    assert(math.abs(vApprox - vExact).toDouble / vExact < 0.10, s"$vApprox vs $vExact")
+    assert(math.abs(dApprox - dExact).toDouble / dExact < 0.10, s"$dApprox vs $dExact")
+    assert(p.getLong(4) > 0)
+  }
+
   test("tfidf: smoothed idf bounds and df monotonicity") {
     val scored = TextAnalysis.tfidf(docs, "doc_id", "text").cache()
     // smoothed idf ∈ [1, ln(N+1)+1]; tf ≥ 1; tfidf = tf·idf
