@@ -182,6 +182,31 @@ class EventStreamsSpec extends SparkTestBase {
     assert(written.count() == (batch1 ++ batch2).length)
   }
 
+  test("checkpointed file sink: restart resumes without duplicating output") {
+    import spark.implicits._
+    val inDir = tmpDir("ckpt_in")
+    val outDir = tmpDir("ckpt_out")
+    val ckpt = tmpDir("ckpt_meta")
+    def startQuery() = EventStreams.toParquetSink(
+      EventStreams.readEventStream(spark, inDir), outDir, ckpt).start()
+
+    batch1.toDF().write.mode("append").parquet(inDir)
+    val q1 = startQuery()
+    try q1.processAllAvailable()
+    finally q1.stop()
+
+    batch2.toDF().write.mode("append").parquet(inDir)
+    val q2 = startQuery() // fresh query object, same checkpoint
+    try q2.processAllAvailable()
+    finally q2.stop()
+
+    // exactly-once across the restart: every input row once, none twice
+    val out = spark.read.parquet(outDir)
+      .select("ts", "user_id", "event_type", "value")
+    assert(out.count() == (batch1 ++ batch2).length.toLong)
+    assert(out.distinct().count() == out.count())
+  }
+
   test("file-source streaming over events parquet produces rows") {
     import graft.sources.Tables
     // stage a static batch as the stream's input directory
