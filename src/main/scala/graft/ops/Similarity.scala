@@ -4,6 +4,42 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+/** Temporal joins Spark lacks as built-ins, per the build brief's
+  * preference order: composed from existing operators (tier a) rather
+  * than custom plan machinery, valid while the reference side stays
+  * broadcastable.
+  */
+object TemporalJoins {
+
+  /** As-of join against a SMALL reference table: for each left row,
+    * attach the latest right row whose time key is strictly before the
+    * left's. The right side collapses to one sorted array broadcast to
+    * every task — each probe is a per-row array scan, no shuffle at all.
+    * The composition holds while the right side is broadcastable
+    * (reference/rates tables typically are); a big-big as-of needs the
+    * union-merge window form instead, same output contract.
+    */
+  def asofJoinSmall(
+      left: DataFrame,
+      right: DataFrame, // (t, v) — small
+      leftTimeCol: String,
+      rightTimeCol: String,
+      rightValCol: String,
+  ): DataFrame = {
+    val packed = right.agg(
+      sort_array(collect_list(struct(
+        col(rightTimeCol).as("t"), col(rightValCol).as("v")))).as("ref"))
+    val hits = filter(col("ref"), x => x("t") < col(leftTimeCol))
+    left
+      .crossJoin(broadcast(packed))
+      .withColumn("asof",
+        when(size(hits) > 0, element_at(hits, -1))) // ANSI-safe: null when empty
+      .withColumn("asof_t", col("asof.t"))
+      .withColumn("asof_v", col("asof.v"))
+      .drop("ref", "asof")
+  }
+}
+
 /** Similarity search over embedding columns (`array<float>`) — SURVEY.md
   * §7.4 extension surface.
   *

@@ -205,6 +205,51 @@ object ExtQueries {
       .orderBy("doc_id", "rnk")
   }
 
+  /** As-of join: each event picks up the previous day's mean value
+    * ("yesterday's reference rate") — the composed broadcast as-of
+    * (TemporalJoins) checked against DuckDB's native ASOF JOIN.
+    */
+  def qAsof(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).withColumn("d", to_date(col("ts")))
+    val daily = ev.groupBy("d").agg(dsum(col("value")).as("day_sum"))
+      .select(col("d").as("rate_d"), col("day_sum"))
+    graft.ops.TemporalJoins
+      .asofJoinSmall(ev.select("event_id", "d"), daily, "d", "rate_d", "day_sum")
+      .select(col("event_id"), col("d"),
+        col("asof_t").as("prev_d"), col("asof_v").as("prev_day_sum"))
+      .orderBy("event_id")
+  }
+
+  /** Pivot/crosstab: hourly event counts spread across event-type
+    * columns — Spark's pivot vs conditional aggregation in DuckDB.
+    */
+  def qPivot(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("hr", hour(col("ts")))
+      .groupBy("hr")
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("hr")
+
+  /** Left-semi and left-anti joins: customers with orders above / without
+    * orders above a price threshold, distinguished by a tag column.
+    */
+  def qSemiAnti(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.table(s, dir, "customer").select("c_custkey")
+    val bigOrders = Tables.table(s, dir, "orders")
+      .filter(col("o_totalprice") > 450000).select(col("o_custkey").as("c_custkey"))
+    val semi = cust.join(bigOrders, Seq("c_custkey"), "left_semi")
+      .withColumn("tag", lit("has_big_order"))
+    val anti = cust.join(bigOrders, Seq("c_custkey"), "left_anti")
+      .withColumn("tag", lit("no_big_order"))
+    semi.unionByName(anti)
+      .groupBy("tag")
+      .agg(count(lit(1)).as("n"), min("c_custkey").as("min_key"),
+        max("c_custkey").as("max_key"))
+      .orderBy("tag")
+  }
+
   /** HLL sketch profile — rows-only entry (Spark's HLL++ registers are
     * engine-specific; the exact/approx tolerance is spec-asserted).
     */
@@ -339,6 +384,9 @@ object ExtQueries {
     "q_window" -> (qWindow _),
     "q_setops" -> (qSetOps _),
     "q_vocab_sketch" -> (qVocabSketch _),
+    "q_asof" -> (qAsof _),
+    "q_pivot" -> (qPivot _),
+    "q_semi_anti" -> (qSemiAnti _),
     "q_rollup" -> (qRollup _),
     "q_multimodal" -> (qMultimodal _),
     "q_agg_salted" -> (qAggSalted _),
@@ -523,6 +571,28 @@ object ExtQueries {
         "list_min(list_transform(sh, s -> md5(s))) AS fp_min, " +
         "substr(md5(text), 1, 8) AS fp_head " +
         "FROM w LEFT JOIN s ON w.doc_id = s.doc_id ORDER BY w.doc_id"),
+    "q_asof" ->
+      ("WITH e AS (SELECT event_id, ts::TIMESTAMP::DATE AS d FROM events), " +
+        "daily AS (SELECT ts::TIMESTAMP::DATE AS rate_d, " +
+        O.dsum("value") + " AS day_sum FROM events GROUP BY 1) " +
+        "SELECT e.event_id, e.d, daily.rate_d AS prev_d, daily.day_sum AS prev_day_sum " +
+        "FROM e ASOF LEFT JOIN daily ON e.d > daily.rate_d " +
+        "ORDER BY event_id"),
+    "q_pivot" ->
+      ("SELECT hour(ts::TIMESTAMP)::INT AS hr, " +
+        Seq("click", "view", "purchase", "signup", "error").map(t =>
+          s"sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS \"$t\"")
+          .mkString(", ") +
+        " FROM events GROUP BY 1 ORDER BY hr"),
+    "q_semi_anti" ->
+      ("WITH big AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 450000), " +
+        "inside AS (SELECT c_custkey, 'has_big_order' AS tag FROM customer " +
+        "WHERE c_custkey IN (SELECT o_custkey FROM big)), " +
+        "outside AS (SELECT c_custkey, 'no_big_order' AS tag FROM customer " +
+        "WHERE c_custkey NOT IN (SELECT o_custkey FROM big)), " +
+        "a AS (SELECT * FROM inside UNION ALL SELECT * FROM outside) " +
+        "SELECT tag, count(*) AS n, min(c_custkey) AS min_key, max(c_custkey) AS max_key " +
+        "FROM a GROUP BY 1 ORDER BY tag"),
     "q_setops" ->
       ("WITH urgent AS (SELECT o_custkey AS custkey FROM orders " +
         "WHERE o_orderpriority = '1-URGENT'), " +
