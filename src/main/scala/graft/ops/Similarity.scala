@@ -38,6 +38,52 @@ object TemporalJoins {
       .withColumn("asof_v", col("asof.v"))
       .drop("ref", "asof")
   }
+
+  /** Keyed big-big as-of join via union-merge: neither side broadcasts.
+    * Left and right rows interleave into one frame, partitioned by the
+    * key and sorted by (time, side-tag); a running `last(ignoreNulls)`
+    * over the preceding frame carries the latest right value forward to
+    * every left row. ONE shuffle (the window's hash partition on the
+    * key) — the sort-merge shape as-of joins want at scale, with skew
+    * handled like any window (salt the key). Right rows at the exact
+    * left timestamp sort AFTER the left row, preserving the strict
+    * `right.t < left.t` contract of [[asofJoinSmall]].
+    */
+  def asofJoinBig(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTimeCol: String,
+      rightTimeCol: String,
+      rightValCol: String,
+  ): DataFrame = {
+    val valType = right.schema(rightValCol).dataType
+    val timeType = right.schema(rightTimeCol).dataType
+    val leftCols = left.columns
+    val l = left.withColumn("_t", col(leftTimeCol))
+      .withColumn("_tag", lit(0))
+      .withColumn("_rv", lit(null).cast(valType))
+      .withColumn("_rt", lit(null).cast(timeType))
+    val r = right.select(
+      col(keyCol),
+      col(rightTimeCol).as("_t"),
+      lit(1).as("_tag"),
+      col(rightValCol).as("_rv"),
+      col(rightTimeCol).as("_rt"))
+    val merged = l.select(
+      (leftCols.map(col) :+ col("_t") :+ col("_tag") :+ col("_rv") :+ col("_rt")): _*)
+      .unionByName(r, allowMissingColumns = true)
+    // tag asc: at equal timestamps the left row (tag 0) sorts BEFORE the
+    // right row (tag 1), so its preceding frame excludes the same-t
+    // right value — strict `right.t < left.t`
+    val w = Window.partitionBy(keyCol).orderBy(col("_t"), col("_tag"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    merged
+      .withColumn("asof_v", last(col("_rv"), ignoreNulls = true).over(w))
+      .withColumn("asof_t", last(col("_rt"), ignoreNulls = true).over(w))
+      .filter(col("_tag") === 0)
+      .drop("_t", "_tag", "_rv", "_rt")
+  }
 }
 
 /** Similarity search over embedding columns (`array<float>`) — SURVEY.md

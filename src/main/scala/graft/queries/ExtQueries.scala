@@ -220,6 +220,20 @@ object ExtQueries {
       .orderBy("event_id")
   }
 
+  /** Keyed big-big as-of (union-merge window form): each event picks up
+    * the previous event value of the SAME user — checked against
+    * DuckDB's ASOF JOIN with an equality condition.
+    */
+  def qAsofBig(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select("event_id", "user_id", "ts", "value")
+    graft.ops.TemporalJoins
+      .asofJoinBig(ev, ev.select("user_id", "ts", "value"),
+        "user_id", "ts", "ts", "value")
+      .select(col("event_id"), col("user_id"),
+        r6(coalesce(col("asof_v"), lit(0.0))).as("prev_value"))
+      .orderBy("event_id")
+  }
+
   /** Pivot/crosstab: hourly event counts spread across event-type
     * columns — Spark's pivot vs conditional aggregation in DuckDB.
     */
@@ -385,6 +399,7 @@ object ExtQueries {
     "q_setops" -> (qSetOps _),
     "q_vocab_sketch" -> (qVocabSketch _),
     "q_asof" -> (qAsof _),
+    "q_asof_big" -> (qAsofBig _),
     "q_pivot" -> (qPivot _),
     "q_semi_anti" -> (qSemiAnti _),
     "q_rollup" -> (qRollup _),
@@ -578,6 +593,12 @@ object ExtQueries {
         "SELECT e.event_id, e.d, daily.rate_d AS prev_d, daily.day_sum AS prev_day_sum " +
         "FROM e ASOF LEFT JOIN daily ON e.d > daily.rate_d " +
         "ORDER BY event_id"),
+    "q_asof_big" ->
+      ("WITH e AS (SELECT event_id, user_id, ts::TIMESTAMP AS t, value FROM events) " +
+        "SELECT e.event_id, e.user_id, " +
+        O.r6("coalesce(p.value, 0.0)") + " AS prev_value " +
+        "FROM e ASOF LEFT JOIN e p ON e.user_id = p.user_id AND e.t > p.t " +
+        "ORDER BY e.event_id"),
     "q_pivot" ->
       ("SELECT hour(ts::TIMESTAMP)::INT AS hr, " +
         Seq("click", "view", "purchase", "signup", "error").map(t =>

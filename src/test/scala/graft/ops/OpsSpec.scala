@@ -210,6 +210,24 @@ class OpsSpec extends SparkTestBase {
     assert(s.filter("b < n").count() == 0) // BPE-ish splits ≥ whitespace tokens
   }
 
+  test("big-big as-of equals the broadcast form on a single-key frame") {
+    import graft.sources.Tables
+    val ev = Tables.events(spark, Sf0001)
+      .select(col("event_id"), col("ts"), col("value"))
+      .withColumn("k", lit(1))
+    val daily = ev.groupBy(to_date(col("ts")).as("d")).agg(sum("value").as("s"))
+    val small = TemporalJoins.asofJoinSmall(
+      ev.withColumn("ed", to_date(col("ts"))), daily, "ed", "d", "s")
+      .select("event_id", "asof_t", "asof_v")
+    val big = TemporalJoins.asofJoinBig(
+      ev.withColumn("ed", to_date(col("ts"))),
+      daily.withColumn("k", lit(1)), "k", "ed", "d", "s")
+      .select("event_id", "asof_t", "asof_v")
+    val a = small.orderBy("event_id").collect().map(_.toString)
+    val b = big.orderBy("event_id").collect().map(_.toString)
+    assert(a.sameElements(b))
+  }
+
   test("HLL sketch cardinalities land within the declared error bound") {
     val p = TextAnalysis.vocabProfile(docs, "doc_id", "text").head()
     val (vExact, vApprox) = (p.getLong(0), p.getLong(1))
