@@ -84,6 +84,36 @@ object TemporalJoins {
       .filter(col("_tag") === 0)
       .drop("_t", "_tag", "_rv", "_rt")
   }
+
+  /** Range (interval-containment) join: left points t ∈ right intervals
+    * [start, end], inclusive. A naive theta join is a cartesian product;
+    * this buckets time into `bucketSeconds` cells, explodes each
+    * interval over the cells it covers, and equi-joins points to cells —
+    * Catalyst plans a shuffled hash join on the bucket id, and the exact
+    * containment filter then discards same-bucket non-matches. Work
+    * scales with matches + interval-length/bucket ratio, never |L|×|R|.
+    * Pick `bucketSeconds` near the median interval length (one or two
+    * cells per interval).
+    */
+  def rangeJoin(
+      points: DataFrame, // (… , t: timestamp)
+      intervals: DataFrame, // (… , start: timestamp, end: timestamp)
+      timeCol: String,
+      startCol: String,
+      endCol: String,
+      bucketSeconds: Long,
+  ): DataFrame = {
+    val b = lit(bucketSeconds)
+    val pB = points.withColumn("_bucket", (col(timeCol).cast("long") / b).cast("long"))
+    val iB = intervals.withColumn(
+      "_bucket",
+      explode(sequence(
+        (col(startCol).cast("long") / b).cast("long"),
+        (col(endCol).cast("long") / b).cast("long"))))
+    pB.join(iB, Seq("_bucket"))
+      .filter(col(timeCol) >= col(startCol) && col(timeCol) <= col(endCol))
+      .drop("_bucket")
+  }
 }
 
 /** Similarity search over embedding columns (`array<float>`) — SURVEY.md

@@ -234,6 +234,22 @@ object ExtQueries {
       .orderBy("event_id")
   }
 
+  /** Range join: all events falling inside any early user's first-12-hour
+    * window — bucketed-equi-join composition vs DuckDB's theta join.
+    */
+  def qRange(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val windows = ev.filter(col("user_id") <= 20)
+      .groupBy(col("user_id").as("w_user"))
+      .agg(min(col("ts")).as("w_start"))
+      .withColumn("w_end", col("w_start") + expr("INTERVAL 12 HOURS"))
+    graft.ops.TemporalJoins
+      .rangeJoin(ev.select("event_id", "ts"), windows,
+        "ts", "w_start", "w_end", bucketSeconds = 6 * 3600)
+      .select("event_id", "w_user")
+      .orderBy("event_id", "w_user")
+  }
+
   /** Pivot/crosstab: hourly event counts spread across event-type
     * columns — Spark's pivot vs conditional aggregation in DuckDB.
     */
@@ -400,6 +416,7 @@ object ExtQueries {
     "q_vocab_sketch" -> (qVocabSketch _),
     "q_asof" -> (qAsof _),
     "q_asof_big" -> (qAsofBig _),
+    "q_range" -> (qRange _),
     "q_pivot" -> (qPivot _),
     "q_semi_anti" -> (qSemiAnti _),
     "q_rollup" -> (qRollup _),
@@ -599,6 +616,14 @@ object ExtQueries {
         O.r6("coalesce(p.value, 0.0)") + " AS prev_value " +
         "FROM e ASOF LEFT JOIN e p ON e.user_id = p.user_id AND e.t > p.t " +
         "ORDER BY e.event_id"),
+    "q_range" ->
+      ("WITH w AS (SELECT user_id AS w_user, min(ts::TIMESTAMP) AS w_start, " +
+        "min(ts::TIMESTAMP) + INTERVAL 12 HOUR AS w_end " +
+        "FROM events WHERE user_id <= 20 GROUP BY 1), " +
+        "e AS (SELECT event_id, ts::TIMESTAMP AS t FROM events) " +
+        "SELECT e.event_id, w.w_user FROM e JOIN w " +
+        "ON e.t >= w.w_start AND e.t <= w.w_end " +
+        "ORDER BY event_id, w_user"),
     "q_pivot" ->
       ("SELECT hour(ts::TIMESTAMP)::INT AS hr, " +
         Seq("click", "view", "purchase", "signup", "error").map(t =>

@@ -86,6 +86,14 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("band_hash"))
   }
 
+  test("range join plans as an equi-join on the bucket, never a cartesian") {
+    import graft.queries.ExtQueries
+    val p = plan(ExtQueries.qRange(spark, Sf0001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"range join degenerated to a theta join:\n$p")
+    assert(p.contains("_bucket"), s"bucket key missing from the join:\n$p")
+  }
+
   test("bucketed tables co-locate the fact join: no shuffle before the join") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
