@@ -191,18 +191,23 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
-    var changed = 1L
-    while (changed > 0) {
+    // labels only ever DECREASE under min-propagation, so an unchanged
+    // label sum proves the fixed point — one aggregate per round instead
+    // of a join+diff; DECIMAL sum cannot overflow or lose precision
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
+    var converged = false
+    while (!converged) {
       val neighbourLabels = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("label"))
       val next = labels.union(neighbourLabels)
         .groupBy("id").agg(min("label").as("label"))
         .localCheckpoint()
-      changed = next
-        .join(labels.withColumnRenamed("label", "prev"), "id")
-        .filter(col("label") =!= col("prev"))
-        .count()
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels = next
     }
     edges.unpersist()

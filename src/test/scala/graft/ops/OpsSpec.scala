@@ -210,6 +210,23 @@ class OpsSpec extends SparkTestBase {
     assert(s.filter("b < n").count() == 0) // BPE-ish splits ≥ whitespace tokens
   }
 
+  test("range join equals the naive theta join") {
+    import graft.sources.Tables
+    val ev = Tables.events(spark, Sf0001).select(col("event_id"), col("ts"))
+    val windows = Tables.events(spark, Sf0001)
+      .filter(col("user_id") <= 10)
+      .groupBy(col("user_id").as("w_user"))
+      .agg(min(col("ts")).as("w_start"))
+      .withColumn("w_end", col("w_start") + expr("INTERVAL 8 HOURS"))
+    val bucketed = TemporalJoins
+      .rangeJoin(ev, windows, "ts", "w_start", "w_end", bucketSeconds = 3600)
+      .select("event_id", "w_user").collect().map(_.toString).sorted
+    val naive = ev.crossJoin(windows)
+      .filter(col("ts") >= col("w_start") && col("ts") <= col("w_end"))
+      .select("event_id", "w_user").collect().map(_.toString).sorted
+    assert(bucketed.sameElements(naive) && naive.nonEmpty)
+  }
+
   test("big-big as-of equals the broadcast form on a single-key frame") {
     import graft.sources.Tables
     val ev = Tables.events(spark, Sf0001)
