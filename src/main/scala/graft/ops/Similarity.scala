@@ -255,6 +255,40 @@ object Similarity {
       .toDF("qid", "cid", "score", "rank")
   }
 
+  /** Multi-probe LSH top-k (Lv et al. 2007): each query probes its own
+    * bucket plus every Hamming-1 neighbour (the buckets one flipped
+    * hyperplane sign away — where near neighbours land when a projection
+    * sits close to its boundary). Recall rises toward brute force at
+    * (nBits+1)× probe cost, with the corpus index unchanged — the
+    * standard recall/latency dial when re-bucketing is too expensive.
+    */
+  def multiProbeTopK(
+      queries: DataFrame, // (qid, qe)
+      candidates: DataFrame, // (cid, ce)
+      k: Int,
+      nBits: Int = 4,
+      scoreRounding: Column => Column = identity,
+  ): DataFrame = {
+    val qBase = queries.withColumn("bucket0", lshBucket(col("qe"), nBits))
+    val qProbes = qBase.withColumn(
+      "bucket",
+      explode(array((lit(0) +: (0 until nBits).map(j => lit(1 << j))).map(
+        m => col("bucket0").bitwiseXOR(m)): _*)))
+      .drop("bucket0")
+    val cb = candidates.withColumn("bucket", lshBucket(col("ce"), nBits))
+    val scored = cb
+      .join(broadcast(qProbes), Seq("bucket"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("score", scoreRounding(cosine(col("qe"), col("ce"))))
+      .select("qid", "cid", "score")
+    // no distinct needed: the probed masks are pairwise distinct, a
+    // candidate lives in exactly one bucket → each (qid, cid) at most once
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("cid"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** IVF coarse quantizer: a deterministic stride-subset of the corpus
     * serves as centroids (`id % stride == 0`) — no k-means RNG state to
     * persist, reproducible across engines, and at 100 TB the centroid set

@@ -115,6 +115,13 @@ object ExtQueries {
       .cosineTopKAgg(queriesDf(s, dir), candsDf(s, dir), k = 10, scoreRounding = r6)
       .orderBy("qid", "rank")
 
+  def qSimLshMulti(s: SparkSession, dir: String): DataFrame =
+    Similarity
+      .multiProbeTopK(queriesDf(s, dir), candsDf(s, dir), k = 10, nBits = 4,
+        scoreRounding = r6)
+      .select("qid", "cid", "score", "rank")
+      .orderBy("qid", "rank")
+
   def qSimIvf(s: SparkSession, dir: String): DataFrame =
     Similarity
       .ivfTopK(queriesDf(s, dir), candsDf(s, dir), k = 10, stride = 64,
@@ -403,6 +410,7 @@ object ExtQueries {
     "q_sim_lsh" -> (qSimLsh _),
     "q_sim_ivf" -> (qSimIvf _),
     "q_sim_topk_agg" -> (qSimTopkAgg _),
+    "q_sim_lsh_multi" -> (qSimLshMulti _),
     "q_text_stats" -> (qTextStats _),
     "q_lang_id" -> (qLangId _),
     "q_quality" -> (qQuality _),
@@ -560,6 +568,18 @@ object ExtQueries {
         s"s AS (SELECT qid, cid, ${O.r6(cosSql("qe", "ce"))} AS score " +
         "FROM qa JOIN ca USING (centroid_id) JOIN q USING (qid) JOIN cand USING (cid) " +
         "WHERE qid != cid), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rnk FROM s) " +
+        "SELECT qid, cid, score, rnk::INT AS rank FROM r WHERE rnk <= 10 " +
+        "ORDER BY qid, rank"),
+    "q_sim_lsh_multi" ->
+      (s"WITH q0 AS (SELECT vec_id AS qid, embedding AS qe, ${bucketSql("embedding", 4)} AS b0 " +
+        "FROM embeddings WHERE vec_id < 5), " +
+        "q AS (SELECT qid, qe, xor(b0, m.m) AS bucket FROM q0, " +
+        "(VALUES (0), (1), (2), (4), (8)) m(m)), " +
+        s"c AS (SELECT vec_id AS cid, embedding AS ce, ${bucketSql("embedding", 4)} AS bucket " +
+        "FROM embeddings), " +
+        s"s AS (SELECT qid, cid, ${O.r6(cosSql("qe", "ce"))} AS score " +
+        "FROM q JOIN c USING (bucket) WHERE qid != cid), " +
         "r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rnk FROM s) " +
         "SELECT qid, cid, score, rnk::INT AS rank FROM r WHERE rnk <= 10 " +
         "ORDER BY qid, rank"),

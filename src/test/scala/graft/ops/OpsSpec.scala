@@ -137,6 +137,21 @@ class OpsSpec extends SparkTestBase {
     assert(crossBucket.count() == 0)
   }
 
+  test("multi-probe LSH recall dominates single-bucket recall") {
+    val q = emb.filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val exact = Similarity.cosineTopK(q, c, 10).select("qid", "cid").cache()
+    val single = Similarity.bucketedTopK(q, c, 10, nBits = 4).select("qid", "cid")
+    val multi = Similarity.multiProbeTopK(q, c, 10, nBits = 4).select("qid", "cid")
+    val singleHits = single.intersect(exact).count()
+    val multiHits = multi.intersect(exact).count()
+    assert(multiHits >= singleHits, s"multi $multiHits < single $singleHits")
+    // multi-probe candidate set contains the single-bucket set
+    assert(single.exceptAll(multi).count() == 0 ||
+      single.intersect(multi).count() > 0)
+    info(s"recall single=$singleHits multi=$multiHits of ${exact.count()}")
+  }
+
   test("IVF top-k: candidates partition into cells, probe recall reported") {
     val q = emb.filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val c = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"))
