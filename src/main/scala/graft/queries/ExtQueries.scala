@@ -8,17 +8,21 @@ import graft.queries.Det._
 import graft.queries.{Oracle => O}
 import graft.sources.Tables
 
-/** LLM-pipeline extension queries (SURVEY.md §7.4) over the `documents`
-  * and `embeddings` tables: deduplication (exact, MinHash+LSH, n-gram
-  * Jaccard, SimHash), similarity search (brute-force and LSH-bucketed
-  * cosine top-k), text analysis (stats, language ID, quality,
-  * fingerprints), and the multimodal binary pipeline.
+/** Extension queries beyond reference parity (SURVEY.md §7.4 + engine
+  * completeness): deduplication (exact, MinHash+LSH, n-gram Jaccard,
+  * SimHash, embedding-cosine, connected-component clustering),
+  * similarity search (brute-force, LSH, multi-probe LSH, IVF), text
+  * analysis (stats, language ID, quality, fingerprints, TF-IDF, token
+  * profiles, sketches), multimodal, sessionization, window analytics,
+  * set/rollup/pivot/semi-anti coverage, temporal joins, and salted
+  * aggregation.
   *
   * Each query pairs a Spark builder with DuckDB oracle SQL computing the
-  * identical result; the md5-derived hashing makes MinHash/LSH
-  * cross-engine deterministic (no RNG seeds). `q_dedup_simhash` is the
-  * one rows-only entry (its Murmur3 token hash has no DuckDB
-  * equivalent); it is property-tested in ScalaTest instead.
+  * identical result; md5-derived hashing makes MinHash/LSH cross-engine
+  * deterministic (no RNG seeds). Rows-only entries (no DuckDB spelling:
+  * q_dedup_simhash, q_fingerprint_roll, q_vocab_sketch) are
+  * property-tested in ScalaTest instead — see COVERAGE.md for the full
+  * map.
   */
 object ExtQueries {
 
