@@ -337,6 +337,21 @@ object ExtQueries {
       .orderBy(col("g_prio"), col("g_status"), col("o_orderpriority"),
         col("o_orderstatus"))
 
+  /** Cube: all 2² grouping combinations of (priority, status) — the
+    * full grouping-sets lattice next to q_rollup's hierarchy.
+    */
+  def qCube(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "orders")
+      .cube("o_orderpriority", "o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("sum_price"),
+        grouping("o_orderpriority").as("g_prio"),
+        grouping("o_orderstatus").as("g_status"),
+      )
+      .orderBy(col("g_prio"), col("g_status"), col("o_orderpriority"),
+        col("o_orderstatus"))
+
   /** Window analytics over the event stream: per-user row numbering,
     * running value totals, and previous-event deltas — the analytic
     * function family (ranking/aggregate/offset windows) the reference
@@ -432,6 +447,7 @@ object ExtQueries {
     "q_pivot" -> (qPivot _),
     "q_semi_anti" -> (qSemiAnti _),
     "q_rollup" -> (qRollup _),
+    "q_cube" -> (qCube _),
     "q_multimodal" -> (qMultimodal _),
     "q_agg_salted" -> (qAggSalted _),
   )
@@ -676,6 +692,12 @@ object ExtQueries {
         "allrows AS (SELECT * FROM u UNION ALL SELECT * FROM i UNION ALL SELECT * FROM e) " +
         "SELECT set_op, count(*) AS n, min(custkey) AS min_key, max(custkey) AS max_key " +
         "FROM allrows GROUP BY 1 ORDER BY set_op"),
+    "q_cube" ->
+      ("SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders, " +
+        O.dsum("o_totalprice") + " AS sum_price, " +
+        "GROUPING(o_orderpriority) AS g_prio, GROUPING(o_orderstatus) AS g_status " +
+        "FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus) " +
+        "ORDER BY g_prio, g_status, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST"),
     "q_rollup" ->
       ("SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders, " +
         O.dsum("o_totalprice") + " AS sum_price, " +
