@@ -337,6 +337,21 @@ object ExtQueries {
       .orderBy(col("g_prio"), col("g_status"), col("o_orderpriority"),
         col("o_orderstatus"))
 
+  /** String-function family (absent from the reference — engine
+    * completeness): case mapping, substring, trim, regexp replacement,
+    * edit distance, split counts.
+    */
+  def qStrings(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      upper(substring(col("text"), 1, 12)).as("head_upper"),
+      length(trim(col("text"))).as("len_trim"),
+      regexp_replace(col("text"), "[aeiou]", "").as("devoweled_head"),
+      levenshtein(substring(col("text"), 1, 20), substring(col("text"), 3, 22)).as("shift_dist"),
+      size(split(col("text"), "e", -1)).as("e_splits"),
+    ).withColumn("devoweled_head", substring(col("devoweled_head"), 1, 20))
+      .orderBy("doc_id")
+
   /** Cube: all 2² grouping combinations of (priority, status) — the
     * full grouping-sets lattice next to q_rollup's hierarchy.
     */
@@ -448,6 +463,7 @@ object ExtQueries {
     "q_semi_anti" -> (qSemiAnti _),
     "q_rollup" -> (qRollup _),
     "q_cube" -> (qCube _),
+    "q_strings" -> (qStrings _),
     "q_multimodal" -> (qMultimodal _),
     "q_agg_salted" -> (qAggSalted _),
   )
@@ -692,6 +708,13 @@ object ExtQueries {
         "allrows AS (SELECT * FROM u UNION ALL SELECT * FROM i UNION ALL SELECT * FROM e) " +
         "SELECT set_op, count(*) AS n, min(custkey) AS min_key, max(custkey) AS max_key " +
         "FROM allrows GROUP BY 1 ORDER BY set_op"),
+    "q_strings" ->
+      ("SELECT doc_id, upper(substr(text, 1, 12)) AS head_upper, " +
+        "length(trim(text))::INT AS len_trim, " +
+        "substr(regexp_replace(text, '[aeiou]', '', 'g'), 1, 20) AS devoweled_head, " +
+        "levenshtein(substr(text, 1, 20), substr(text, 3, 22))::INT AS shift_dist, " +
+        "len(string_split(text, 'e'))::INT AS e_splits " +
+        "FROM documents ORDER BY doc_id"),
     "q_cube" ->
       ("SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders, " +
         O.dsum("o_totalprice") + " AS sum_price, " +
