@@ -104,8 +104,18 @@ object Dedup {
     * shingle→signature→band lineage once per branch and shuffles it
     * twice, while the group-by computes signatures once and shuffles
     * only (band, id) rows. Pair expansion happens inside each bucket —
-    * bucket sizes track the corpus duplication rate (uniform md5 keys),
-    * so the expansion never approaches the all-pairs matrix.
+    * bucket sizes track the corpus duplication rate (uniform md5 keys)
+    * for benign corpora, but a real 100 TB crawl has degenerate classes
+    * (boilerplate, empty pages) whose one colossal bucket would make a
+    * single task collect it and expand O(|bucket|²).
+    *
+    * `bucketCap` bounds that: ids are ranked inside each bucket by a
+    * sort-based (spill-safe) window; the first `bucketCap` get the full
+    * quadratic expansion, every id past the cap is emitted as a single
+    * star pair to the bucket minimum. A bucket that big is one duplicate
+    * class, so the star keeps the class connected for
+    * [[duplicateClusters]] in O(|bucket|) rows, and per-task memory is
+    * bounded by the cap regardless of corpus pathology.
     */
   def lshCandidatePairs(
       df: DataFrame,
@@ -113,21 +123,35 @@ object Dedup {
       textCol: String,
       k: Int = 8,
       bands: Int = 4,
+      bucketCap: Int = 10000,
   ): DataFrame = {
+    require(bucketCap >= 2, "bucketCap must allow at least one pair")
     val banded = bandTable(minhashSignatures(df, idCol, textCol, k), idCol, k, bands)
-    val buckets = banded
+    // row_number and min share one window spec → a single sort-based
+    // WindowExec; min over the ascending prefix frame is the bucket min
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("band_idx", "band_hash").orderBy(idCol)
+    val ranked = banded
+      .withColumn("rn", row_number().over(w))
+      .withColumn("min_id", min(col(idCol)).over(w))
+    val buckets = ranked
+      .filter(col("rn") <= bucketCap)
       .groupBy("band_idx", "band_hash")
       .agg(sort_array(collect_list(col(idCol))).as("ids"))
       .filter(size(col("ids")) > 1)
     // all (i < j) pairs within the sorted bucket: ids is ascending, so
     // pairing each element with its tail yields canonical doc_a < doc_b
-    buckets
+    val inCapPairs = buckets
       .select(explode(expr(
         "flatten(transform(ids, (x, i) -> " +
           "transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x AS doc_a, y AS doc_b))))"
       )).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
-      .distinct()
+    // overflow star: min_id has rn = 1 < rn here, so doc_a < doc_b holds
+    val overflowPairs = ranked
+      .filter(col("rn") > bucketCap)
+      .select(col("min_id").as("doc_a"), col(idCol).as("doc_b"))
+    inCapPairs.union(overflowPairs).distinct()
   }
 
   /** Exact token-set Jaccard similarity between two token arrays —
@@ -150,8 +174,9 @@ object Dedup {
       threshold: Double = 0.8,
       k: Int = 8,
       bands: Int = 4,
+      bucketCap: Int = 10000,
   ): DataFrame = {
-    val cand = lshCandidatePairs(df, idCol, textCol, k, bands)
+    val cand = lshCandidatePairs(df, idCol, textCol, k, bands, bucketCap)
     val toks = df.select(
       col(idCol),
       TextAnalysis.tokens(col(textCol)).as("toks"))
@@ -194,8 +219,11 @@ object Dedup {
     // labels only ever DECREASE under min-propagation, so an unchanged
     // label sum proves the fixed point — one aggregate per round instead
     // of a join+diff; DECIMAL sum cannot overflow or lose precision
+    // coalesce guards the zero-pair corpus: sum over an empty frame is
+    // null, and without it the first compareTo below would NPE
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+      df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)"))).head().getDecimal(0)
     var prevSum = labelSum(labels)
     var converged = false
     while (!converged) {

@@ -25,7 +25,18 @@ object TemporalJoins {
       leftTimeCol: String,
       rightTimeCol: String,
       rightValCol: String,
+      maxRightRows: Int = 1000000,
   ): DataFrame = {
+    // enforce the small-side contract instead of letting a big right
+    // side OOM the driver inside collect_list. No silent fallback: this
+    // join is UNKEYED (a global as-of), so the keyed big-big form
+    // [[asofJoinBig]] is not a drop-in — the caller must pick a key.
+    // limit(n+1).count() stops the probe early instead of scanning all
+    // of a huge right side just to learn it is too big.
+    val probed = right.limit(maxRightRows + 1).count()
+    require(probed <= maxRightRows,
+      s"asofJoinSmall: right side exceeds $maxRightRows rows — it is " +
+        "broadcast as ONE packed array; use asofJoinBig(key, ...) instead")
     val packed = right.agg(
       sort_array(collect_list(struct(
         col(rightTimeCol).as("t"), col(rightValCol).as("v")))).as("ref"))
@@ -76,7 +87,9 @@ object TemporalJoins {
     // tag asc: at equal timestamps the left row (tag 0) sorts BEFORE the
     // right row (tag 1), so its preceding frame excludes the same-t
     // right value — strict `right.t < left.t`
-    val w = Window.partitionBy(keyCol).orderBy(col("_t"), col("_tag"))
+    // _rv as the final tiebreak: several right rows sharing (key, t)
+    // would otherwise make last(ignoreNulls) run-order dependent
+    val w = Window.partitionBy(keyCol).orderBy(col("_t"), col("_tag"), col("_rv"))
       .rowsBetween(Window.unboundedPreceding, -1)
     merged
       .withColumn("asof_v", last(col("_rv"), ignoreNulls = true).over(w))

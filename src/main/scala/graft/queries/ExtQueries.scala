@@ -683,7 +683,7 @@ object ExtQueries {
     "q_pivot" ->
       ("SELECT hour(ts::TIMESTAMP)::INT AS hr, " +
         Seq("click", "view", "purchase", "signup", "error").map(t =>
-          s"sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS \"$t\"")
+          s"sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END)::BIGINT AS \"$t\"")
           .mkString(", ") +
         " FROM events GROUP BY 1 ORDER BY hr"),
     "q_semi_anti" ->
@@ -763,13 +763,18 @@ object ExtQueries {
         "v AS (SELECT count(DISTINCT token) AS vocab_size FROM t) " +
         "SELECT token, count(*) AS freq, vocab_size FROM t CROSS JOIN v " +
         "GROUP BY token, vocab_size ORDER BY freq DESC, token LIMIT 20"),
+    // byte-based (hex over UTF-8 encode), matching Spark's binary payload
+    // semantics for non-ASCII text too — ascii()/length() count CODEPOINTS
+    // and would silently diverge on any multi-byte character
     "q_multimodal" ->
-      ("SELECT doc_id, 'image' AS kind, length(text)::INT AS n_bytes, " +
-        "ascii(substr(text, 1, 1))::INT AS head_byte, " +
-        "list_sum(list_transform(range(1, least(length(text), 16) + 1), " +
-        "i -> ascii(substr(text, i, 1))))::BIGINT AS byte_sum_16, " +
-        "(1 + ascii(substr(text, 1, 1)) % 64)::INT AS fake_width, " +
-        "(1 + ascii(substr(text, 2, 1)) % 64)::INT AS fake_height " +
-        "FROM documents ORDER BY doc_id"),
+      ("WITH h AS (SELECT doc_id, hex(encode(text)) AS hx, " +
+        "octet_length(encode(text)) AS nb FROM documents) " +
+        "SELECT doc_id, 'image' AS kind, nb::INT AS n_bytes, " +
+        "(CASE WHEN nb >= 1 THEN ('0x' || substr(hx, 1, 2))::INT ELSE 0 END) AS head_byte, " +
+        "coalesce(list_sum(list_transform(range(1, least(nb, 16) + 1), " +
+        "i -> ('0x' || substr(hx, (2 * i - 1)::INT, 2))::INT)), 0)::BIGINT AS byte_sum_16, " +
+        "(1 + (CASE WHEN nb >= 1 THEN ('0x' || substr(hx, 1, 2))::INT ELSE 0 END) % 64)::INT AS fake_width, " +
+        "(1 + (CASE WHEN nb >= 2 THEN ('0x' || substr(hx, 3, 2))::INT ELSE 0 END) % 64)::INT AS fake_height " +
+        "FROM h ORDER BY doc_id"),
   )
 }

@@ -139,7 +139,10 @@ object RefQueries {
     * (cast, derive, 4 filter forms, broadcast left join, 2-key agg, sort).
     */
   def qE2e(s: SparkSession, dir: String): DataFrame = {
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_e2e_csv"
+    // per-run unique dir: a fixed shared path lets two concurrent
+    // sessions (Verify + a test run) overwrite each other mid-read
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_e2e_csv").resolve("events").toString
     Tables.exportCsv(Tables.events(s, dir), tmp)
     val raw = Tables.csvInfer(s, tmp)
     graft.etl.EventsPipeline.clean(raw) // P1-P6, F1-F4, J1

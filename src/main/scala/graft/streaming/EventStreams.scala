@@ -68,15 +68,36 @@ object EventStreams {
       .groupByKey(_.user_id)
       .mapGroupsWithState[UserStats, UserStats](timeoutConf) {
         (userId: Long, batch: Iterator[Event], state: GroupState[UserStats]) =>
-          val prev = state.getOption.getOrElse(UserStats(userId, 0L, 0.0))
-          val next = batch.foldLeft(prev) { (acc, e) =>
-            UserStats(userId, acc.n_events + 1, acc.sum_value + e.value)
-          }
-          state.update(next)
-          evictIdleAfter.foreach(state.setTimeoutDuration)
-          next
+          updateUserStats(userId, batch, state, evictIdleAfter)
       }
   }
+
+  /** State-update function behind [[runningUserStats]], extracted so the
+    * eviction branch is testable via `TestGroupState` — with a
+    * ProcessingTime timeout live, the no-data trigger re-fires
+    * continuously and `processAllAvailable` never settles.
+    */
+  private[streaming] def updateUserStats(
+      userId: Long,
+      batch: Iterator[Event],
+      state: GroupState[UserStats],
+      evictIdleAfter: Option[String]): UserStats =
+    if (state.hasTimedOut) {
+      // idle-eviction timer fired with no new data: drop the state so an
+      // unbounded key space can't grow it forever, emitting the final
+      // stats once as the eviction record
+      val last = state.getOption.getOrElse(UserStats(userId, 0L, 0.0))
+      state.remove()
+      last
+    } else {
+      val prev = state.getOption.getOrElse(UserStats(userId, 0L, 0.0))
+      val next = batch.foldLeft(prev) { (acc, e) =>
+        UserStats(userId, acc.n_events + 1, acc.sum_value + e.value)
+      }
+      state.update(next)
+      evictIdleAfter.foreach(state.setTimeoutDuration)
+      next
+    }
 
   /** Streaming exact dedup — the continuous form of the batch content-
     * hash dedup (graft.ops.Dedup): keep the first event per key, where

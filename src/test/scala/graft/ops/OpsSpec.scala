@@ -33,6 +33,48 @@ class OpsSpec extends SparkTestBase {
     assert(near <= cand)
   }
 
+  test("adversarial bucket: identical docs stay connected under a tight cap") {
+    import spark.implicits._
+    // 200 byte-identical docs — every band hashes to ONE bucket. Uncapped,
+    // that bucket expands O(n²) in a single task; with cap=20 the in-cap
+    // ids fully pair (C(20,2)=190) and the 180 overflow ids each emit one
+    // star pair to the bucket min — linear, and still one cluster.
+    val n = 200
+    val cap = 20
+    val clones = (1 to n).map(i =>
+      (i.toLong, "the same boilerplate text repeated across the corpus body"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.lshCandidatePairs(clones, "doc_id", "text", bucketCap = cap).cache()
+    val expect = cap.toLong * (cap - 1) / 2 + (n - cap)
+    assert(pairs.count() == expect, s"expected $expect capped pairs")
+    // overflow members all pair with the bucket min (doc 1)
+    assert(pairs.filter(col("doc_b") > cap).filter(col("doc_a") =!= 1L).count() == 0)
+    // connectivity survives the cap: one cluster, labelled by the min id
+    val clusters = Dedup.duplicateClusters(pairs)
+    assert(clusters.select("cluster_id").distinct().count() == 1)
+    assert(clusters.count() == n.toLong)
+    pairs.unpersist()
+  }
+
+  test("duplicate clusters of an empty pair list are empty, not a crash") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.duplicateClusters(empty).count() == 0)
+  }
+
+  test("asofJoinSmall rejects a right side over the broadcast guard") {
+    import spark.implicits._
+    val left = Seq((1L, 10L)).toDF("id", "t")
+    val right = (1L to 50L).map(i => (i, i * 2)).toDF("t", "v")
+    val e = intercept[IllegalArgumentException] {
+      TemporalJoins.asofJoinSmall(left, right, "t", "t", "v", maxRightRows = 10)
+    }
+    assert(e.getMessage.contains("asofJoinBig"))
+    // under the guard the join still works
+    val ok = TemporalJoins.asofJoinSmall(left, right, "t", "t", "v", maxRightRows = 100)
+    assert(ok.count() == 1)
+  }
+
   test("duplicate clusters match a driver-side union-find on the same pairs") {
     val pairs = Dedup.nearDuplicatePairs(docs, "doc_id", "text", threshold = 0.5).cache()
     val got = Dedup.duplicateClusters(pairs)

@@ -75,6 +75,33 @@ class EventStreamsSpec extends SparkTestBase {
     assert(last(3L) == UserStats(3, 1, 100.0))
   }
 
+  test("evictIdleAfter: timed-out state is removed, final stats emitted once") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    // timer fired, no new data → state must be DROPPED (bounded state on
+    // an unbounded key space), emitting the final stats as the record
+    val timedOut = TestGroupState.create[UserStats](
+      Optional.of(UserStats(1, 2, 17.0)),
+      GroupStateTimeout.ProcessingTimeTimeout, 1000L,
+      Optional.empty[Long], true)
+    val out = EventStreams.updateUserStats(
+      1L, Iterator.empty, timedOut, Some("10 seconds"))
+    assert(out == UserStats(1, 2, 17.0))
+    assert(timedOut.isRemoved, "idle state must be evicted on timeout")
+
+    // normal data batch → state updated and the idle timer re-armed
+    val live = TestGroupState.create[UserStats](
+      Optional.of(UserStats(1, 2, 17.0)),
+      GroupStateTimeout.ProcessingTimeTimeout, 1000L,
+      Optional.empty[Long], false)
+    val out2 = EventStreams.updateUserStats(
+      1L, Iterator(Event(ts(0, 30), 1, "click", 3.0)), live, Some("10 seconds"))
+    assert(out2 == UserStats(1, 3, 20.0))
+    assert(live.isUpdated && !live.isRemoved)
+    assert(live.getTimeoutTimestampMs.isPresent,
+      "idle timer must be re-armed on data")
+  }
+
   test("streaming dedup keeps one event per key across micro-batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
