@@ -2,6 +2,8 @@ package graft
 
 import scala.collection.mutable
 
+import org.apache.spark.sql.functions._
+
 import graft.etl.EventsPipeline
 import graft.sources.Tables
 import graft.util.Sessions
@@ -12,10 +14,24 @@ import graft.util.Sessions
   * of the `events` table, plus per-query wall-clock for every declared
   * query (q_e2e excluded — it IS the staged slice). Prints ONE JSON line.
   *
+  * The staged slice runs at MATCHED scale: the events table is
+  * replicated (unique ids, untimed prep) up to the baseline's 12,380,927
+  * cleaned-row count, so the per-row stage ratios are comparable to
+  * BASELINE.md's numbers instead of being fixed-cost dominated. The
+  * replication factor reports as `slice_rows`; override the target with
+  * SPARK_GRAFT_SLICE_ROWS (0 disables replication).
+  *
   * Stage attribution follows the reference convention: "read" includes
   * the eager two-pass schema inference, "clean" is lazy plan build, all
   * execution cost lands in "write" (count + curated + agg writes against
   * a cached input).
+  *
+  * A failing stage or query records its wall-clock AND an entry in the
+  * JSON's `errors` map — a regression can't hide inside a plausible
+  * timing. `train_gbt` times the reference-config fare-model fit at the
+  * reference's training scale (300k rows, BASELINE.md row 8) on the
+  * deterministic [[graft.ml.SyntheticTaxi]] frame; its RMSE/MAE report
+  * as `gbt_rmse`/`gbt_mae` for cross-round trend tracking.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -23,50 +39,88 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.get("graft-bench", s"local[$cpus]", cpus.toInt)
     val times = mutable.LinkedHashMap[String, Double]()
-    def timed[A](name: String)(f: => A): A = {
+    val errors = mutable.LinkedHashMap[String, String]()
+    def timed[A](name: String)(f: => A): Option[A] = {
       val t0 = System.nanoTime()
-      val a = f
+      val res =
+        try Some(f)
+        catch {
+          case e: Throwable =>
+            errors(name) = s"${e.getClass.getSimpleName}: " +
+              Option(e.getMessage).getOrElse("").replaceAll("\\s+", " ").take(200)
+            None
+        }
       times(name) = (System.nanoTime() - t0) / 1e9
-      a
+      res
     }
 
-    // prep (untimed): materialize the raw CSV layer, as it exists on
-    // object storage in the reference environment
+    // prep (untimed): materialize the raw CSV layer at the baseline's
+    // row count, as it exists on object storage in the reference
+    // environment. crossJoin(range(factor)) replicates without skew;
+    // event ids are re-keyed unique so downstream semantics hold.
     val tmp = java.nio.file.Files.createTempDirectory("graft_bench").toString
-    Tables.exportCsv(Tables.events(spark, sfDir), s"$tmp/events_csv")
+    val sliceTarget = sys.env.getOrElse("SPARK_GRAFT_SLICE_ROWS", "12380927").toLong
+    val events = Tables.events(spark, sfDir)
+    val baseRows = events.count()
+    val factor = math.max(1L, (sliceTarget + baseRows - 1) / baseRows)
+    val staged =
+      if (factor == 1L) events
+      else events
+        .crossJoin(spark.range(factor).select(col("id").as("_repl")))
+        .withColumn("event_id", col("event_id") * factor + col("_repl"))
+        .drop("_repl")
+    val sliceRows = baseRows * factor
+    Tables.exportCsv(staged, s"$tmp/events_csv")
 
     val raw = timed("read") {
       val df = Tables.csvInfer(spark, s"$tmp/events_csv") // eager infer pass
       df.head(5) // the reference's show(5) without stdout noise
       df
     }
-    timed("read_typed") {
-      // production read path: explicit schema, one pass — same actions as
-      // "read" (head 5), so the delta IS the schema-inference tax
-      val df = Tables.csvTyped(spark, s"$tmp/events_csv", raw.schema)
-      df.head(5)
-      df
+    raw.foreach { r =>
+      timed("read_typed") {
+        // production read path: explicit schema, one pass — same actions as
+        // "read" (head 5), so the delta IS the schema-inference tax
+        val df = Tables.csvTyped(spark, s"$tmp/events_csv", r.schema)
+        df.head(5)
+        df
+      }
     }
-    val clean = timed("clean")(EventsPipeline.clean(raw)) // lazy: plan only
-    timed("write") {
-      clean.cache()
-      clean.count()
-      EventsPipeline.writeCurated(clean, s"$tmp/curated")
-      EventsPipeline.writeAggregates(clean, s"$tmp/agg", 0.05)
+    val clean = raw.flatMap(r => timed("clean")(EventsPipeline.clean(r))) // lazy: plan only
+    clean.foreach { c =>
+      timed("write") {
+        c.cache()
+        c.count()
+        EventsPipeline.writeCurated(c, s"$tmp/curated")
+        EventsPipeline.writeAggregates(c, s"$tmp/agg", 0.05)
+      }
+      c.unpersist()
     }
-    clean.unpersist()
+
+    val gbt = timed("train_gbt") {
+      val taxi = graft.ml.SyntheticTaxi.frame(spark, 300000)
+      val (_, m) = graft.ml.Trainer.trainFareModel(taxi, "",
+        graft.ml.Trainer.TrainConfig(sampleFraction = 1.0, maxRows = 0))
+      m
+    }
 
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (name != "q_e2e")
-        timed(name) {
-          try fn(spark, sfDir).count()
-          catch { case _: Throwable => -1L }
-        }
+        timed(name)(fn(spark, sfDir).count())
     }
 
+    def jmap(m: collection.Map[String, String]): String =
+      m.map { case (k, v) =>
+        s""""$k":"${v.replace("\\", "\\\\").replace("\"", "\\\"")}""""
+      }.mkString("{", ",", "}")
     val qs = times.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val total = times.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val gbtStats = gbt
+      .map(m => s""""gbt_rmse":${m.rmse},"gbt_mae":${m.mae},""")
+      .getOrElse("")
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""errors":${jmap(errors)},"slice_rows":$sliceRows,$gbtStats"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -66,15 +66,24 @@ object SimHash64 {
     out
   }
 
-  /** Deterministic 64-bit token hash: two 32-bit Murmur3 passes with
-    * fixed seeds. Stable across JVMs and Spark versions (no dependence on
-    * String.hashCode or partitioning RNG).
+  private val Md5 = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
+  /** Deterministic 64-bit token hash: the first 8 bytes (big-endian) of
+    * the token's MD5 — i.e. the value spelled by the first 16 hex chars
+    * of `md5(token)` in any engine. Stable across JVMs and Spark
+    * versions, and (deliberately) re-keyed on md5 like the MinHash
+    * "permutations" so the whole SimHash is cross-engine checkable: the
+    * DuckDB oracle recomputes it from `md5(token)` per bit.
     */
   def hash64(s: UTF8String): Long = {
-    val bytes = s.getBytes
-    val h1 = scala.util.hashing.MurmurHash3.bytesHash(bytes, 0x9747b28c)
-    val h2 = scala.util.hashing.MurmurHash3.bytesHash(bytes, 0x85ebca6b)
-    (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+    val md = Md5.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h
   }
 
   /** Hamming distance between two simhashes (for near-dup thresholds). */

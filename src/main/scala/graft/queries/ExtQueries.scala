@@ -19,10 +19,12 @@ import graft.sources.Tables
   *
   * Each query pairs a Spark builder with DuckDB oracle SQL computing the
   * identical result; md5-derived hashing makes MinHash/LSH cross-engine
-  * deterministic (no RNG seeds). Rows-only entries (no DuckDB spelling:
-  * q_dedup_simhash, q_fingerprint_roll, q_vocab_sketch) are
-  * property-tested in ScalaTest instead — see COVERAGE.md for the full
-  * map.
+  * deterministic (no RNG seeds); SimHash is likewise md5-keyed and the
+  * rolling hash re-spelled as per-window HUGEINT folds, so even the
+  * 64-bit fingerprints hash-check cross-engine. Rows-only entries (no
+  * DuckDB spelling: q_vocab_sketch's HLL half, seeded sample/split per
+  * the SURVEY §5.3 RNG policy) are property-tested in ScalaTest
+  * instead — see COVERAGE.md for the full map.
   */
 object ExtQueries {
 
@@ -70,8 +72,16 @@ object ExtQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** SimHash fingerprints, emitted as the 16-hex-char form so the DuckDB
+    * oracle can rebuild them bit-by-bit from `md5(token)` without 64-bit
+    * signed/unsigned cast hazards (the engine-side value is a signed
+    * LongType; hex is the neutral spelling).
+    */
   def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashes(docs(s, dir), "doc_id", "text").orderBy("doc_id")
+    Dedup.simhashes(docs(s, dir), "doc_id", "text")
+      .select(col("doc_id"),
+        lower(lpad(hex(col("simhash")), 16, "0")).as("simhash_hex"))
+      .orderBy("doc_id")
 
   /** Near-dup clusters: verified MinHash-LSH pairs → connected
     * components (min reachable id as cluster id).
@@ -185,20 +195,25 @@ object ExtQueries {
     toks
       .groupBy("token")
       .agg(count(lit(1)).as("freq"))
-      .crossJoin(vocab)
+      .crossJoin(broadcast(vocab)) // 1-row side: hint for plan stability
       .orderBy(col("freq").desc, col("token"))
       .limit(20)
   }
 
-  /** Winnowed Karp–Rabin fingerprint (codegen'd rolling hash). No DuckDB
-    * spelling exists for the one-pass recurrence, so this is a rows-only
-    * gate entry; cross-checked against a naive reimplementation in
-    * OpsSpec instead.
+  /** Winnowed Karp–Rabin fingerprint (codegen'd rolling hash), emitted as
+    * 16-hex-char strings. DuckDB can't spell the one-pass sliding
+    * recurrence, but it CAN spell what the recurrence computes — the min
+    * over per-window polynomial folds in mod-2^64 arithmetic (HUGEINT
+    * with an explicit modulus); the two forms are mathematically
+    * identical, so the oracle hash-checks the codegen expression exactly.
+    * The O(n·w) oracle cost is DuckDB's price, not ours.
     */
   def qFingerprintRoll(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(
       col("doc_id"),
-      graft.functions.RollingHash.winnowedMin(col("text"), 16).as("fp_roll"),
+      lower(lpad(hex(
+        graft.functions.RollingHash.winnowedMin(col("text"), 16)), 16, "0"))
+        .as("fp_roll_hex"),
     ).orderBy("doc_id")
 
   /** Per-document top-3 distinguishing terms by TF-IDF (smoothed idf,
@@ -296,6 +311,13 @@ object ExtQueries {
     */
   def qVocabSketch(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.vocabProfile(docs(s, dir), "doc_id", "text")
+
+  /** The exact-count half of the vocab profile, split out so it gets a
+    * full DuckDB hash check (the HLL registers stay rows-only above).
+    */
+  def qVocabExact(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabProfile(docs(s, dir), "doc_id", "text")
+      .select("vocab_exact", "docs_exact", "n_tokens")
 
   /** Set operations (absent from the reference, SURVEY §2.8 — provided
     * for engine completeness): urgent ∪ high-value customers, urgent ∩
@@ -456,6 +478,7 @@ object ExtQueries {
     "q_window" -> (qWindow _),
     "q_setops" -> (qSetOps _),
     "q_vocab_sketch" -> (qVocabSketch _),
+    "q_vocab_exact" -> (qVocabExact _),
     "q_asof" -> (qAsof _),
     "q_asof_big" -> (qAsofBig _),
     "q_range" -> (qRange _),
@@ -563,6 +586,42 @@ object ExtQueries {
         O.r6("len(list_intersect(a.td, b.td)) / len(list_distinct(list_concat(a.td, b.td)))") +
         " AS jac FROM tk a JOIN tk b ON b.doc_id - a.doc_id BETWEEN 1 AND 3 " +
         "ORDER BY doc_a, doc_b"),
+    "q_dedup_simhash" ->
+      // SimHash rebuilt bit-by-bit from md5(token): bit b of the 64-bit
+      // md5-prefix hash lives in hex char 16-(b//4) at nibble bit b%4;
+      // per-bit vote sums then reassemble into the 16-hex-char form (the
+      // Spark side emits lower(lpad(hex(simhash),16,'0'))).
+      ("WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents), " +
+        "bits AS (SELECT doc_id, b.b AS b, " +
+        "SUM(CASE WHEN (((strpos('0123456789abcdef', substr(md5(token), CAST(16 - (b.b // 4) AS INT), 1)) - 1) " +
+        ">> (b.b % 4)) & 1) = 1 THEN 1 ELSE -1 END) AS s " +
+        "FROM toks CROSS JOIN (SELECT unnest(range(0, 64)) AS b) b GROUP BY doc_id, b.b), " +
+        "nib AS (SELECT doc_id, (b // 4) AS nid, " +
+        "SUM(CASE WHEN s > 0 THEN (1 << (b % 4)) ELSE 0 END) AS nv " +
+        "FROM bits GROUP BY doc_id, (b // 4)) " +
+        "SELECT doc_id, string_agg(substr('0123456789abcdef', CAST(nv AS INT) + 1, 1), '' " +
+        "ORDER BY nid DESC) AS simhash_hex " +
+        "FROM nib GROUP BY doc_id ORDER BY doc_id"),
+    "q_vocab_exact" ->
+      ("WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) " +
+        "SELECT count(DISTINCT token) AS vocab_exact, count(DISTINCT doc_id) AS docs_exact, " +
+        "count(*) AS n_tokens FROM toks"),
+    "q_fingerprint_roll" ->
+      // Winnowed Karp–Rabin via fresh per-window folds in HUGEINT mod
+      // 2^64 — identical to the engine's O(1)-state sliding recurrence.
+      // ascii(char) == byte holds because the fixture corpus is ASCII
+      // (generator contract, also relied on by q_multimodal's oracle).
+      ("WITH ch AS (SELECT doc_id, list_transform(range(1, length(text)+1), " +
+        "i -> ascii(substr(text, CAST(i AS INT), 1))::HUGEINT) AS bs FROM documents), " +
+        "fp AS (SELECT doc_id, CASE WHEN len(bs) = 0 THEN 0::HUGEINT " +
+        "WHEN len(bs) <= 16 THEN list_reduce(list_prepend(0::HUGEINT, bs), " +
+        "(a, x) -> (a * 6364136223846793005::HUGEINT + x) % 18446744073709551616::HUGEINT) " +
+        "ELSE list_min(list_transform(range(len(bs) - 15), i -> " +
+        "list_reduce(list_prepend(0::HUGEINT, bs[CAST(i+1 AS INT):CAST(i+16 AS INT)]), " +
+        "(a, x) -> (a * 6364136223846793005::HUGEINT + x) % 18446744073709551616::HUGEINT))) " +
+        "END AS v FROM ch) " +
+        "SELECT doc_id, printf('%08x%08x', CAST(v // 4294967296 AS BIGINT), " +
+        "CAST(v % 4294967296 AS BIGINT)) AS fp_roll_hex FROM fp ORDER BY doc_id"),
     "q_sim_topk" ->
       ("WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5), " +
         "c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings), " +

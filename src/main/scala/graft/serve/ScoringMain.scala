@@ -56,13 +56,21 @@ object ScoringMain {
     }
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 1, "usage: ScoringMain <modelPath>")
+    require(args.length >= 1,
+      "usage: ScoringMain <modelPath> [--http <port>]")
     // local mode forced, as the reference's model_loader does
     // (`model_loader.py:26-33`): serving must not depend on a cluster
     val spark = Sessions.get("graft-scoring", "local[*]")
     val model = Scoring.load(spark, args(0))
-    scoreLines(spark, model, scala.io.Source.stdin.getLines())
-      .foreach(println)
-    spark.stop()
+    if (args.length >= 3 && args(1) == "--http") {
+      // Flask-parity HTTP mode: POST /predict, GET / (HttpScoring)
+      val server = HttpScoring.start(spark, model, args(2).toInt)
+      println(s"serving on port ${server.getAddress.getPort}")
+      Thread.currentThread().join() // serve until killed
+    } else {
+      scoreLines(spark, model, scala.io.Source.stdin.getLines())
+        .foreach(println)
+      spark.stop()
+    }
   }
 }

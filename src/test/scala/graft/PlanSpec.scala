@@ -120,6 +120,23 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("no gate query plans a cartesian; BNLJ only where broadcast is the design") {
+    // BNLJ is CORRECT where a tiny frame broadcasts against a cross/theta
+    // join (brute-force top-k's query side, 1-row corpus stats); anywhere
+    // else it means a join lost its equi-keys and would melt at scale.
+    // (q_asof: the packed right side is ONE broadcast array row;
+    // q_sim_ivf: cell assignment scores every vector against the
+    // broadcast centroid set — a deliberate map-side cross join)
+    val bnljByDesign = Set("q_sim_topk", "q_sim_topk_agg", "q_top_tokens",
+      "q_tfidf", "q_asof", "q_sim_ivf")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val p = plan(fn(spark, Sf0001))
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
+      if (!bnljByDesign(name))
+        assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a BNLJ:\n$p")
+    }
+  }
+
   test("partitioned parquet layout prunes by partition key on read") {
     val dir = tmpDir("plan_part")
     Tables.events(spark, Sf0001)

@@ -47,6 +47,23 @@ class TrainerSpec extends SparkTestBase {
     assert(a.sameElements(b))
   }
 
+  test("reference-config training at training scale lands near baseline quality") {
+    // BASELINE.md rows 8-9: RMSE 3.2709 / MAE 1.1268, trained on a
+    // ~300k-row sample with maxDepth=5/maxIter=60/stepSize=0.1, seed 42.
+    // SyntheticTaxi is calibrated to that regime; ±10% keeps the gate
+    // meaningful (a broken pipeline misses by far more) without pinning
+    // exact GBT arithmetic. ~50 s on local[4]: the one full-size fit in
+    // the suite, exercising the real hyperparameters end-to-end.
+    val taxi = SyntheticTaxi.frame(spark, 300000)
+    val (_, m) = Trainer.trainFareModel(taxi, "",
+      Trainer.TrainConfig(sampleFraction = 1.0, maxRows = 0))
+    assert(math.abs(m.rmse - 3.2709) / 3.2709 < 0.10,
+      s"RMSE ${m.rmse} off baseline 3.2709 by >10%")
+    assert(math.abs(m.mae - 1.1268) / 1.1268 < 0.10,
+      s"MAE ${m.mae} off baseline 1.1268 by >10%")
+    assert(m.trainRows + m.testRows > 290000)
+  }
+
   test("scoring: single request round trip with HALF_EVEN rounding") {
     val (model, _) = trained
     val req = Scoring.ScoringRequest(

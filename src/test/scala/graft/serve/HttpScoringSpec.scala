@@ -1,0 +1,109 @@
+package graft.serve
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import graft.SparkTestBase
+import graft.etl.Transformations
+import graft.ml.Trainer
+import graft.sources.Tables
+
+/** Real HTTP round-trips against the serving endpoint — request/response
+  * parity with the reference Flask API (`src/api/app.py:20-51`),
+  * exercised with the README's example payload (`README.md:302-310`).
+  */
+class HttpScoringSpec extends SparkTestBase {
+
+  private lazy val model = {
+    val clean = Transformations.cleanAndTransform(Tables.csvInfer(spark, FixtureCsv))
+    Trainer.trainFareModel(clean, "",
+      Trainer.TrainConfig(sampleFraction = 1.0, maxRows = 0, maxIter = 3))._1
+  }
+
+  private def withServer[A](f: (HttpClient, Int) => A): A = {
+    val server = HttpScoring.start(spark, model, 0) // ephemeral port
+    try f(HttpClient.newHttpClient(), server.getAddress.getPort)
+    finally server.stop(0)
+  }
+
+  private def post(c: HttpClient, port: Int, body: String): HttpResponse[String] =
+    c.send(
+      HttpRequest.newBuilder(URI.create(s"http://localhost:$port/predict"))
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  // README.md:302-310 example request
+  private val examplePayload =
+    """{
+      |  "trip_distance": 3.2,
+      |  "trip_duration_min": 14.5,
+      |  "passenger_count": 1,
+      |  "pickup_hour": 18,
+      |  "payment_type": 1
+      |}""".stripMargin
+
+  test("POST /predict: example payload returns a 2-dp prediction") {
+    withServer { (c, port) =>
+      val resp = post(c, port, examplePayload)
+      assert(resp.statusCode() == 200)
+      val Json.JObj(f) = Json.parse(resp.body()): @unchecked
+      val Json.JNum(pred) = f("prediction_total_amount"): @unchecked
+      assert(pred.isFinite)
+      assert(pred == Scoring.round2(pred), "response must be 2-dp rounded")
+      // the HTTP answer equals the engine-level scoring path
+      val direct = Scoring.predict(spark, model,
+        Scoring.ScoringRequest(3.2, 14.5, 1, 18, 1))
+      assert(pred == direct)
+    }
+  }
+
+  test("POST /predict: missing field → 400 with the reference's message") {
+    withServer { (c, port) =>
+      val resp = post(c, port,
+        """{"trip_distance": 3.2, "trip_duration_min": 14.5,
+          |"passenger_count": 1, "pickup_hour": 18}""".stripMargin)
+      assert(resp.statusCode() == 400)
+      assert(resp.body().contains("Missing field: payment_type"))
+    }
+  }
+
+  test("POST /predict: python-style coercion accepts strings, rejects junk") {
+    withServer { (c, port) =>
+      // float("3.2") and int("1") succeed in the reference's coercion
+      val ok = post(c, port,
+        """{"trip_distance": "3.2", "trip_duration_min": 14.5,
+          |"passenger_count": "1", "pickup_hour": 18, "payment_type": 1}""".stripMargin)
+      assert(ok.statusCode() == 200)
+      // int("1.5") raises ValueError → 400 Invalid type
+      val bad = post(c, port,
+        """{"trip_distance": 3.2, "trip_duration_min": 14.5,
+          |"passenger_count": "1.5", "pickup_hour": 18, "payment_type": 1}""".stripMargin)
+      assert(bad.statusCode() == 400)
+      assert(bad.body().contains("Invalid type for field: passenger_count"))
+      // int truncates JSON doubles like Python int(3.9) == 3
+      val trunc = post(c, port,
+        """{"trip_distance": 3.2, "trip_duration_min": 14.5,
+          |"passenger_count": 1.9, "pickup_hour": 18, "payment_type": 1}""".stripMargin)
+      assert(trunc.statusCode() == 200)
+    }
+  }
+
+  test("POST /predict: malformed JSON → 400, not a hang or a 200") {
+    withServer { (c, port) =>
+      val resp = post(c, port, "{not json!")
+      assert(resp.statusCode() == 400)
+      assert(resp.body().contains("error"))
+    }
+  }
+
+  test("GET /: health probe answers with the reference's status JSON") {
+    withServer { (c, port) =>
+      val resp = c.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() == 200)
+      assert(resp.body().contains("NYC Taxi API Model Loaded OK"))
+    }
+  }
+}
