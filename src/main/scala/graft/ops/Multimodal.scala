@@ -7,10 +7,16 @@ import org.apache.spark.sql.functions._
   * payloads with typed metadata, decoded/feature-extracted via typed
   * partition-wise map.
   *
-  * The decode step is a clearly-marked deterministic STUB — this
-  * container ships no image/audio codecs, so `decodeStub` stands in for
-  * the real codec call. Everything around it is the real Spark plumbing a
-  * production pipeline needs: binary schema, case-class encoders, a
+  * Decode is REAL where the JDK ships a codec: images via `javax.imageio`
+  * (PNG/BMP/JPEG/GIF — [[decodeImages]], [[resizeImages]]) and WAV audio
+  * via `javax.sound.sampled` ([[decodeWavs]]), both pure Java SE, no
+  * external libraries. Feature math is integer/rational arithmetic
+  * (ITU-R 601 luma, nearest-neighbour sampling, exact RMS sums) so
+  * outputs are bit-deterministic across JVMs and partitionings. Only
+  * codec-less modalities (video) keep the clearly-marked deterministic
+  * STUB path (`decodeStub`), which also serves the gate fixture whose
+  * payloads are text bytes, not media. Either way the Spark plumbing is
+  * identical and production-shaped: binary schema, case-class encoders, a
   * `mapPartitions` batch boundary (one codec init per partition, the same
   * shape a JNI/FFI decoder wants), and flat scalar feature output that
   * downstream relational operators can use.
@@ -44,10 +50,12 @@ object Multimodal {
     ).as[MediaRecord]
   }
 
-  /** STUB decoder: deterministic fake of a codec's header parse. A real
-    * deployment replaces the body with e.g. an image library call —
-    * the signature (bytes in, flat features out) and the partition-wise
-    * execution shape stay identical.
+  /** STUB decoder: deterministic fake of a codec's header parse, for
+    * modalities with no JDK codec (video) and for non-media payloads
+    * (the gate fixture wraps text bytes). Real-codec paths live in
+    * [[decodeImages]]/[[decodeWavs]]; the signature (bytes in, flat
+    * features out) and the partition-wise execution shape are identical,
+    * so swapping a codec in never changes the plan.
     */
   def decodeStub(r: MediaRecord): MediaFeatures = {
     val p = r.payload
@@ -97,6 +105,130 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "side", "pixels")
+  }
+
+  /** Decoded image features: real codec output, deterministic math. */
+  case class ImageFeatures(
+      doc_id: Long,
+      width: Int,
+      height: Int,
+      n_pixels: Long,
+      mean_luma_milli: Long, // ITU-R 601 luma ×1000, integer-exact
+  )
+
+  /** REAL image decode via the JDK's `javax.imageio` (PNG/BMP/JPEG/GIF).
+    * Payloads that aren't decodable images are dropped (flatMap), the
+    * standard skip-corrupt posture for a 100 TB media sweep — count the
+    * drop rate upstream with a cheap magic-byte filter if it matters.
+    * Mean luma uses the integer ITU-R 601 weights (299/587/114 per
+    * mille) summed exactly in a Long, so the feature is bit-identical
+    * regardless of partitioning or JVM.
+    */
+  def decodeImages(media: Dataset[MediaRecord]): Dataset[ImageFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      // ImageIO scans its reader registry per call; per-partition reuse
+      // of the input-stream wrapper is the codec-init-once shape
+      it.flatMap { r =>
+        decodeOne(r.payload).map { bi =>
+          val (w, h) = (bi.getWidth, bi.getHeight)
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = bi.getRGB(x, y)
+              sum += 299L * ((rgb >> 16) & 0xff) +
+                587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          ImageFeatures(r.doc_id, w, h, w.toLong * h, sum / (w.toLong * h))
+        }
+      }
+    }
+  }
+
+  private def decodeOne(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  /** REAL image resize: decode, then nearest-neighbour sample onto a
+    * fixed `side × side` luma grid. Sampling is explicit integer math
+    * (`src = i·dim/side`) rather than Graphics2D scaling, so the output
+    * is deterministic across JVMs — the property a hash-checked pipeline
+    * needs and a codec's interpolating scaler can't promise. Output
+    * schema is fixed-size regardless of input dimensions, keeping
+    * downstream batches uniform (same contract as [[resizeStub]]).
+    */
+  def resizeImages(media: Dataset[MediaRecord], side: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          decodeOne(r.payload).map { bi =>
+            val (w, h) = (bi.getWidth, bi.getHeight)
+            val grid = Array.tabulate(side * side) { i =>
+              val (gy, gx) = (i / side, i % side)
+              val rgb = bi.getRGB((gx.toLong * w / side).toInt, (gy.toLong * h / side).toInt)
+              ((299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+                114L * (rgb & 0xff)) / 1000L).toInt
+            }
+            (r.doc_id, side, grid)
+          }
+        }
+      }
+      .toDF("doc_id", "side", "pixels")
+  }
+
+  /** Decoded WAV features: format metadata + exact integer RMS sum. */
+  case class WavFeatures(
+      doc_id: Long,
+      sample_rate: Int,
+      channels: Int,
+      bits: Int,
+      n_frames: Long,
+      sq_sum: Long, // Σ sample², exact — RMS = sqrt(sq_sum / n)
+  )
+
+  /** REAL WAV audio decode via the JDK's `javax.sound.sampled` — header
+    * (rate/channels/width) plus an exact PCM16 sum of squares, the
+    * integer core of RMS loudness. Non-WAV payloads drop, like
+    * [[decodeImages]]. One frame buffer per record, streamed — payload
+    * bytes never copy into a per-sample structure.
+    */
+  def decodeWavs(media: Dataset[MediaRecord]): Dataset[WavFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.payload))
+          try {
+            val f = in.getFormat
+            val bytes = in.readAllBytes()
+            var sq = 0L
+            if (f.getSampleSizeInBits == 16) {
+              val le = !f.isBigEndian
+              var i = 0
+              while (i + 1 < bytes.length) {
+                val s =
+                  if (le) ((bytes(i + 1) << 8) | (bytes(i) & 0xff)).toShort
+                  else ((bytes(i) << 8) | (bytes(i + 1) & 0xff)).toShort
+                sq += s.toLong * s.toLong
+                i += 2
+              }
+            }
+            Some(WavFeatures(r.doc_id, f.getSampleRate.toInt, f.getChannels,
+              f.getSampleSizeInBits, in.getFrameLength, sq))
+          } finally in.close()
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }
+    }
   }
 
   /** Frame-sampling stub: pick `n` evenly spaced bytes ("frames") from
