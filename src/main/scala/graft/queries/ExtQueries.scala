@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
@@ -319,6 +319,56 @@ object ExtQueries {
     TextAnalysis.vocabProfile(docs(s, dir), "doc_id", "text")
       .select("vocab_exact", "docs_exact", "n_tokens")
 
+  /** Statistical aggregates (corr / sample covariance / sample stddev)
+    * computed from DECIMAL moment sums — the one-pass, partial-
+    * aggregatable shape that scales: each task contributes exact
+    * (n, Σx, Σy, Σx², Σy², Σxy) partials, the merge is decimal addition
+    * (order-independent), and the final formula is a fixed sequence of
+    * double ops spelled identically in the DuckDB oracle. The built-in
+    * `corr`/`stddev` would be the normal call; the moment-sum spelling is
+    * what makes the result bit-reproducible cross-engine AND what a
+    * 100 TB profile job computes anyway (one pass, many stats).
+    */
+  def qStats(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.table(s, dir, "lineitem")
+    val x = col("l_quantity")
+    val y = col("l_extendedprice")
+    def msum(c: Column) = sum(c.cast("decimal(25,6)")).cast("double")
+    li.groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        msum(x).as("sx"), msum(y).as("sy"),
+        msum(x * x).as("sxx"), msum(y * y).as("syy"), msum(x * y).as("sxy"))
+      .select(
+        col("l_returnflag"), col("n"),
+        r6((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1))
+          .as("covar_xy"),
+        r6(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)))
+          .as("stddev_x"),
+        r6((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("corr_xy"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Exact discrete percentiles (quartiles + median) per group —
+    * `percentile_disc` picks actual data values (no interpolation), so
+    * doubles match DuckDB's `quantile_disc` exactly. Exact percentiles
+    * sort every group member; at 100 TB the drop-in is
+    * `approx_percentile` (t-digest, mergeable partials) — this query
+    * pins the exact semantics the approximation is judged against.
+    */
+  def qPercentile(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity)").as("q1"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)").as("median"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY l_quantity)").as("q3"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)")
+          .as("median_price"))
+      .orderBy("l_returnflag")
+
   /** Set operations (absent from the reference, SURVEY §2.8 — provided
     * for engine completeness): urgent ∪ high-value customers, urgent ∩
     * high-value, urgent ∖ high-value, with distinct/ALL variants
@@ -477,6 +527,8 @@ object ExtQueries {
     "q_tfidf" -> (qTfidf _),
     "q_window" -> (qWindow _),
     "q_setops" -> (qSetOps _),
+    "q_stats" -> (qStats _),
+    "q_percentile" -> (qPercentile _),
     "q_vocab_sketch" -> (qVocabSketch _),
     "q_vocab_exact" -> (qVocabExact _),
     "q_asof" -> (qAsof _),
@@ -606,6 +658,27 @@ object ExtQueries {
       ("WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) " +
         "SELECT count(DISTINCT token) AS vocab_exact, count(DISTINCT doc_id) AS docs_exact, " +
         "count(*) AS n_tokens FROM toks"),
+    "q_stats" ->
+      // moment sums in DECIMAL (exact, order-independent), final formula
+      // spelled as the same double-op sequence as the Spark side
+      ("WITH m AS (SELECT l_returnflag, count(*) AS n, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sx, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sy, " +
+        "CAST(sum(CAST(l_quantity*l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sxx, " +
+        "CAST(sum(CAST(l_extendedprice*l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS syy, " +
+        "CAST(sum(CAST(l_quantity*l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sxy " +
+        "FROM lineitem GROUP BY 1) " +
+        "SELECT l_returnflag, n, " +
+        O.r6("(sxy - sx*sy/n) / (n - 1)") + " AS covar_xy, " +
+        O.r6("sqrt((sxx - sx*sx/n) / (n - 1))") + " AS stddev_x, " +
+        O.r6("(n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy))") +
+        " AS corr_xy FROM m ORDER BY l_returnflag"),
+    "q_percentile" ->
+      ("SELECT l_returnflag, quantile_disc(l_quantity, 0.25) AS q1, " +
+        "quantile_disc(l_quantity, 0.5) AS median, " +
+        "quantile_disc(l_quantity, 0.75) AS q3, " +
+        "quantile_disc(l_extendedprice, 0.5) AS median_price " +
+        "FROM lineitem GROUP BY 1 ORDER BY l_returnflag"),
     "q_fingerprint_roll" ->
       // Winnowed Karp–Rabin via fresh per-window folds in HUGEINT mod
       // 2^64 — identical to the engine's O(1)-state sliding recurrence.

@@ -212,6 +212,37 @@ object EventStreams {
     events.join(broadcast(lookup), Seq("event_type"), "left")
   }
 
+  /** Stream–stream event-time interval join: each purchase matches the
+    * same user's clicks from the preceding `within` interval — the
+    * canonical attribution join. BOTH sides carry watermarks and the
+    * join condition bounds click time to a window around purchase time,
+    * so Spark derives an eviction horizon for each buffered side: state
+    * is bounded by watermark + interval, never by stream length.
+    * Without the time bound, append-mode stream–stream join must buffer
+    * a side forever (Spark rejects the plan) — the time bound IS the
+    * scalability contract.
+    */
+  def clickPurchaseAttribution(
+      clicks: DataFrame,
+      purchases: DataFrame,
+      within: String = "1 hour",
+  ): DataFrame = {
+    val c = clicks
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("value").as("click_value"))
+    val p = purchases
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+    c.join(p,
+      col("c_user") === col("p_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $within"))
+      .select(col("p_user").as("user_id"), col("click_ts"),
+        col("purchase_ts"), col("click_value"), col("purchase_value"))
+  }
+
   /** foreachBatch sink: per-micro-batch handler receiving (batchDf,
     * batchId) — the production shape for idempotent upserts/merges into
     * stores the native sinks can't address. Exactly-once comes from the

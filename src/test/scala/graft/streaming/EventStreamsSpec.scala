@@ -190,6 +190,29 @@ class EventStreamsSpec extends SparkTestBase {
     assert(out.filter(col("event_type") === "unknown_type" && col("event_desc").isNotNull).count() == 0)
   }
 
+  test("stream-stream interval join: purchases attribute to in-window clicks only") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    clicks.addData(
+      Event(ts(0, 30), 1, "click", 1.0), // in window of u1's 01:00 purchase
+      Event(ts(2, 30), 1, "click", 2.0), // AFTER the purchase → no match
+      Event(ts(0, 50), 2, "click", 3.0), // >1h before u2's 03:00 purchase
+    )
+    purchases.addData(
+      Event(ts(1, 0), 1, "purchase", 100.0),
+      Event(ts(3, 0), 2, "purchase", 200.0),
+    )
+    EventStreams.runToMemory(
+      EventStreams.clickPurchaseAttribution(clicks.toDF(), purchases.toDF()),
+      "attribution", OutputMode.Append())
+    val got = spark.table("attribution")
+      .select("user_id", "click_value", "purchase_value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 1.0, 100.0)))
+  }
+
   test("foreachBatch sink writes batchId-keyed partitions (idempotent shape)") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
