@@ -105,4 +105,41 @@ object Tables {
       .csv(path)
     path
   }
+
+  /** JSON-lines sink/source pair. JSON is schemaless on disk, so the
+    * production read takes an explicit schema (one pass, no inference,
+    * exactly like [[csvTyped]]); timestamps are pinned to the same
+    * microsecond format as the CSV pair so round-trips are lossless.
+    * JSON scans split by line, so a large export stays as parallel to
+    * read as it was to write.
+    */
+  def exportJson(df: DataFrame, path: String): String = {
+    df.write
+      .mode("overwrite")
+      .option("timestampFormat", CsvTimestampFormat)
+      .json(path)
+    path
+  }
+
+  def jsonTyped(
+      spark: SparkSession,
+      path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read
+      .option("timestampFormat", CsvTimestampReadFormat)
+      .schema(schema)
+      .json(path)
+
+  /** ORC sink/source pair — the other columnar format Spark ships
+    * natively. Same pushdown/pruning properties as parquet (predicate
+    * pushdown, column pruning, stripe-level skipping), so it is a
+    * drop-in for parquet-shaped pipelines in ORC-standardized shops.
+    */
+  def exportOrc(df: DataFrame, path: String): String = {
+    df.write.mode("overwrite").orc(path)
+    path
+  }
+
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
 }

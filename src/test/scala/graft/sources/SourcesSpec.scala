@@ -35,6 +35,31 @@ class SourcesSpec extends SparkTestBase {
     df.unpersist()
   }
 
+  test("JSON-lines round-trip is lossless, including microsecond timestamps") {
+    val ev = Tables.events(spark, Sf0001)
+    val dir = tmpDir("json_rt")
+    Tables.exportJson(ev, dir)
+    val back = Tables.jsonTyped(spark, dir, ev.schema)
+    assert(back.schema == ev.schema)
+    assert(back.count() == ev.count())
+    assert(back.exceptAll(ev).isEmpty && ev.exceptAll(back).isEmpty)
+  }
+
+  test("ORC round-trip is lossless and prunes/pushes down like parquet") {
+    val ev = Tables.events(spark, Sf0001)
+    val dir = tmpDir("orc_rt")
+    Tables.exportOrc(ev, dir)
+    val back = Tables.orc(spark, dir)
+    assert(back.count() == ev.count())
+    assert(back.exceptAll(ev).isEmpty && ev.exceptAll(back).isEmpty)
+    // scan-level contract: filter + projection reach the ORC reader
+    import org.apache.spark.sql.functions.col
+    val plan = back.filter(col("user_id") === 7).select("event_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(user_id), EqualTo(user_id,7)]")
+      || plan.contains("EqualTo(user_id,7)"), s"no ORC pushdown:\n$plan")
+  }
+
   test("events reader normalizes nanos timestamps to TimestampType") {
     val ev = Tables.events(spark, Sf0001)
     assert(ev.schema("ts").dataType.typeName == "timestamp")
