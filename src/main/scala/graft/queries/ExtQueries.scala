@@ -260,6 +260,21 @@ object ExtQueries {
       .orderBy("event_id")
   }
 
+  /** The same keyed as-of as [[qAsofBig]], through the NATIVE sorted-merge
+    * operator (custom LogicalPlan + Strategy + SparkPlan,
+    * [[graft.plans.AsOfJoinPlan]]) — it shares q_asof_big's DuckDB ASOF
+    * oracle, proving the custom machinery agrees with both the window
+    * composition and DuckDB's native implementation.
+    */
+  def qAsofNative(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select("event_id", "user_id", "ts", "value")
+    graft.plans.AsOfJoinPlan
+      .asofJoin(ev, ev.select("user_id", "ts", "value"), "user_id", "ts", "ts", "value")
+      .select(col("event_id"), col("user_id"),
+        r6(coalesce(col("asof_v"), lit(0.0))).as("prev_value"))
+      .orderBy("event_id")
+  }
+
   /** Range join: all events falling inside any early user's first-12-hour
     * window — bucketed-equi-join composition vs DuckDB's theta join.
     */
@@ -533,6 +548,7 @@ object ExtQueries {
     "q_vocab_exact" -> (qVocabExact _),
     "q_asof" -> (qAsof _),
     "q_asof_big" -> (qAsofBig _),
+    "q_asof_native" -> (qAsofNative _),
     "q_range" -> (qRange _),
     "q_pivot" -> (qPivot _),
     "q_semi_anti" -> (qSemiAnti _),
@@ -799,6 +815,12 @@ object ExtQueries {
         "FROM e ASOF LEFT JOIN daily ON e.d > daily.rate_d " +
         "ORDER BY event_id"),
     "q_asof_big" ->
+      ("WITH e AS (SELECT event_id, user_id, ts::TIMESTAMP AS t, value FROM events) " +
+        "SELECT e.event_id, e.user_id, " +
+        O.r6("coalesce(p.value, 0.0)") + " AS prev_value " +
+        "FROM e ASOF LEFT JOIN e p ON e.user_id = p.user_id AND e.t > p.t " +
+        "ORDER BY e.event_id"),
+    "q_asof_native" -> // same oracle as q_asof_big: both must agree with it
       ("WITH e AS (SELECT event_id, user_id, ts::TIMESTAMP AS t, value FROM events) " +
         "SELECT e.event_id, e.user_id, " +
         O.r6("coalesce(p.value, 0.0)") + " AS prev_value " +

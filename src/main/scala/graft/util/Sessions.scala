@@ -38,6 +38,10 @@ object Sessions {
       .master(master)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.ui.enabled", "false")
+      // custom-operator machinery (graft.plans): planner strategy for the
+      // native as-of join. No-op if the JVM session already exists —
+      // tune() below re-registers through the public experimental hook.
+      .withExtensions(_.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy))
     sqlConfs.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -50,6 +54,7 @@ object Sessions {
       try spark.conf.set(k, v)
       catch { case _: org.apache.spark.sql.AnalysisException => () }
     }
+    graft.plans.AsOfJoinPlan.register(spark)
     spark
   }
 }

@@ -1,14 +1,22 @@
 package org.apache.spark.sql
 
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic.ExpressionUtils
 
-/** Bridge into Spark's `private[sql]` Column↔Expression conversion (the
-  * Spark 4 unified Column hides Catalyst expressions behind ColumnNode).
-  * Kept to two one-line delegations so the private-API surface we touch
-  * stays minimal and auditable.
+/** Bridge into Spark's `private[sql]` surfaces (the Spark 4 unified
+  * Column hides Catalyst expressions behind ColumnNode, and DataFrame
+  * construction from a LogicalPlan lives on the classic Dataset
+  * companion). Kept to three one-line delegations so the private-API
+  * surface we touch stays minimal and auditable.
   */
 object GraftShims {
   def toExpr(c: Column): Expression = ExpressionUtils.expression(c)
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** Wrap a (resolved) logical plan as a DataFrame — the entry point for
+    * custom logical operators (e.g. graft.plans.AsOfJoin).
+    */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }
