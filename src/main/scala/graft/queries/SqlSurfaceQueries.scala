@@ -1,0 +1,177 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.queries.Det._
+import graft.queries.{Oracle => O}
+import graft.sources.Tables
+
+/** SQL-surface completeness queries (engine breadth beyond the
+  * reference): a TPC-H-shaped multiway join, window frame variants,
+  * date/time scalar functions, JSON extraction over the events `props`
+  * column, and the SQL-string front end over temp views. Every entry is
+  * DuckDB hash-checked like the rest of the gate.
+  */
+object SqlSurfaceQueries {
+
+  /** TPC-H Q3 shape (shipping priority): customer ⋈ orders ⋈ lineitem
+    * with selective filters on both fact sides, revenue = decimal-summed
+    * extended price × (1 − discount), top 10 by revenue.
+    *
+    * Scale shape: the filters reach the parquet scans (pushdown), the
+    * dimension side (filtered customer keys) broadcasts under AQE, and
+    * the orders⋈lineitem join shuffles on the order key — the classic
+    * star-join plan. Revenue is rounded BEFORE the ordering so the
+    * cross-engine sort ranks identically; l_orderkey breaks ties.
+    */
+  def qTpchQ3(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-06-01").cast("timestamp")
+    val cust = Tables.table(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.table(s, dir, "orders")
+      .filter(col("o_orderdate") < cutoff)
+    val li = Tables.table(s, dir, "lineitem")
+      .filter(col("l_shipdate") > cutoff)
+    cust
+      .join(ord, col("c_custkey") === col("o_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Window frame variants over per-user event sequences: ntile
+    * quartiles, percent_rank/cume_dist (deterministic via the event_id
+    * tiebreak: no rank peers), full-frame first/last/nth_value, and a
+    * sliding 3-row decimal sum. All frames are bounded, so state per
+    * window is O(frame), not O(partition).
+    */
+  def qWindowFrames(s: SparkSession, dir: String): DataFrame = {
+    val byTs = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val byVal = Window.partitionBy("user_id").orderBy(col("value"), col("event_id"))
+    val full = byTs.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val sliding = byTs.rowsBetween(-2, Window.currentRow)
+    Tables.events(s, dir)
+      .select(
+        col("event_id"), col("user_id"),
+        ntile(4).over(byTs).as("quartile"),
+        r6(percent_rank().over(byVal)).as("pct_rank"),
+        r6(cume_dist().over(byVal)).as("cume"),
+        first(col("value")).over(full).as("first_v"),
+        last(col("value")).over(full).as("last_v"),
+        nth_value(col("value"), 2).over(full).as("second_v"),
+        r6(sum(col("value").cast("decimal(25,6)")).over(sliding).cast("double"))
+          .as("sliding_sum_3"),
+      )
+      .orderBy("event_id")
+  }
+
+  /** Date/time scalar surface: truncation, month arithmetic with
+    * end-of-month clamping, calendar fields, day difference against a
+    * fixed epoch, unix seconds. All pure per-row projections (codegen,
+    * no shuffle); the oracle spells DuckDB's equivalents including its
+    * 0-based dayofweek.
+    */
+  def qDates(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      col("event_id"),
+      date_trunc("month", col("ts")).as("month_start"),
+      date_trunc("week", col("ts")).as("week_start"),
+      add_months(to_date(col("ts")), 2).as("plus_2m"),
+      last_day(col("ts")).as("month_end"),
+      dayofweek(col("ts")).as("dow"),
+      dayofyear(col("ts")).as("doy"),
+      quarter(col("ts")).as("qtr"),
+      datediff(to_date(col("ts")), lit("2024-01-01").cast("date")).as("days_since"),
+      unix_timestamp(col("ts")).as("epoch_s"),
+    ).orderBy("event_id")
+
+  /** JSON extraction over the events `props` column (a JSON string):
+    * scalar path extraction, typed cast, and an aggregation keyed on the
+    * extracted value — the semi-structured access pattern every event
+    * pipeline needs. Per-row parse is a codegen'd built-in (Jackson
+    * under the hood), no UDF.
+    */
+  def qJson(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy((col("k") % 10).as("k_mod"))
+      .agg(count(lit(1)).as("n"), min("k").as("min_k"), max("k").as("max_k"))
+      .orderBy("k_mod")
+
+  /** The SQL-string front end: the same engine through `spark.sql` over
+    * a temp view — proves the Catalyst SQL parser path end-to-end, not
+    * just the DataFrame DSL.
+    */
+  def qSql(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_v")
+    s.sql(
+      """SELECT event_type, count(*) AS n, min(event_id) AS min_id,
+        |       max(event_id) AS max_id
+        |FROM events_v GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpch_q3" -> (qTpchQ3 _),
+    "q_window_frames" -> (qWindowFrames _),
+    "q_dates" -> (qDates _),
+    "q_json" -> (qJson _),
+    "q_sql" -> (qSql _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_tpch_q3" ->
+      ("SELECT l_orderkey, " +
+        O.dsum("l_extendedprice * (1.0 - l_discount)") + " AS revenue, " +
+        "o_orderdate, o_orderpriority " +
+        "FROM customer, orders, lineitem " +
+        "WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey " +
+        "AND l_orderkey = o_orderkey " +
+        "AND o_orderdate < TIMESTAMP '1998-06-01' " +
+        "AND l_shipdate > TIMESTAMP '1998-06-01' " +
+        "GROUP BY l_orderkey, o_orderdate, o_orderpriority " +
+        "ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10"),
+    "q_window_frames" ->
+      ("SELECT event_id, user_id, " +
+        "(ntile(4) OVER wt)::INT AS quartile, " +
+        O.r6("percent_rank() OVER wv") + " AS pct_rank, " +
+        O.r6("cume_dist() OVER wv") + " AS cume, " +
+        "first_value(value) OVER wf AS first_v, " +
+        "last_value(value) OVER wf AS last_v, " +
+        "nth_value(value, 2) OVER wf AS second_v, " +
+        O.r6("CAST(sum(CAST(value AS DECIMAL(25,6))) OVER ws AS DOUBLE)") +
+        " AS sliding_sum_3 " +
+        "FROM events WINDOW " +
+        "wt AS (PARTITION BY user_id ORDER BY ts, event_id), " +
+        "wv AS (PARTITION BY user_id ORDER BY value, event_id), " +
+        "wf AS (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), " +
+        "ws AS (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) " +
+        "ORDER BY event_id"),
+    "q_dates" ->
+      ("SELECT event_id, " +
+        "date_trunc('month', ts::TIMESTAMP)::TIMESTAMP AS month_start, " +
+        "date_trunc('week', ts::TIMESTAMP)::TIMESTAMP AS week_start, " +
+        "(ts::DATE + INTERVAL 2 MONTH)::DATE AS plus_2m, " +
+        "last_day(ts::TIMESTAMP) AS month_end, " +
+        "(dayofweek(ts::TIMESTAMP) + 1)::INT AS dow, " +
+        "dayofyear(ts::TIMESTAMP)::INT AS doy, " +
+        "quarter(ts::TIMESTAMP)::INT AS qtr, " +
+        "datediff('day', DATE '2024-01-01', ts::DATE)::INT AS days_since, " +
+        "floor(epoch(ts::TIMESTAMP))::BIGINT AS epoch_s " +
+        "FROM events ORDER BY event_id"),
+    "q_json" ->
+      ("WITH x AS (SELECT json_extract_string(props, '$.k')::INT AS k FROM events) " +
+        "SELECT k % 10 AS k_mod, count(*) AS n, min(k) AS min_k, max(k) AS max_k " +
+        "FROM x GROUP BY 1 ORDER BY k_mod"),
+    "q_sql" ->
+      ("SELECT event_type, count(*) AS n, min(event_id) AS min_id, " +
+        "max(event_id) AS max_id FROM events GROUP BY event_type " +
+        "ORDER BY event_type"),
+  )
+}
