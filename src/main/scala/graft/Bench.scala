@@ -109,14 +109,18 @@ object Bench {
         timed(name)(fn(spark, sfDir).count())
     }
 
+    // full escaping via Json.quote: a bare replace would pass raw
+    // control chars (ANSI escapes in exception messages) into the one
+    // JSON line the driver parses
     def jmap(m: collection.Map[String, String]): String =
       m.map { case (k, v) =>
-        s""""$k":"${v.replace("\\", "\\\\").replace("\"", "\\\"")}""""
+        s"${graft.serve.Json.quote(k)}:${graft.serve.Json.quote(v)}"
       }.mkString("{", ",", "}")
     val qs = times.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val total = times.values.sum
-    val gbtStats = gbt
-      .map(m => s""""gbt_rmse":${m.rmse},"gbt_mae":${m.mae},""")
+    val gbtStats = gbt // Json.format: NaN/Inf → null, keeps the line valid JSON
+      .map(m => s""""gbt_rmse":${graft.serve.Json.format(m.rmse)},""" +
+        s""""gbt_mae":${graft.serve.Json.format(m.mae)},""")
       .getOrElse("")
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +

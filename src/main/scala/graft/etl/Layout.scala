@@ -54,7 +54,7 @@ object Layout {
       path: String,
       sortCols: Seq[String],
       partitionCols: Seq[String] = Nil,
-      numFiles: Option[Int] = None, // explicit → AQE keeps the count
+      numFiles: Option[Int] = None, // unpartitioned path only; explicit → AQE keeps the count
   ): Unit = {
     val arranged =
       if (partitionCols.nonEmpty) df.repartition(partitionCols.map(col): _*)
@@ -62,7 +62,12 @@ object Layout {
         case Some(n) => df.repartitionByRange(n, sortCols.map(col): _*)
         case None => df.repartitionByRange(sortCols.map(col): _*)
       }
-    val sorted = arranged.sortWithinPartitions(sortCols.map(col): _*)
+    // hive-partitioned writes require partitionCols-leading order: if the
+    // local sort doesn't provide it, FileFormatWriter inserts its OWN
+    // sort by partitionCols only, destroying the sortCols clustering
+    // (Spark's sort is not stable) — so sort (partitionCols ++ sortCols)
+    val localOrder = (partitionCols ++ sortCols).map(col)
+    val sorted = arranged.sortWithinPartitions(localOrder: _*)
     val w = sorted.write.mode(SaveMode.Overwrite)
     (if (partitionCols.isEmpty) w else w.partitionBy(partitionCols: _*))
       .parquet(path)

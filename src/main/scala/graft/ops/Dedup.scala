@@ -136,13 +136,16 @@ object Dedup {
     // shingle→minhash→band→sort lineage (measured ~2× on the dedup
     // queries). The first branch materializes the narrow (id, band, rn,
     // min_id) frame; the second reads the cache. Plan-keyed in Spark's
-    // CacheManager, so repeated dedup queries in one session share it;
-    // eviction is Spark's (MEMORY_AND_DISK), the price of keeping a pure
-    // lazy API with a diamond-shaped consumer.
+    // CacheManager, so repeated dedup queries in one session share it.
+    // MEMORY_ONLY deliberately: a lazy API can't unpersist, and
+    // disk-backed blocks are reclaimed only by unpersist/shutdown — a
+    // long-lived session calling this repeatedly would accumulate local
+    // disk forever. Memory blocks evict under pressure (worst case:
+    // recompute, i.e. the pre-persist behavior).
     val ranked = banded
       .withColumn("rn", row_number().over(w))
       .withColumn("min_id", min(col(idCol)).over(w))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val buckets = ranked
       .filter(col("rn") <= bucketCap)
       .groupBy("band_idx", "band_hash")

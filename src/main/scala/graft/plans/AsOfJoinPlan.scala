@@ -120,10 +120,14 @@ case class AsOfJoinExec(
     copy(left = newLeft, right = newRight)
 
   override protected def doExecute(): RDD[InternalRow] = {
+    // localize every field the closure touches: referencing case-class
+    // members directly would capture `this` and serialize the whole
+    // physical plan subtree into each task
     val lOut = left.output
     val rOut = right.output
     val (lKey, lTime) = (leftKey, leftTime)
     val (rKey, rTime, rVal) = (rightKey, rightTime, rightValue)
+    val (aT, aV) = (asofT, asofV)
     val out = output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(Seq[Expression](lKey), lOut)
@@ -133,7 +137,7 @@ case class AsOfJoinExec(
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lKey.dataType))
       val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lTime.dataType))
       val resultProj = UnsafeProjection.create(out.map(a => a: Expression),
-        lOut :+ asofT :+ asofV)
+        lOut :+ aT :+ aV)
       val joined = new JoinedRow
       val noMatch = new GenericInternalRow(2) // (null, null)
 
@@ -200,8 +204,16 @@ object AsOfJoinPlan {
         throw new IllegalArgumentException(s"column $n not on right side"))
     val rTime = rattr(rightTimeCol)
     val rVal = rattr(valueCol)
+    val (lKeyA, lTimeA) = (attr(lp, keyCol), attr(lp, leftTimeCol))
+    // the exec compares RIGHT rows with orderings built from LEFT types;
+    // a silent type mismatch (long vs int key) would read garbage, so
+    // fail at plan time instead
+    require(lKeyA.dataType == rattr(keyCol).dataType,
+      s"as-of key type mismatch: ${lKeyA.dataType} vs ${rattr(keyCol).dataType}")
+    require(lTimeA.dataType == rTime.dataType,
+      s"as-of time type mismatch: ${lTimeA.dataType} vs ${rTime.dataType}")
     val node = AsOfJoin(lp, rp,
-      attr(lp, keyCol), rattr(keyCol), attr(lp, leftTimeCol), rTime, rVal,
+      lKeyA, rattr(keyCol), lTimeA, rTime, rVal,
       AttributeReference("asof_t", rTime.dataType, nullable = true)(),
       AttributeReference("asof_v", rVal.dataType, nullable = true)())
     org.apache.spark.sql.GraftShims.ofRows(spark, node)

@@ -40,16 +40,30 @@ object HttpScoring {
     "payment_type" -> toInt _,
   )
 
+  // Python float()/int() string grammars (sign, digits with optional
+  // underscore separators, decimal/exponent; inf/nan for float). Java's
+  // parsers are LOOSER — they accept "3.2f", "1.5d", and hex floats,
+  // which Python rejects with ValueError → must be a 400 here too.
+  private val PyFloat = ("^[+-]?((\\d(_?\\d)*(\\.(\\d(_?\\d)*)?)?" +
+    "|\\.\\d(_?\\d)*)([eE][+-]?\\d(_?\\d)*)?|(?i:inf(inity)?|nan))$").r
+  private val PyInt = "^[+-]?\\d(_?\\d)*$".r
+
   private def toFloat(v: Json.Value): Double = v match {
     case Json.JNum(d) => d
-    case Json.JStr(s) => s.trim.toDouble // Python float("3.2") accepts
+    case Json.JStr(s) => // Python float("3.2") accepts; float("3.2f") raises
+      val t = s.trim
+      if (PyFloat.findFirstIn(t).isEmpty) throw new NumberFormatException(t)
+      t.replace("_", "").toDouble
     case Json.JBool(b) => if (b) 1.0 else 0.0 // float(True) == 1.0
     case _ => throw new NumberFormatException("not a float")
   }
 
   private def toInt(v: Json.Value): Int = v match {
     case Json.JNum(d) => d.toInt // int(3.9) == 3: truncation
-    case Json.JStr(s) => s.trim.toInt // int("3.2") raises in Python too
+    case Json.JStr(s) => // int("3.2") raises in Python too
+      val t = s.trim
+      if (PyInt.findFirstIn(t).isEmpty) throw new NumberFormatException(t)
+      t.replace("_", "").toInt
     case Json.JBool(b) => if (b) 1 else 0
     case _ => throw new NumberFormatException("not an int")
   }

@@ -227,12 +227,15 @@ object EventStreams {
       purchases: DataFrame,
       within: String = "1 hour",
   ): DataFrame = {
+    // watermark delay tracks the join interval: a fixed delay narrower
+    // than `within` would silently drop late clicks the wider window
+    // was meant to capture
     val c = clicks
-      .withWatermark("ts", "1 hour")
+      .withWatermark("ts", within)
       .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
         col("value").as("click_value"))
     val p = purchases
-      .withWatermark("ts", "1 hour")
+      .withWatermark("ts", within)
       .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
         col("value").as("purchase_value"))
     c.join(p,

@@ -72,5 +72,16 @@ class LayoutSpec extends SparkTestBase {
     assert(dirs.exists(_.startsWith("etype=")), dirs.mkString(","))
     val back = spark.read.parquet(dir)
     assert(back.count() == ev.count())
+    // the promised clustering actually holds INSIDE each file: ts is
+    // non-decreasing in row order (guards against FileFormatWriter
+    // inserting its own partition-cols-only sort on top)
+    val disorder = spark.read.parquet(dir)
+      .select(input_file_name().as("f"), col("ts"),
+        monotonically_increasing_id().as("pos"))
+      .withColumn("prev_ts", lag("ts", 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("f").orderBy("pos")))
+      .filter(col("prev_ts") > col("ts"))
+      .count()
+    assert(disorder == 0, s"$disorder out-of-order rows inside sorted files")
   }
 }

@@ -89,6 +89,36 @@ class HttpScoringSpec extends SparkTestBase {
     }
   }
 
+  test("POST /predict: java-only numeric spellings rejected like Python") {
+    withServer { (c, port) =>
+      // Python float("3.2f") raises ValueError; Java parses it — must 400
+      val javaFloat = post(c, port,
+        """{"trip_distance": "3.2f", "trip_duration_min": 14.5,
+          |"passenger_count": 1, "pickup_hour": 18, "payment_type": 1}""".stripMargin)
+      assert(javaFloat.statusCode() == 400)
+      assert(javaFloat.body().contains("Invalid type for field: trip_distance"))
+      // hex floats are Java-only too
+      val hexFloat = post(c, port,
+        """{"trip_distance": "0x1.8p1", "trip_duration_min": 14.5,
+          |"passenger_count": 1, "pickup_hour": 18, "payment_type": 1}""".stripMargin)
+      assert(hexFloat.statusCode() == 400)
+      // Python accepts underscore separators: float("1_000.5") == 1000.5
+      val underscore = post(c, port,
+        """{"trip_distance": "1_000.5", "trip_duration_min": 14.5,
+          |"passenger_count": 1, "pickup_hour": 18, "payment_type": 1}""".stripMargin)
+      assert(underscore.statusCode() == 200)
+    }
+  }
+
+  test("POST /predict: malformed unicode escape → 400, not 500") {
+    withServer { (c, port) =>
+      // built by concatenation: scalac pre-processes \uXXXX even in
+      // triple-quoted literals, so the bad escape can't be written inline
+      val resp = post(c, port, "{\"trip_distance\": \"\\" + "uZZZZ\"}")
+      assert(resp.statusCode() == 400, s"got ${resp.statusCode()}: ${resp.body()}")
+    }
+  }
+
   test("POST /predict: malformed JSON → 400, not a hang or a 200") {
     withServer { (c, port) =>
       val resp = post(c, port, "{not json!")
