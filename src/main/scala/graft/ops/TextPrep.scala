@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.queries.Det.r6
+
+/** Training-data preparation operators: chunking, PII redaction, and
+  * n-gram language-model scoring — the steps between "deduplicated
+  * corpus" and "training batches".
+  *
+  * All three are single-pass relational shapes: chunking is an explode
+  * over precomputed window offsets, redaction is a codegen'd
+  * `regexp_replace` chain, and the LM score is two vocabulary-bounded
+  * aggregations plus a bigram join — nothing here shuffles corpus bytes
+  * except the explode, whose output IS the product.
+  */
+object TextPrep {
+
+  /** Split each document into overlapping token windows of `size` tokens
+    * with `stride` tokens between window starts (stride < size ⇒
+    * overlap). The last window is kept short rather than padded — models
+    * mask, storage shouldn't. Output: (id, chunk_idx, chunk_text,
+    * n_tokens).
+    *
+    * The windows-per-doc sequence is computed once per row and exploded;
+    * at 100 TB the explode factor len/stride IS the dataset growth a
+    * chunking pass implies — there is no cheaper shape, only smaller
+    * chunks.
+    */
+  def chunk(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkSize: Int,
+      stride: Int,
+  ): DataFrame = {
+    require(stride > 0 && chunkSize > 0, "chunkSize and stride must be positive")
+    val toks = TextAnalysis.tokens(col(textCol))
+    // window starts 0, stride, 2·stride, …: ceil((len−size)/stride)+1 of
+    // them (sequence is inclusive), so the final window reaches the end
+    val lastStart = greatest(
+      ceil((size(toks) - lit(chunkSize)).cast("double") / stride).cast("int"),
+      lit(0))
+    df.select(
+      col(idCol),
+      posexplode(
+        transform(sequence(lit(0), lastStart),
+          w => slice(toks, w * stride + 1, lit(chunkSize))))
+        .as(Seq("chunk_idx", "chunk_toks")))
+      .filter(size(col("chunk_toks")) > 0)
+      .select(
+        col(idCol), col("chunk_idx"),
+        concat_ws(" ", col("chunk_toks")).as("chunk_text"),
+        size(col("chunk_toks")).as("n_tokens"))
+  }
+
+  /** PII patterns → replacement tags. Deliberately conservative regexes
+    * (emails, E.164-ish and US-formatted phones, SSNs, IPv4) in both
+    * Java and RE2 syntax subsets, so the same pattern strings run in
+    * Spark (java.util.regex) and DuckDB (RE2) identically.
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}" -> "<EMAIL>",
+    "\\b\\d{3}-\\d{2}-\\d{4}\\b" -> "<SSN>",
+    "\\+?\\d{1,3}[-. ]?\\(?\\d{3}\\)?[-. ]?\\d{3}[-. ]?\\d{4}\\b" -> "<PHONE>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
+  )
+
+  /** Redact PII in-place: one codegen'd `regexp_replace` per pattern,
+    * fused into a single projection — a full-corpus map pass with zero
+    * shuffle. Adds `n_redactions` (count of tags inserted) so the
+    * pipeline can quarantine PII-dense documents instead of silently
+    * laundering them.
+    */
+  def redactPii(df: DataFrame, textCol: String): DataFrame = {
+    val redacted = PiiPatterns.foldLeft(col(textCol)) {
+      case (c, (pat, tag)) => regexp_replace(c, pat, tag)
+    }
+    val tagPattern = "<(EMAIL|SSN|PHONE|IP)>"
+    df.withColumn("text_redacted", redacted)
+      .withColumn("n_redactions",
+        size(regexp_extract_all(col("text_redacted"), lit(tagPattern), lit(0))))
+  }
+
+  /** Per-document bigram language-model score: corpus-level bigram/
+    * unigram counts with add-one smoothing, then each document's mean
+    * negative log-probability (lower = more fluent under the corpus LM)
+    * — the KenLM-shaped quality filter, relationally.
+    *
+    * Determinism: each bigram's log-prob is rounded to 6 dp FIRST (one
+    * double log per distinct bigram — the same cross-engine contract as
+    * TF-IDF's idf), then summed as DECIMAL (order-independent), then
+    * divided. Shuffles are bounded by |bigram vocabulary| and docs ×
+    * distinct-bigrams-per-doc — never corpus bytes.
+    */
+  def bigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    // (doc, w1, w2) pairs via index explode over the token array
+    val pairs = df.select(
+      col(idCol),
+      posexplode(slice(toks, lit(1), greatest(size(toks) - 1, lit(0))))
+        .as(Seq("i", "w1")),
+      toks.as("_toks"))
+      .withColumn("w2", element_at(col("_toks"), col("i") + 2))
+      .select(col(idCol), col("w1"), col("w2"))
+    val bigramCounts = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val unigramCounts = pairs.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = pairs.agg(countDistinct("w2").as("v"))
+    // smoothed per-bigram -log p, rounded before any summation
+    val scored = bigramCounts
+      .join(unigramCounts, "w1")
+      .crossJoin(broadcast(vocab))
+      .withColumn("nlp",
+        r6(-log((col("c12") + 1.0) / (col("c1") + col("v")))))
+      .select("w1", "w2", "nlp")
+    pairs
+      .join(scored, Seq("w1", "w2"))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        r6(sum(col("nlp").cast("decimal(25,6)")).cast("double") / count(lit(1)))
+          .as("mean_surprisal"))
+  }
+}

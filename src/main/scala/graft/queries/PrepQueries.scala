@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.TextPrep
+import graft.queries.{Oracle => O}
+import graft.sources.Tables
+
+/** Gate queries for the training-data preparation operators
+  * ([[graft.ops.TextPrep]]): chunking, PII redaction, bigram-LM
+  * surprisal. DuckDB-hash-checked like the rest of the gate; the
+  * redaction REGEXES are additionally proven on crafted PII fixtures in
+  * TextPrepSpec (the corpus fixture is PII-free, so the gate checks the
+  * identity path + zero counts there).
+  */
+object PrepQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "documents")
+
+  def qChunks(s: SparkSession, dir: String): DataFrame =
+    TextPrep.chunk(docs(s, dir), "doc_id", "text", chunkSize = 16, stride = 12)
+      .orderBy("doc_id", "chunk_idx")
+
+  def qRedact(s: SparkSession, dir: String): DataFrame =
+    TextPrep.redactPii(docs(s, dir), "text")
+      .select("doc_id", "text_redacted", "n_redactions")
+      .orderBy("doc_id")
+
+  def qSurprisal(s: SparkSession, dir: String): DataFrame =
+    TextPrep.bigramSurprisal(docs(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_chunks" -> (qChunks _),
+    "q_redact" -> (qRedact _),
+    "q_surprisal" -> (qSurprisal _),
+  )
+
+  private def redactSql: String =
+    TextPrep.PiiPatterns.foldLeft("text") { case (expr, (pat, tag)) =>
+      val p = pat.replace("\\", "\\\\").replace("'", "''")
+      // 'g': DuckDB replaces only the first match by default; Spark all
+      s"regexp_replace($expr, '$p', '$tag', 'g')"
+    }
+
+  val oracleSql: Map[String, String] = Map(
+    "q_chunks" ->
+      ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "s AS (SELECT doc_id, w, greatest(CAST(ceil((len(w) - 16)::DOUBLE / 12) AS INT), 0) AS last FROM w), " +
+        "c AS (SELECT doc_id, CAST(t.i AS INT) AS chunk_idx, " +
+        "w[CAST(t.i*12 + 1 AS INT):CAST(t.i*12 + 16 AS INT)] AS toks " +
+        "FROM s, unnest(range(0, s.last + 1)) AS t(i)) " +
+        "SELECT doc_id, chunk_idx, array_to_string(toks, ' ') AS chunk_text, " +
+        "len(toks)::INT AS n_tokens FROM c WHERE len(toks) > 0 " +
+        "ORDER BY doc_id, chunk_idx"),
+    "q_redact" ->
+      (s"SELECT doc_id, $redactSql AS text_redacted, " +
+        s"len(regexp_extract_all($redactSql, '<(EMAIL|SSN|PHONE|IP)>'))::INT " +
+        "AS n_redactions FROM documents ORDER BY doc_id"),
+    "q_surprisal" ->
+      ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "p AS (SELECT doc_id, w[CAST(t.i + 1 AS INT)] AS w1, w[CAST(t.i + 2 AS INT)] AS w2 " +
+        "FROM w, unnest(range(0, greatest(len(w.w) - 1, 0))) AS t(i)), " +
+        "bc AS (SELECT w1, w2, count(*) AS c12 FROM p GROUP BY 1, 2), " +
+        "uc AS (SELECT w1, count(*) AS c1 FROM p GROUP BY 1), " +
+        "v AS (SELECT count(DISTINCT w2) AS v FROM p), " +
+        "sc AS (SELECT w1, w2, " + O.r6("-ln((c12 + 1.0) / (c1 + v))") + " AS nlp " +
+        "FROM bc JOIN uc USING (w1) CROSS JOIN v) " +
+        "SELECT doc_id, count(*) AS n_bigrams, " +
+        O.r6("CAST(sum(CAST(nlp AS DECIMAL(25,6))) AS DOUBLE) / count(*)") +
+        " AS mean_surprisal " +
+        "FROM p JOIN sc USING (w1, w2) GROUP BY doc_id ORDER BY doc_id"),
+  )
+}

@@ -127,8 +127,9 @@ class PlanSpec extends SparkTestBase {
     // (q_asof: the packed right side is ONE broadcast array row;
     // q_sim_ivf: cell assignment scores every vector against the
     // broadcast centroid set — a deliberate map-side cross join)
+    // (q_surprisal: 1-row vocab scalar broadcast, like q_tfidf)
     val bnljByDesign = Set("q_sim_topk", "q_sim_topk_agg", "q_top_tokens",
-      "q_tfidf", "q_asof", "q_sim_ivf")
+      "q_tfidf", "q_asof", "q_sim_ivf", "q_surprisal")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = plan(fn(spark, Sf0001))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")

@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.sources.Tables
+
+/** TextPrep semantics on crafted fixtures: chunk coverage/overlap
+  * arithmetic, PII regexes on real PII strings (the corpus fixture is
+  * PII-free, so the DuckDB gate only proves the identity path), and
+  * bigram surprisal's ordering property.
+  */
+class TextPrepSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("chunk: windows cover every token, overlap = size - stride") {
+    val doc = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val chunks = TextPrep.chunk(doc, "doc_id", "text", chunkSize = 4, stride = 3)
+      .orderBy("chunk_idx").collect()
+    // len 10, size 4, stride 3 → starts 0,3,6 → 3 chunks, last one full
+    assert(chunks.map(_.getString(2)).toSeq == Seq(
+      "w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10"))
+    assert(chunks.map(_.getInt(3)).toSeq == Seq(4, 4, 4))
+    // short doc: one (short) chunk, never padded
+    val short = TextPrep.chunk(
+      Seq((2L, "a b")).toDF("doc_id", "text"), "doc_id", "text", 16, 12)
+      .collect()
+    assert(short.length == 1 && short.head.getString(2) == "a b")
+    // ragged tail: last window short, still emitted
+    val ragged = TextPrep.chunk(
+      Seq((3L, (1 to 11).map("t" + _).mkString(" "))).toDF("doc_id", "text"),
+      "doc_id", "text", 4, 3)
+      .orderBy("chunk_idx").collect()
+    assert(ragged.last.getString(2) == "t10 t11")
+  }
+
+  test("redactPii: emails, SSNs, phones, IPs tagged; counts reported") {
+    val df = Seq(
+      (1L, "contact alice.smith+x@example.co.uk for details"),
+      (2L, "ssn is 123-45-6789 and phone +1 (555) 123-4567"),
+      (3L, "server at 192.168.1.100 responded"),
+      (4L, "no pii here at all"),
+    ).toDF("doc_id", "text")
+    val out = TextPrep.redactPii(df, "text")
+      .select("doc_id", "text_redacted", "n_redactions")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(out(1L)._1 == "contact <EMAIL> for details")
+    assert(out(2L)._1 == "ssn is <SSN> and phone <PHONE>")
+    assert(out(3L)._1 == "server at <IP> responded")
+    assert(out(4L) == ("no pii here at all", 0))
+    assert(out(1L)._2 == 1 && out(2L)._2 == 2 && out(3L)._2 == 1)
+  }
+
+  test("bigram surprisal: repetitive text scores lower than shuffled vocab") {
+    // one doc repeats a single bigram; the other cycles many rare ones —
+    // under the corpus LM the repetitive doc must be less surprising
+    val rep = ("ab " * 50).trim.replace("ab", "a b")
+    val rare = (1 to 50).map(i => s"x$i y$i").mkString(" ")
+    val df = Seq((1L, rep), (2L, rare)).toDF("doc_id", "text")
+    val out = TextPrep.bigramSurprisal(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(1L) < out(2L),
+      s"repetitive ${out(1L)} should beat rare ${out(2L)}")
+    // docs under 2 tokens produce no bigrams and drop out
+    val tiny = TextPrep.bigramSurprisal(
+      Seq((9L, "solo")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(tiny.count() == 0)
+  }
+
+  test("surprisal shuffles are vocabulary-bounded (no corpus-bytes join)") {
+    val docs = Tables.table(spark, Sf0001, "documents")
+    val out = TextPrep.bigramSurprisal(docs, "doc_id", "text")
+    assert(out.count() > 0)
+    // every returned doc has n_bigrams = token_count - 1
+    val joined = out.join(
+      docs.select(col("doc_id"),
+        (size(TextAnalysis.tokens(col("text"))) - 1).as("expected")),
+      "doc_id")
+    assert(joined.filter(col("n_bigrams") =!= col("expected")).count() == 0)
+  }
+}
