@@ -90,6 +90,22 @@ object SqlSurfaceQueries {
       unix_timestamp(col("ts")).as("epoch_s"),
     ).orderBy("event_id")
 
+  /** The at-scale percentile path: `approx_percentile` (t-digest-style
+    * mergeable sketch, map-side partials) next to the group count.
+    * Rows-only gate entry — the sketch is engine-specific — with the
+    * exact-vs-approx error bound asserted in PropertySpec against
+    * [[qPercentile]]'s exact values.
+    */
+  def qPercentileApprox(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("median_approx"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+          .as("median_price_approx"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
   /** JSON extraction over the events `props` column (a JSON string):
     * scalar path extraction, typed cast, and an aggregation keyed on the
     * extracted value — the semi-structured access pattern every event
@@ -121,6 +137,7 @@ object SqlSurfaceQueries {
     "q_dates" -> (qDates _),
     "q_json" -> (qJson _),
     "q_sql" -> (qSql _),
+    "q_percentile_approx" -> (qPercentileApprox _), // rows-only (sketch)
   )
 
   val oracleSql: Map[String, String] = Map(

@@ -22,6 +22,11 @@ object Sessions {
     "spark.sql.adaptive.enabled"             -> "true",
     "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
     "spark.sql.adaptive.skewJoin.enabled"    -> "true",
+    // runtime bloom-filter join pruning: build a bloom sketch on the
+    // selective side, pre-filter the big side BEFORE its shuffle — the
+    // 100 TB semi-join-reduction technique, stated explicitly rather
+    // than relied on as a default (PlanSpec proves it injects)
+    "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
     // events.parquet stores TIMESTAMP(NANOS); read as long nanos and
     // convert explicitly (see sources.Tables.events).
     "spark.sql.legacy.parquet.nanosAsLong"   -> "true",

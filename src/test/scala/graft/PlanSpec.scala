@@ -138,6 +138,32 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("runtime bloom-filter join pruning injects on a selective join") {
+    // thresholds floored so the tiny fixture qualifies; at real scale
+    // the defaults (10M creation side) gate the same rewrite
+    // creation side must be UNDER its threshold (sketch must be cheap),
+    // application side OVER its own (pruning must be worth it) — floor
+    // only the application-side bar so the tiny fixture qualifies
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      // the rewrite targets SHUFFLE joins (broadcast already avoids the
+      // big-side shuffle) — force the shuffle path on the tiny fixture
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val orders = Tables.table(spark, Sf0001, "orders")
+        .filter(col("o_totalprice") > 400000) // selective build side
+      val li = Tables.table(spark, Sf0001, "lineitem")
+      val p = plan(li.join(orders, col("l_orderkey") === col("o_orderkey")))
+      assert(p.contains("bloom_filter") || p.contains("BloomFilter"),
+        s"no runtime bloom filter injected:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("partitioned parquet layout prunes by partition key on read") {
     val dir = tmpDir("plan_part")
     Tables.events(spark, Sf0001)

@@ -156,6 +156,24 @@ class PropertySpec extends SparkTestBase {
       assert(ha.join(hb, "doc_id").filter(col("h1") =!= col("h2")).count() == 0)
     }
   }
+
+  test("approx_percentile tracks the exact discrete median per group") {
+    // at accuracy 1000 on these group sizes, the sketch answer must be an
+    // actual data value close to the exact quantile_disc median
+    val exact = graft.queries.ExtQueries.qPercentile(spark, Sf0001)
+      .select("l_returnflag", "median", "median_price")
+    val approx = graft.queries.SqlSurfaceQueries.qPercentileApprox(spark, Sf0001)
+    val joined = exact.join(approx, "l_returnflag").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (m, ma) = (r.getDouble(1), r.getDouble(3))
+      val (p, pa) = (r.getDouble(2), r.getDouble(4))
+      assert(math.abs(m - ma) / math.max(m, 1.0) < 0.05,
+        s"quantity median approx $ma vs exact $m")
+      assert(math.abs(p - pa) / math.max(p, 1.0) < 0.05,
+        s"price median approx $pa vs exact $p")
+    }
+  }
 }
 
 object PropertySpec {
