@@ -254,6 +254,67 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Connected components in O(log diameter) rounds: min-label hooking
+    * plus pointer-doubling shortcuts — the adversarial-chain-safe twin
+    * of [[duplicateClusters]].
+    *
+    * Plain propagation needs diameter rounds (a 10k-link near-dup CHAIN
+    * — overlapping shingle drift across a crawl — means 10k shuffles).
+    * Here each round does (1) hook: every node takes the min label in
+    * its closed neighbourhood, then (2) shortcut: every node replaces
+    * its label with its LABEL's label (`l ← l(l(u))`), which doubles the
+    * effective pointer depth — so rounds grow with log(diameter), not
+    * diameter. Same per-round cost shape as plain propagation (one edge
+    * join + one label self-join, both hash-partitioned; lineage
+    * truncated per round), same output contract: (doc_id, cluster_id =
+    * min reachable id).
+    *
+    * `maxRounds` bounds runaway iteration (and lets specs assert the
+    * logarithmic convergence); the default covers graphs past 2^40
+    * diameter.
+    */
+  def duplicateClustersFast(pairs: DataFrame, maxRounds: Int = 48): DataFrame = {
+    val p = pairs.select("doc_a", "doc_b").localCheckpoint()
+    val edges = p
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
+    var converged = labels.isEmpty
+    var rounds = 0
+    while (!converged) {
+      rounds += 1
+      require(rounds <= maxRounds,
+        s"connected components did not converge in $maxRounds rounds")
+      // hook: min label over the closed neighbourhood
+      val hooked = labels.union(
+        edges.join(labels.withColumnRenamed("id", "src"), "src")
+          .select(col("dst").as("id"), col("label")))
+        .groupBy("id").agg(min("label").as("label"))
+      // shortcut: label ← label(label). Labels always point at node ids
+      // (mins of reachable sets), so the self-join hits; coalesce guards
+      // the root, whose label is itself
+      val next = hooked
+        .join(
+          hooked.select(col("id").as("label"), col("label").as("label2")),
+          Seq("label"), "left")
+        .select(col("id"), coalesce(col("label2"), col("label")).as("label"))
+        .localCheckpoint()
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
+      labels = next
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** Embedding-cosine near-dup pairs: LSH-bucket the vectors (codegen'd
     * random-hyperplane signature, [[Similarity.lshBucket]]), self-join
     * within buckets, verify candidates with exact cosine ≥ threshold.

@@ -92,6 +92,16 @@ object ExtQueries {
         Dedup.nearDuplicatePairs(docs(s, dir), "doc_id", "text", threshold = 0.8))
       .orderBy("doc_id")
 
+  /** Same clusters via the O(log diameter) hook+shortcut variant —
+    * shares q_dedup_clusters' recursive-CTE oracle, so both traversal
+    * strategies must agree with DuckDB's transitive closure.
+    */
+  def qDedupClustersFast(s: SparkSession, dir: String): DataFrame =
+    Dedup
+      .duplicateClustersFast(
+        Dedup.nearDuplicatePairs(docs(s, dir), "doc_id", "text", threshold = 0.8))
+      .orderBy("doc_id")
+
   // ---- similarity -----------------------------------------------------
 
   private def queriesDf(s: SparkSession, dir: String): DataFrame =
@@ -527,6 +537,7 @@ object ExtQueries {
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_embed" -> (qDedupEmbed _),
     "q_dedup_clusters" -> (qDedupClusters _),
+    "q_dedup_clusters_fast" -> (qDedupClustersFast _),
     "q_sim_topk" -> (qSimTopk _),
     "q_sim_lsh" -> (qSimLsh _),
     "q_sim_ivf" -> (qSimIvf _),
@@ -637,6 +648,18 @@ object ExtQueries {
         "WHERE len(list_intersect(ta.td, tb.td)) / len(list_distinct(list_concat(ta.td, tb.td))) >= 0.8 " +
         "ORDER BY doc_a, doc_b"),
     "q_dedup_clusters" ->
+      (s"WITH RECURSIVE $wCte, $shCte, $sigCte, $bandsCte, $pairsCte, " +
+        "vp AS (SELECT doc_a, doc_b FROM p, " +
+        "(SELECT doc_id, list_distinct(string_split(text, ' ')) AS td FROM documents) ta, " +
+        "(SELECT doc_id, list_distinct(string_split(text, ' ')) AS td FROM documents) tb " +
+        "WHERE ta.doc_id = p.doc_a AND tb.doc_id = p.doc_b " +
+        "AND len(list_intersect(ta.td, tb.td)) / len(list_distinct(list_concat(ta.td, tb.td))) >= 0.8), " +
+        "e AS (SELECT doc_a AS src, doc_b AS dst FROM vp " +
+        "UNION ALL SELECT doc_b, doc_a FROM vp), " +
+        "reach(id, r) AS (SELECT src, src FROM e " +
+        "UNION SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id) " +
+        "SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY doc_id"),
+"q_dedup_clusters_fast" -> // same oracle: both traversals must agree
       (s"WITH RECURSIVE $wCte, $shCte, $sigCte, $bandsCte, $pairsCte, " +
         "vp AS (SELECT doc_a, doc_b FROM p, " +
         "(SELECT doc_id, list_distinct(string_split(text, ' ')) AS td FROM documents) ta, " +

@@ -97,6 +97,31 @@ class OpsSpec extends SparkTestBase {
     got.foreach { case (id, c) => assert(c == want(id), s"doc $id") }
   }
 
+  test("fast clustering (hook+shortcut) matches plain propagation on the corpus") {
+    import spark.implicits._
+    val pairs = Dedup.nearDuplicatePairs(docs, "doc_id", "text", threshold = 0.8)
+      .cache()
+    val plain = Dedup.duplicateClusters(pairs)
+    val fast = Dedup.duplicateClustersFast(pairs)
+    assert(plain.exceptAll(fast).isEmpty && fast.exceptAll(plain).isEmpty)
+    pairs.unpersist()
+    // empty pair list: empty result, no NPE
+    val none = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.duplicateClustersFast(none).count() == 0)
+  }
+
+  test("fast clustering: a 200-link chain converges in O(log n) rounds") {
+    import spark.implicits._
+    // worst case for plain propagation (needs ~200 rounds — why the
+    // fast variant exists); pointer doubling must finish in ~log2(200)
+    // plus hooking slack, far under the 20-round ceiling
+    val chain = (0L until 200L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val out = Dedup.duplicateClustersFast(chain, maxRounds = 20)
+    assert(out.count() == 201)
+    assert(out.filter(col("cluster_id") =!= 0L).count() == 0,
+      "every chain node must label to the min id 0")
+  }
+
   test("simhash: word-permuted duplicates collapse to identical hashes") {
     val multisetKey =
       md5(concat_ws(" ", array_sort(TextAnalysis.tokens(col("text")))))
