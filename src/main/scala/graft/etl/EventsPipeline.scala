@@ -46,6 +46,34 @@ object EventsPipeline {
       .join(broadcast(lookup), Seq("event_type"), "left") // J1
   }
 
+  /** Name under which [[cleanObserved]] registers its metrics. */
+  val CleanMetricsName = "clean_metrics"
+
+  /** [[clean]] instrumented with `Dataset.observe`: the pipeline's
+    * data-quality counters (rows kept, value total, null lookup misses)
+    * ride along with whatever action the caller runs — ZERO extra jobs,
+    * the metrics accumulate inside the same pass. The production pattern
+    * for pipeline observability at 100 TB, where a separate
+    * count()/agg() audit pass would re-scan the corpus.
+    *
+    * The string-named `observe` overload deliberately, NOT the
+    * `Observation` helper: the helper registers a listener holding the
+    * session's (non-serializable) ObservationManager, which then leaks
+    * into later closures on a shared session. Read metrics with
+    * `df.queryExecution.observedMetrics(CleanMetricsName)` after an
+    * action that executes THIS Dataset's queryExecution (collect /
+    * toLocalIterator / a sink write of this frame) — count()/foreach
+    * build separate executions whose metrics attach there instead. In
+    * production the natural reader is a QueryExecutionListener on the
+    * write job.
+    */
+  def cleanObserved(raw: DataFrame): DataFrame =
+    clean(raw).observe(
+      CleanMetricsName,
+      count(lit(1)).as("rows_kept"),
+      sum(col("value").cast("decimal(25,6)")).cast("double").as("value_total"),
+      count(when(col("event_desc").isNull, 1)).as("lookup_misses"))
+
   /** A1 analog: per (date, hour, desc) counts and means. */
   def aggByHour(cleaned: DataFrame): DataFrame =
     cleaned

@@ -119,6 +119,23 @@ object SqlSurfaceQueries {
       .agg(count(lit(1)).as("n"), min("k").as("min_k"), max("k").as("max_k"))
       .orderBy("k_mod")
 
+  /** Spark 4's native VARIANT type over the same semi-structured data as
+    * [[qJson]]: `parse_json` shreds the string once into the binary
+    * variant encoding, `variant_get` then extracts typed paths without
+    * re-parsing — the semi-structured answer to "stop paying the string
+    * parse per path access". Aggregated per event_type; the sum comes
+    * back BIGINT-exact on both engines (DuckDB's integer sum is HUGEINT,
+    * cast in the oracle).
+    */
+  def qVariant(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        expr("variant_get(parse_json(props), '$.k', 'int')").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+        min("k").as("min_k"), max("k").as("max_k"))
+      .orderBy("event_type")
+
   /** The SQL-string front end: the same engine through `spark.sql` over
     * a temp view — proves the Catalyst SQL parser path end-to-end, not
     * just the DataFrame DSL.
@@ -138,9 +155,14 @@ object SqlSurfaceQueries {
     "q_json" -> (qJson _),
     "q_sql" -> (qSql _),
     "q_percentile_approx" -> (qPercentileApprox _), // rows-only (sketch)
+    "q_variant" -> (qVariant _),
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_variant" ->
+      ("WITH x AS (SELECT event_type, json_extract_string(props, '$.k')::INT AS k FROM events) " +
+        "SELECT event_type, count(*) AS n, sum(k)::BIGINT AS sum_k, " +
+        "min(k) AS min_k, max(k) AS max_k FROM x GROUP BY 1 ORDER BY event_type"),
     "q_tpch_q3" ->
       ("SELECT l_orderkey, " +
         O.dsum("l_extendedprice * (1.0 - l_discount)") + " AS revenue, " +
@@ -182,6 +204,10 @@ object SqlSurfaceQueries {
         "datediff('day', DATE '2024-01-01', ts::DATE)::INT AS days_since, " +
         "floor(epoch(ts::TIMESTAMP))::BIGINT AS epoch_s " +
         "FROM events ORDER BY event_id"),
+    "q_variant" ->
+      ("WITH x AS (SELECT event_type, json_extract_string(props, '$.k')::INT AS k FROM events) " +
+        "SELECT event_type, count(*) AS n, sum(k)::BIGINT AS sum_k, " +
+        "min(k) AS min_k, max(k) AS max_k FROM x GROUP BY 1 ORDER BY event_type"),
     "q_json" ->
       ("WITH x AS (SELECT json_extract_string(props, '$.k')::INT AS k FROM events) " +
         "SELECT k % 10 AS k_mod, count(*) AS n, min(k) AS min_k, max(k) AS max_k " +

@@ -57,6 +57,24 @@ class EtlWriterSpec extends SparkTestBase {
     assert(part > 0 && part < full)
   }
 
+  test("observed clean: metrics ride the action, match direct aggregates") {
+    val events = Tables.events(spark, Sf0001)
+    val observed = EventsPipeline.cleanObserved(events)
+    // drive the observed plan ITSELF via collect (count()/foreach build
+    // SEPARATE QueryExecutions whose metrics attach elsewhere; collect
+    // executes this Dataset's own queryExecution)
+    val rows = observed.collect().length
+    val m = observed.queryExecution
+      .observedMetrics(EventsPipeline.CleanMetricsName)
+    assert(m.getAs[Long]("rows_kept") == rows)
+    val direct = EventsPipeline.clean(events)
+      .agg(sum(col("value").cast("decimal(25,6)")).cast("double"),
+        count(when(col("event_desc").isNull, 1)))
+      .head()
+    assert(m.getAs[Double]("value_total") == direct.getDouble(0))
+    assert(m.getAs[Long]("lookup_misses") == direct.getLong(1))
+  }
+
   test("MainEtl end-to-end on the fixture: report + layers exist") {
     val root = tmpDir("etl_root")
     val paths = EnginePaths.under(root).copy(raw = FixtureCsv)
