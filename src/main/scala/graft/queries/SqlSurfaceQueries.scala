@@ -44,6 +44,33 @@ object SqlSurfaceQueries {
       .limit(10)
   }
 
+  /** TPC-H Q5 shape (local-supplier volume): the six-way star —
+    * region → nation → {customer, supplier} → orders → lineitem — with
+    * the "supplier and customer share a nation" correlation condition,
+    * revenue per nation. The canonical multi-join-reorder workout: two
+    * dimension chains broadcast, the orders⋈lineitem spine shuffles
+    * once on the order key, and the n_nationkey equality between the
+    * two chains closes the loop without a cartesian.
+    */
+  def qTpchQ5(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-01-01").cast("timestamp")
+    val nations = Tables.table(s, dir, "nation")
+      .join(Tables.table(s, dir, "region")
+        .filter(col("r_name") === "ASIA"), col("n_regionkey") === col("r_regionkey"))
+    Tables.table(s, dir, "customer")
+      .join(nations, col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.table(s, dir, "orders")
+        .filter(col("o_orderdate") >= cutoff), col("c_custkey") === col("o_custkey"))
+      .join(Tables.table(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.table(s, dir, "supplier"),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+      .groupBy("n_name")
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   /** Window frame variants over per-user event sequences: ntile
     * quartiles, percent_rank/cume_dist (deterministic via the event_id
     * tiebreak: no rank peers), full-frame first/last/nth_value, and a
@@ -150,6 +177,7 @@ object SqlSurfaceQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tpch_q3" -> (qTpchQ3 _),
+    "q_tpch_q5" -> (qTpchQ5 _),
     "q_window_frames" -> (qWindowFrames _),
     "q_dates" -> (qDates _),
     "q_json" -> (qJson _),
@@ -174,6 +202,15 @@ object SqlSurfaceQueries {
         "AND l_shipdate > TIMESTAMP '1998-06-01' " +
         "GROUP BY l_orderkey, o_orderdate, o_orderpriority " +
         "ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10"),
+    "q_tpch_q5" ->
+      ("SELECT n_name, " + O.dsum("l_extendedprice * (1.0 - l_discount)") +
+        " AS revenue " +
+        "FROM customer, orders, lineitem, supplier, nation, region " +
+        "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey " +
+        "AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey " +
+        "AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey " +
+        "AND r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1998-01-01' " +
+        "GROUP BY n_name ORDER BY revenue DESC, n_name"),
     "q_window_frames" ->
       ("SELECT event_id, user_id, " +
         "(ntile(4) OVER wt)::INT AS quartile, " +
