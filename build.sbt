@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )
+// Forked `run` output goes RAW to stdout (no `[info] ` prefix): the
+// round driver parses Bench's single JSON line from captured stdout,
+// and sbt's log-prefixed relay breaks that parse.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)

@@ -70,7 +70,11 @@ object Bench {
         .withColumn("event_id", col("event_id") * factor + col("_repl"))
         .drop("_repl")
     val sliceRows = baseRows * factor
-    Tables.exportCsv(staged, s"$tmp/events_csv")
+    // 32 files, not events' (often 1) input partitioning: a single-file
+    // 800 MB CSV caps the read stage at sizeBytes/maxPartitionBytes ≈ 7
+    // concurrent splits; a multi-file layout (what any real lake has)
+    // lets all 32 cores carry both the write and the inference pass.
+    Tables.exportCsv(staged.repartition(32), s"$tmp/events_csv")
 
     val raw = timed("read") {
       val df = Tables.csvInfer(spark, s"$tmp/events_csv") // eager infer pass
@@ -126,5 +130,11 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""errors":${jmap(errors)},"slice_rows":$sliceRows,$gbtStats"sf":"$sfDir"}""")
     spark.stop()
+    // the staged CSV + write sinks are ~1.6 GB per run; don't leak them
+    // across rounds
+    import java.nio.file.{Files, Path}
+    import java.util.Comparator
+    Files.walk(Path.of(tmp)).sorted(Comparator.reverseOrder[Path]())
+      .forEach(p => Files.deleteIfExists(p))
   }
 }

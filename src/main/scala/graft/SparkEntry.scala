@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{ExtQueries, PrepQueries, RefQueries, SqlSurfaceQueries}
+import graft.queries.{CorpusQueries, ExtQueries, PrepQueries, RefQueries, SqlSurfaceQueries}
 import graft.util.Sessions
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -24,7 +24,8 @@ object SparkEntry {
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    (RefQueries.queries ++ ExtQueries.queries ++ SqlSurfaceQueries.queries ++ PrepQueries.queries)
+    (RefQueries.queries ++ ExtQueries.queries ++ SqlSurfaceQueries.queries ++
+      PrepQueries.queries ++ CorpusQueries.queries)
       .map { case (k, f) =>
       k -> { (s: SparkSession, dir: String) => f(Sessions.tune(s), dir) }
     }
@@ -34,5 +35,6 @@ object SparkEntry {
     * driver records a weaker rows-only check.
     */
   def oracleSql: Map[String, String] =
-    RefQueries.oracleSql ++ ExtQueries.oracleSql ++ SqlSurfaceQueries.oracleSql ++ PrepQueries.oracleSql
+    RefQueries.oracleSql ++ ExtQueries.oracleSql ++ SqlSurfaceQueries.oracleSql ++
+      PrepQueries.oracleSql ++ CorpusQueries.oracleSql
 }

@@ -72,4 +72,64 @@ object Layout {
     (if (partitionCols.isEmpty) w else w.partitionBy(partitionCols: _*))
       .parquet(path)
   }
+
+  /** Morton (Z-order) key: bit-interleave two non-negative integer
+    * dimensions, x in the even bit positions, y in the odd. Sorting by
+    * the result clusters rows so that BOTH dimensions' min/max file
+    * statistics stay narrow — linear sort keys prune only their leading
+    * column; the Z-curve is how a 100 TB table serves selective filters
+    * on two independent columns from one layout. Pure bit arithmetic
+    * (`>> & <<` fold), codegen-friendly, identical spelling in DuckDB.
+    * Callers bin real values into `[0, 2^bits)` first (e.g. value %
+    * 2^bits, or a quantile bin).
+    */
+  def zValue(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column,
+      bits: Int = 16): org.apache.spark.sql.Column =
+    (0 until bits).foldLeft(lit(0L)) { (acc, b) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(x.cast("long"), b).bitwiseAND(lit(1L)), 2 * b))
+        .bitwiseOR(shiftleft(shiftright(y.cast("long"), b).bitwiseAND(lit(1L)), 2 * b + 1))
+    }
+
+  /** Write clustered on the Z-curve of (xCol, yCol): compute the Morton
+    * key, range-partition + locally sort on it ([[writeSorted]]), drop
+    * the key from the files. Both dimensions then prune at scan time.
+    */
+  def writeZOrdered(
+      df: DataFrame,
+      path: String,
+      xCol: String,
+      yCol: String,
+      bits: Int = 16,
+      numFiles: Option[Int] = None,
+  ): Unit = {
+    val keyed = df.withColumn("_z", zValue(col(xCol), col(yCol), bits))
+    val arranged = numFiles match {
+      case Some(n) => keyed.repartitionByRange(n, col("_z"))
+      case None => keyed.repartitionByRange(col("_z"))
+    }
+    arranged.sortWithinPartitions("_z").drop("_z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** MERGE / upsert semantics over plain parquet (no table format):
+    * rows of `updates` replace base rows with the same key; unmatched
+    * update rows are inserts; everything else survives unchanged.
+    * Spelled as updates ∪ (base ⟕anti updates) — equivalent to
+    * `MERGE WHEN MATCHED THEN UPDATE WHEN NOT MATCHED THEN INSERT` for
+    * whole-row updates, with one shuffle (or none: the anti join
+    * broadcasts whenever the update batch is small, the overwhelmingly
+    * common case for CDC/late-data batches against a 100 TB base).
+    *
+    * Callers rewrite only the partitions the updates touch (join the
+    * update keys to partition values first) — rewriting the full base
+    * is the fallback, not the pattern. `updates` must be key-unique
+    * (enforced: duplicate update keys would make the result
+    * nondeterministic).
+    */
+  def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
+    val dupes = updates.groupBy(keys.map(col): _*).count().filter(col("count") > 1)
+    require(dupes.isEmpty, s"updates must be unique on ${keys.mkString(",")}")
+    updates.unionByName(base.join(updates.select(keys.map(col): _*), keys, "left_anti"))
+  }
 }

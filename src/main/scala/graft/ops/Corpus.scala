@@ -1,0 +1,219 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-assembly operators for a large-scale training-data pipeline:
+  * deterministic train/val/test splitting, stratified (per-stratum rate)
+  * sampling, epoch-weighted source mixing, sequence packing into
+  * fixed-size context windows, and an inverted index over tokens.
+  *
+  * These extend the reference's surface (SURVEY.md §2.8 — absent there)
+  * with the operations a 100 TB corpus build needs. Everything here is
+  * **hash-deterministic**, not RNG-based: assignment decisions key off
+  * `md5(salt || id)`, so they are (a) reproducible across runs, engines
+  * and cluster sizes — no seed-plus-partitioning coupling like
+  * `sample()`/`randomSplit()` (SURVEY.md §5.3 exclusions) — and (b)
+  * DuckDB-expressible, so the driver gate hash-checks them end to end.
+  * At scale every operator is a narrow projection, a single hash
+  * aggregation, or one range shuffle; no driver-side loops, no
+  * collects.
+  */
+object Corpus {
+
+  /** Deterministic bucket in `[0, buckets)`: the first 8 hex chars of
+    * `md5(salt || id)` as an integer, mod `buckets`. Uniform (md5 on a
+    * unique key), stable across engines — DuckDB spells it
+    * `('0x' || substr(md5(salt || id::VARCHAR), 1, 8))::BIGINT % buckets`.
+    * Codegen'd end to end (md5 / substring / conv are all built-ins).
+    */
+  def hashBucket(id: Column, salt: String, buckets: Int): Column =
+    conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 8), 16, 10)
+      .cast("long") % buckets
+
+  /** Deterministic train/val/test split: each row lands in the fraction
+    * band its hash bucket falls into. `fractions` are (label, weight)
+    * pairs normalized over their sum; assignment is per-row independent
+    * (narrow, no shuffle) and reproducible no matter how the data is
+    * partitioned — the property `randomSplit` cannot give you on a
+    * cluster whose partitioning changed between runs.
+    */
+  def hashSplit(
+      df: DataFrame,
+      idCol: String,
+      fractions: Seq[(String, Double)],
+      salt: String = "split",
+      buckets: Int = 10000): DataFrame = {
+    val total = fractions.map(_._2).sum
+    val cums = fractions.scanLeft(0.0)(_ + _._2).tail
+    val thresholds = fractions.zip(cums).map { case ((label, _), c) =>
+      label -> math.round(c / total * buckets)
+    }
+    val b = hashBucket(col(idCol), salt, buckets)
+    val split = thresholds.init.foldRight(lit(thresholds.last._1)) {
+      case ((label, thr), rest) => when(b < thr, label).otherwise(rest)
+    }
+    df.withColumn("split", split)
+  }
+
+  /** Per-stratum deterministic sampling: keep a row iff its hash bucket
+    * is under `rate(stratum) * buckets`. The workhorse for rebalancing a
+    * corpus (downsample the dominant language, keep the rare ones) —
+    * a pure narrow filter that pushes into the scan, with exact,
+    * engine-independent selection (contrast `sampleBy`, which is RNG-
+    * and partitioning-dependent).
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      stratumCol: String,
+      idCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double = 1.0,
+      salt: String = "strat",
+      buckets: Int = 10000): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (rest, (k, r)) =>
+      when(col(stratumCol) === k, r).otherwise(rest)
+    }
+    df.filter(hashBucket(col(idCol), salt, buckets) < (rate * buckets).cast("long"))
+  }
+
+  /** Epoch-weighted source mixing: replicate each row `floor(w)` times
+    * plus one more with probability `frac(w)`, decided by the row's hash
+    * bucket — the standard "2.3 epochs of wiki, 0.5 epochs of web"
+    * mixture, made deterministic. Output carries `copy_idx` (0-based) so
+    * downstream shuffling/packing can treat copies as distinct rows.
+    * `array_repeat` + `posexplode` keeps it a narrow per-row expansion;
+    * rows with zero copies drop out (empty array explodes to nothing).
+    */
+  def mix(
+      df: DataFrame,
+      sourceCol: String,
+      idCol: String,
+      weights: Map[String, Double],
+      defaultWeight: Double = 1.0,
+      salt: String = "mix",
+      buckets: Int = 10000): DataFrame = {
+    val w = weights.foldLeft(lit(defaultWeight)) { case (rest, (k, v)) =>
+      when(col(sourceCol) === k, v).otherwise(rest)
+    }
+    val copies = (floor(w).cast("long") +
+      when(hashBucket(col(idCol), salt, buckets) <
+        ((w - floor(w)) * buckets).cast("long"), 1L).otherwise(0L))
+      .cast("int")
+    df.withColumn("_copies", copies)
+      .select(col("*"), posexplode(array_repeat(lit(1), col("_copies"))))
+      .withColumnRenamed("pos", "copy_idx")
+      .drop("col", "_copies")
+  }
+
+  /** Sequence packing, concat-and-chunk semantics: documents are laid
+    * end to end in `orderCol` order and cut every `capacity` tokens —
+    * the packing used by most LLM training pipelines (no padding waste;
+    * a document may span two windows). Emits `pack_id` (which window the
+    * doc STARTS in) and `begin_offset` (token position inside it), both
+    * pure functions of the running token count, so the result is exactly
+    * reproducible and oracle-checkable.
+    *
+    * Scale: the running sum needs a total order — one range shuffle.
+    * A 100 TB corpus packs per shard instead: pass `shardCol` to scope
+    * the order (and the `pack_id` space) to each shard, which turns the
+    * global sort into an embarrassingly parallel per-shard sort — the
+    * window becomes `partitionBy(shard).orderBy(order)`, Spark's
+    * distributed-window shape (one hash shuffle, per-key sorted spill).
+    */
+  def packChunked(
+      df: DataFrame,
+      orderCol: String,
+      tokensCol: String,
+      capacity: Int,
+      shardCol: Option[String] = None): DataFrame = {
+    val w0 = shardCol.map(Window.partitionBy(_)).getOrElse(Window.partitionBy())
+    val w = w0.orderBy(orderCol).rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("_cum_before", coalesce(sum(col(tokensCol)).over(w), lit(0L)))
+      .withColumn("pack_id", expr(s"_cum_before div $capacity"))
+      .withColumn("begin_offset", (col("_cum_before") % capacity).cast("int"))
+      .drop("_cum_before")
+  }
+
+  /** Sequence packing, greedy first-fit semantics: within each range
+    * partition, scan docs in `orderCol` order and open a new bin
+    * whenever the current doc would overflow `capacity` (docs larger
+    * than `capacity` get a bin of their own — callers chunk first if
+    * that's unwanted). No doc spans bins; bins never exceed capacity
+    * (except those single-oversized-doc bins).
+    *
+    * Scale shape: `repartitionByRange(orderCol)` + an in-partition
+    * sequential scan (`mapPartitions`) — greedy packing is inherently a
+    * running fold, so the parallelism unit is the range shard, and bin
+    * ids are made globally unique by offsetting with the partition id.
+    * Spec-tested (PackingSpec) rather than oracle-checked: first-fit is
+    * not expressible as a fixed-depth SQL window.
+    */
+  def packGreedy(
+      df: DataFrame,
+      orderCol: String,
+      tokensCol: String,
+      capacity: Int,
+      partitions: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.types._
+    val base = df.select(
+      col(orderCol).cast("long").as("_id"), col(tokensCol).cast("int").as("_tok"))
+    val schema = StructType(Seq(
+      StructField("_id", LongType), StructField("_tok", IntegerType),
+      StructField("pack_id", LongType), StructField("pack_used", IntegerType)))
+    val packed = base
+      .repartitionByRange(partitions, col("_id"))
+      .sortWithinPartitions("_id")
+      .mapPartitions { rows =>
+        val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+        var bin = pid << 40 // partition-scoped bin-id space, globally unique
+        var used = 0
+        var first = true
+        rows.map { r =>
+          val tok = r.getInt(1)
+          if (first) { first = false; used = 0 }
+          else if (used + tok > capacity) { bin += 1; used = 0 }
+          val out = org.apache.spark.sql.Row(r.getLong(0), tok, bin, used + tok)
+          used += tok
+          out
+        }
+      }(org.apache.spark.sql.Encoders.row(schema))
+    packed.withColumnRenamed("_id", orderCol).withColumnRenamed("_tok", tokensCol)
+  }
+
+  /** Inverted index: token → document frequency + (capped) sorted
+    * posting list. Tokens are de-duplicated per document first (df
+    * counts documents, not occurrences).
+    *
+    * The cap is enforced BEFORE collection: a `row_number` over
+    * (token, doc_id) marks the first `maxPostings` docs per token and
+    * only those enter the `collect_list` — a stopword's posting list
+    * never materializes corpus-sized in one aggregation buffer (the
+    * naive `slice(collect_list(...))` spelling caps only the OUTPUT,
+    * after the buffer already blew up). `df` still reports the exact
+    * count via partial counts. The window and the groupBy share the
+    * hash partitioning on `token`, so the whole thing is the explode
+    * (narrow) plus ONE shuffle; `minDf` floors the Zipf long tail out
+    * of the result.
+    */
+  def invertedIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDf: Int = 2,
+      maxPostings: Int = 20): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+        explode(array_distinct(split(col(textCol), " "))).as("token"))
+      .filter(length(col("token")) > 0)
+    val w = Window.partitionBy("token").orderBy("doc_id")
+    toks
+      .withColumn("_rn", row_number().over(w))
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"),
+        sort_array(collect_list(when(col("_rn") <= maxPostings, col("doc_id"))))
+          .as("postings"))
+      .filter(col("df") >= minDf)
+  }
+}

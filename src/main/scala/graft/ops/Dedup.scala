@@ -315,6 +315,24 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** The dedup pipeline's OUTPUT stage: drop every non-canonical cluster
+    * member, keeping one representative (the min-id doc — exactly the
+    * cluster label, since clusters are min-label connected components).
+    * Docs that never appeared in a verified pair pass through untouched.
+    *
+    * Scale shape: the non-canonical set is `duplication_rate × corpus`,
+    * usually a small fraction — it arrives as a broadcastable frame and
+    * the removal is a broadcast LEFT ANTI join (no shuffle of the
+    * corpus). With a pathological duplication rate the anti join
+    * degrades gracefully to shuffle-hash on the unique id.
+    */
+  def canonicalDocs(docs: DataFrame, idCol: String, clusters: DataFrame): DataFrame = {
+    val losers = clusters
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Embedding-cosine near-dup pairs: LSH-bucket the vectors (codegen'd
     * random-hyperplane signature, [[Similarity.lshBucket]]), self-join
     * within buckets, verify candidates with exact cosine ≥ threshold.

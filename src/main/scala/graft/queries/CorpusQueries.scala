@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Corpus
+import graft.sources.Tables
+
+/** Gate queries for the corpus-assembly operators ([[graft.ops.Corpus]]):
+  * deterministic hash split, stratified sampling, epoch-weighted source
+  * mixing, concat-and-chunk sequence packing, inverted index. All
+  * hash-checked against DuckDB — the operators are hash-deterministic by
+  * construction (md5 bucketing), unlike their RNG cousins
+  * `randomSplit`/`sampleBy` (q_split / q_sample, rows-only per SURVEY.md
+  * §5.3).
+  *
+  * Rate/weight literals are chosen binary-exact (.0 / .25 / .5 / .75) so
+  * `rate * buckets` hits an integer identically in both engines — Spark
+  * casts double→long by truncation, DuckDB by rounding, so a
+  * 2999.9999999… threshold would silently disagree.
+  */
+object CorpusQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "documents")
+
+  /** DuckDB spelling of [[Corpus.hashBucket]]. */
+  private def bucketSql(salt: String, id: String, buckets: Int = 10000): String =
+    s"(('0x' || substr(md5('$salt' || $id::VARCHAR), 1, 8))::BIGINT % $buckets)"
+
+  def qSplitHash(s: SparkSession, dir: String): DataFrame =
+    Corpus.hashSplit(docs(s, dir), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n"), min("doc_id").as("min_id"),
+        max("doc_id").as("max_id"), sum("n_chars").as("sum_chars"))
+      .orderBy("split")
+
+  def qSampleStrat(s: SparkSession, dir: String): DataFrame =
+    Corpus.stratifiedSample(docs(s, dir), "lang", "doc_id",
+        Map("en" -> 0.25, "zh" -> 1.0), defaultRate = 0.75)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), min("doc_id").as("min_id"),
+        max("doc_id").as("max_id"), sum("n_chars").as("sum_chars"))
+      .orderBy("lang")
+
+  def qMix(s: SparkSession, dir: String): DataFrame =
+    Corpus.mix(docs(s, dir), "source", "doc_id",
+        Map("src0" -> 2.5, "src1" -> 0.5, "src2" -> 0.0))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum("copy_idx").as("sum_copy_idx"))
+      .orderBy("source")
+
+  def qPack(s: SparkSession, dir: String): DataFrame =
+    Corpus.packChunked(
+        docs(s, dir).withColumn("n_tokens", size(split(col("text"), " "))),
+        "doc_id", "n_tokens", capacity = 128)
+      .select("doc_id", "n_tokens", "pack_id", "begin_offset")
+      .orderBy("doc_id")
+
+  def qInverted(s: SparkSession, dir: String): DataFrame =
+    Corpus.invertedIndex(docs(s, dir), "doc_id", "text",
+        minDf = 200, maxPostings = 15)
+      .orderBy("token")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_split_hash" -> (qSplitHash _),
+    "q_sample_strat" -> (qSampleStrat _),
+    "q_mix" -> (qMix _),
+    "q_pack" -> (qPack _),
+    "q_inverted" -> (qInverted _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_split_hash" ->
+      (s"WITH b AS (SELECT doc_id, n_chars, ${bucketSql("split", "doc_id")} AS b " +
+        "FROM documents), " +
+        "s AS (SELECT doc_id, n_chars, CASE WHEN b < 8000 THEN 'train' " +
+        "WHEN b < 9000 THEN 'val' ELSE 'test' END AS split FROM b) " +
+        "SELECT split, count(*) AS n, min(doc_id) AS min_id, " +
+        "max(doc_id) AS max_id, sum(n_chars)::BIGINT AS sum_chars " +
+        "FROM s GROUP BY 1 ORDER BY 1"),
+    "q_sample_strat" ->
+      (s"WITH b AS (SELECT lang, doc_id, n_chars, ${bucketSql("strat", "doc_id")} AS b " +
+        "FROM documents), " +
+        "k AS (SELECT * FROM b WHERE b < (CASE lang WHEN 'en' THEN 2500 " +
+        "WHEN 'zh' THEN 10000 ELSE 7500 END)) " +
+        "SELECT lang, count(*) AS n, min(doc_id) AS min_id, " +
+        "max(doc_id) AS max_id, sum(n_chars)::BIGINT AS sum_chars " +
+        "FROM k GROUP BY 1 ORDER BY 1"),
+    "q_mix" ->
+      (s"WITH c AS (SELECT source, doc_id, w, ${bucketSql("mix", "doc_id")} AS b " +
+        "FROM (SELECT source, doc_id, CASE source WHEN 'src0' THEN 2.5 " +
+        "WHEN 'src1' THEN 0.5 WHEN 'src2' THEN 0.0 ELSE 1.0 END AS w " +
+        "FROM documents)), " +
+        "n AS (SELECT source, doc_id, (floor(w) + CASE WHEN " +
+        "b < ((w - floor(w)) * 10000)::BIGINT THEN 1 ELSE 0 END)::BIGINT AS copies " +
+        "FROM c), " +
+        "e AS (SELECT source, doc_id, u.i AS copy_idx FROM n, " +
+        "unnest(range(n.copies)) AS u(i)) " +
+        "SELECT source, count(*) AS n_rows, count(DISTINCT doc_id) AS n_docs, " +
+        "sum(copy_idx)::BIGINT AS sum_copy_idx FROM e GROUP BY 1 ORDER BY 1"),
+    "q_pack" ->
+      ("WITH t AS (SELECT doc_id, len(string_split(text, ' '))::INT AS n_tokens " +
+        "FROM documents), " +
+        "c AS (SELECT doc_id, n_tokens, coalesce(sum(n_tokens) OVER " +
+        "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), " +
+        "0)::BIGINT AS cb FROM t) " +
+        "SELECT doc_id, n_tokens, cb // 128 AS pack_id, " +
+        "(cb % 128)::INT AS begin_offset FROM c ORDER BY doc_id"),
+    "q_inverted" ->
+      ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "t AS (SELECT DISTINCT doc_id, u.t AS token FROM w, unnest(w.w) AS u(t) " +
+        "WHERE length(u.t) > 0), " +
+        "g AS (SELECT token, count(*) AS df, " +
+        "(list(doc_id ORDER BY doc_id))[1:15] AS postings FROM t GROUP BY 1) " +
+        "SELECT token, df, postings FROM g WHERE df >= 200 ORDER BY token"),
+  )
+}

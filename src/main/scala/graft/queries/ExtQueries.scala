@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.etl.Layout
 import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.queries.Det._
 import graft.queries.{Oracle => O}
@@ -101,6 +102,22 @@ object ExtQueries {
       .duplicateClustersFast(
         Dedup.nearDuplicatePairs(docs(s, dir), "doc_id", "text", threshold = 0.8))
       .orderBy("doc_id")
+
+  /** End-to-end dedup pipeline output: near-dup clusters → keep only the
+    * canonical (min-id) member of each cluster, pass singletons through.
+    * This is the query a corpus build actually ships — the cleaned
+    * document set — composed from the same cluster stage the gate
+    * already checks, so the oracle extends the recursive-CTE closure
+    * with the survivor filter.
+    */
+  def qDedupCanonical(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val clusters = Dedup.duplicateClustersFast(
+      Dedup.nearDuplicatePairs(d, "doc_id", "text", threshold = 0.8))
+    Dedup.canonicalDocs(d, "doc_id", clusters)
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
 
   // ---- similarity -----------------------------------------------------
 
@@ -331,6 +348,38 @@ object ExtQueries {
       .orderBy("tag")
   }
 
+  /** MERGE/upsert over plain parquet ([[Layout.upsert]]): a CDC-shaped
+    * update batch (price bump + status flip on every 97th order, plus
+    * brand-new keys offset past the key range) merged into the base
+    * table; the gate aggregates the merged result per status. Updates ∪
+    * anti-join survivors — the update side broadcasts at scale.
+    */
+  def qUpsert(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.table(s, dir, "orders")
+    val updates = orders.filter(col("o_orderkey") % 97 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+      .withColumn("o_orderstatus", lit("U"))
+    val inserts = orders.filter(col("o_orderkey") % 101 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+    Layout.upsert(orders, updates.unionByName(inserts), Seq("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"),
+        min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Morton/Z-order key derivation ([[Layout.zValue]]): the exact
+    * bit-interleave both engines can compute — the gate checks the key
+    * itself; the layout benefit (both dimensions prune) is asserted in
+    * LayoutSpec against a linear sort.
+    */
+  def qZorder(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_id"), (col("user_id") % 1024).as("xb"),
+        (col("event_id") % 1024).as("yb"))
+      .withColumn("z", Layout.zValue(col("xb"), col("yb"), bits = 10))
+      .orderBy("event_id")
+
   /** HLL sketch profile — rows-only entry (Spark's HLL++ registers are
     * engine-specific; the exact/approx tolerance is spec-asserted).
     */
@@ -538,6 +587,7 @@ object ExtQueries {
     "q_dedup_embed" -> (qDedupEmbed _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_clusters_fast" -> (qDedupClustersFast _),
+    "q_dedup_canonical" -> (qDedupCanonical _),
     "q_sim_topk" -> (qSimTopk _),
     "q_sim_lsh" -> (qSimLsh _),
     "q_sim_ivf" -> (qSimIvf _),
@@ -563,6 +613,8 @@ object ExtQueries {
     "q_range" -> (qRange _),
     "q_pivot" -> (qPivot _),
     "q_semi_anti" -> (qSemiAnti _),
+    "q_upsert" -> (qUpsert _),
+    "q_zorder" -> (qZorder _),
     "q_rollup" -> (qRollup _),
     "q_cube" -> (qCube _),
     "q_strings" -> (qStrings _),
@@ -671,6 +723,39 @@ object ExtQueries {
         "reach(id, r) AS (SELECT src, src FROM e " +
         "UNION SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id) " +
         "SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY doc_id"),
+    "q_dedup_canonical" -> // same closure, plus the survivor filter
+      (s"WITH RECURSIVE $wCte, $shCte, $sigCte, $bandsCte, $pairsCte, " +
+        "vp AS (SELECT doc_a, doc_b FROM p, " +
+        "(SELECT doc_id, list_distinct(string_split(text, ' ')) AS td FROM documents) ta, " +
+        "(SELECT doc_id, list_distinct(string_split(text, ' ')) AS td FROM documents) tb " +
+        "WHERE ta.doc_id = p.doc_a AND tb.doc_id = p.doc_b " +
+        "AND len(list_intersect(ta.td, tb.td)) / len(list_distinct(list_concat(ta.td, tb.td))) >= 0.8), " +
+        "e AS (SELECT doc_a AS src, doc_b AS dst FROM vp " +
+        "UNION ALL SELECT doc_b, doc_a FROM vp), " +
+        "reach(id, r) AS (SELECT src, src FROM e " +
+        "UNION SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id) " +
+        "SELECT doc_id, lang, source, n_chars FROM documents " +
+        "WHERE doc_id NOT IN (SELECT id FROM (SELECT id, min(r) AS mr FROM reach " +
+        "GROUP BY id) WHERE id != mr) ORDER BY doc_id"),
+    "q_upsert" ->
+      ("WITH u AS (SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, " +
+        "o_totalprice + 1000.0 AS o_totalprice, o_orderdate, o_orderpriority " +
+        "FROM orders WHERE o_orderkey % 97 = 0 " +
+        "UNION ALL SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, " +
+        "o_totalprice, o_orderdate, o_orderpriority FROM orders " +
+        "WHERE o_orderkey % 101 = 0), " +
+        "m AS (SELECT * FROM u UNION ALL SELECT b.* FROM orders b " +
+        "WHERE NOT EXISTS (SELECT 1 FROM u WHERE u.o_orderkey = b.o_orderkey)) " +
+        "SELECT o_orderstatus, count(*) AS n, " + O.dsum("o_totalprice") +
+        " AS sum_price, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key " +
+        "FROM m GROUP BY 1 ORDER BY 1"),
+    "q_zorder" ->
+      ("SELECT event_id, xb, yb, " +
+        (0 until 10).map(b =>
+          s"((((xb >> $b) & 1) << ${2 * b}) | (((yb >> $b) & 1) << ${2 * b + 1}))")
+          .mkString("(", " | ", ")") + " AS z " +
+        "FROM (SELECT event_id, user_id % 1024 AS xb, event_id % 1024 AS yb " +
+        "FROM events) ORDER BY event_id"),
     "q_dedup_ngram" ->
       ("WITH tk AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS td FROM documents) " +
         "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +

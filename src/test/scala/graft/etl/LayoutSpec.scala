@@ -63,6 +63,45 @@ class LayoutSpec extends SparkTestBase {
       s"sorted layout spread $perFile !< shuffled $perFileShuffled")
   }
 
+  test("writeZOrdered: both dimensions cluster; linear sort leaves the second wide") {
+    val zdir = tmpDir("layout_z")
+    val ldir = tmpDir("layout_linear")
+    // independent dims: x cycles 0..255, y decorrelated via a prime stride
+    val df = spark.range(0, 4096).select(
+      (col("id") % 256).as("x"), ((col("id") * 7919) % 256).as("y"))
+    Layout.writeZOrdered(df, zdir, "x", "y", bits = 8, numFiles = Some(8))
+    Layout.writeSorted(df, ldir, Seq("x"), numFiles = Some(8))
+
+    def spread(dir: String, c: String): Double =
+      spark.read.parquet(dir)
+        .select(input_file_name().as("f"), col(c))
+        .groupBy("f").agg((max(col(c)) - min(col(c))).as("s"))
+        .agg(avg("s")).head().getDouble(0)
+
+    // same rows either way
+    assert(spark.read.parquet(zdir).count() == 4096)
+    // linear sort: x razor-thin, y full-width; z-order: BOTH partial
+    assert(spread(ldir, "x") < 64)
+    assert(spread(ldir, "y") > 200)
+    assert(spread(zdir, "y") < spread(ldir, "y") * 0.8,
+      s"z y-spread ${spread(zdir, "y")} not narrower than linear ${spread(ldir, "y")}")
+    assert(spread(zdir, "x") < 200)
+  }
+
+  test("upsert: matched keys replaced whole-row, new keys inserted, rest untouched") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "s", "v")
+    val updates = Seq((2L, "B", 99.0), (9L, "z", 1.0)).toDF("k", "s", "v")
+    val out = Layout.upsert(base, updates, Seq("k"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(
+      (1L, "a", 10.0), (2L, "B", 99.0), (3L, "c", 30.0), (9L, "z", 1.0)))
+    // duplicate update keys are rejected, not silently resolved
+    val dup = Seq((2L, "x", 1.0), (2L, "y", 2.0)).toDF("k", "s", "v")
+    intercept[IllegalArgumentException](Layout.upsert(base, dup, Seq("k")))
+  }
+
   test("writeSorted with partition columns: hive layout + in-file order") {
     val dir = tmpDir("layout_part_sorted")
     val ev = Tables.events(spark, Sf0001)

@@ -1,0 +1,142 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Corpus-assembly semantics on crafted fixtures: hash-bucket parity
+  * with a reference md5 computation, split fraction sanity + partition
+  * invariance, stratified-rate subset behavior, mixing copy counts,
+  * both packing semantics (chunk: offsets advance mod capacity;
+  * greedy: capacity never exceeded, every doc packed exactly once),
+  * inverted-index df/posting caps.
+  */
+class CorpusSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def docsFixture = (1L to 400L)
+    .map(i => (i, (1 to (i % 7 + 1).toInt).map(j => s"tok${(i + j) % 13}").mkString(" ")))
+    .toDF("doc_id", "text")
+
+  test("hashBucket matches a driver-side md5 reference computation") {
+    val got = spark.range(1, 50)
+      .select(col("id"), Corpus.hashBucket(col("id"), "split", 10000).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ref(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"split$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16) % 10000
+    }
+    (1L until 50L).foreach(i => assert(got(i) == ref(i), s"id=$i"))
+  }
+
+  test("hashSplit: fractions approximately honored, assignment partition-invariant") {
+    val df = spark.range(0, 10000).toDF("doc_id")
+    val splits = Corpus.hashSplit(df, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(splits.values.sum == 10000)
+    assert(math.abs(splits("train") - 8000) < 200)
+    assert(math.abs(splits("val") - 1000) < 120)
+    assert(math.abs(splits("test") - 1000) < 120)
+    // same rows, radically different partitioning → identical assignment
+    val a = Corpus.hashSplit(df.repartition(17), "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val b = Corpus.hashSplit(df.coalesce(1), "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("stratifiedSample: rate-1 strata kept whole, sampled stratum is a stable subset") {
+    val df = (1L to 1000L).map(i => (i, if (i % 2 == 0) "en" else "zh"))
+      .toDF("doc_id", "lang")
+    val kept = Corpus.stratifiedSample(df, "lang", "doc_id", Map("en" -> 0.25, "zh" -> 1.0))
+    val byLang = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("zh") == 500) // rate 1.0 ⇒ exact passthrough
+    assert(byLang("en") > 60 && byLang("en") < 190) // ≈ 125
+    // determinism: rerun selects the same rows
+    val again = Corpus.stratifiedSample(df, "lang", "doc_id", Map("en" -> 0.25, "zh" -> 1.0))
+    assert(kept.exceptAll(again).isEmpty)
+    // monotone: a higher rate strictly contains a lower one
+    val more = Corpus.stratifiedSample(df, "lang", "doc_id", Map("en" -> 0.5, "zh" -> 1.0))
+    assert(kept.exceptAll(more).isEmpty)
+  }
+
+  test("mix: integer weights copy exactly, fractional in expectation, zero drops") {
+    val df = (1L to 300L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
+    val mixed = Corpus.mix(df, "source", "doc_id",
+      Map("src0" -> 2.0, "src1" -> 0.5, "src2" -> 0.0))
+    val n = mixed.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(n("src0") == 200) // exactly 2 copies each of 100 docs
+    assert(n("src1") > 20 && n("src1") < 80) // ≈ 50
+    assert(!n.contains("src2")) // weight 0 ⇒ dropped
+    // copy_idx enumerates copies 0..k-1 per doc
+    val idx = mixed.filter(col("source") === "src0")
+      .groupBy("doc_id").agg(collect_set("copy_idx").as("s"))
+      .select(min(size(col("s"))).as("mn"), max(size(col("s"))).as("mx"))
+      .head()
+    assert(idx.getInt(0) == 2 && idx.getInt(1) == 2)
+  }
+
+  test("packChunked: offsets advance by token count mod capacity, packs cut at capacity") {
+    val df = Seq((1L, 100), (2L, 50), (3L, 10), (4L, 200), (5L, 1))
+      .toDF("doc_id", "n_tokens")
+    val out = Corpus.packChunked(df, "doc_id", "n_tokens", capacity = 128)
+      .orderBy("doc_id")
+      .select("pack_id", "begin_offset").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    // cum-before: 0, 100, 150, 160, 360
+    assert(out == Seq((0L, 0), (0L, 100), (1L, 22), (1L, 32), (2L, 104)))
+  }
+
+  test("packChunked with shardCol scopes order and pack ids per shard") {
+    val df = Seq(("a", 1L, 100), ("a", 2L, 100), ("b", 3L, 100))
+      .toDF("shard", "doc_id", "n_tokens")
+    val out = Corpus.packChunked(df, "doc_id", "n_tokens", 128, Some("shard"))
+      .select("shard", "doc_id", "pack_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set(("a", 1L, 0L), ("a", 2L, 0L), ("b", 3L, 0L)))
+  }
+
+  test("packGreedy: bins never exceed capacity, every doc packed once, no doc split") {
+    val df = (1L to 500L).map(i => (i, (i % 60 + 1).toInt)).toDF("doc_id", "n_tokens")
+    val out = Corpus.packGreedy(df, "doc_id", "n_tokens", capacity = 100, partitions = 8)
+    assert(out.count() == 500) // every doc exactly once
+    assert(out.select(countDistinct("doc_id")).head().getLong(0) == 500)
+    val maxUsed = out.groupBy("pack_id").agg(sum("n_tokens").as("tot"))
+      .select(max("tot")).head().getLong(0)
+    assert(maxUsed <= 100)
+    // oversized doc gets its own bin rather than being dropped
+    val big = Seq((1L, 50), (2L, 999), (3L, 50)).toDF("doc_id", "n_tokens")
+    val bigOut = Corpus.packGreedy(big, "doc_id", "n_tokens", 100, 2)
+    assert(bigOut.count() == 3)
+    val soloBin = bigOut.filter(col("n_tokens") === 999).select("pack_id").head().getLong(0)
+    assert(bigOut.filter(col("pack_id") === soloBin).count() == 1)
+  }
+
+  test("invertedIndex: df counts documents not occurrences; postings sorted+capped") {
+    val df = Seq(
+      (3L, "apple apple banana"),
+      (1L, "apple cherry"),
+      (2L, "apple  banana"), // double space → empty token filtered
+    ).toDF("doc_id", "text")
+    val out = Corpus.invertedIndex(df, "doc_id", "text", minDf = 2, maxPostings = 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getSeq[Long](2))).toMap
+    assert(out("apple") == (3L, Seq(1L, 2L))) // df true count, postings capped at 2
+    assert(out("banana") == (2L, Seq(2L, 3L)))
+    assert(!out.contains("cherry")) // df 1 < minDf
+    assert(!out.contains(""))
+  }
+
+  test("invertedIndex over a 400-doc fixture: df floor respected") {
+    val out = Corpus.invertedIndex(docsFixture, "doc_id", "text", minDf = 30, maxPostings = 5)
+    val mn = out.select(min("df")).head().getLong(0)
+    assert(mn >= 30)
+    assert(out.select(max(size(col("postings")))).head().getInt(0) <= 5)
+  }
+}

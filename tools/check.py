@@ -68,10 +68,16 @@ def main(sfdir, outdir):
             wv = [norm(x) for x in want.column(c).to_pylist()]
             gv = [norm(x) for x in got.column(c).to_pylist()]
             for i, (a, b) in enumerate(zip(wv, gv)):
-                pa, pb = pd.isna(a), pd.isna(b)
-                if pa and pb:
+                # list-typed cells: pd.isna is elementwise — compare as lists
+                if isinstance(a, list) or isinstance(b, list):
+                    if [str(norm(x)) for x in (a or [])] != [str(norm(x)) for x in (b or [])]:
+                        bad = (c, i, a, b)
+                        break
                     continue
-                if pa != pb or str(a) != str(b):
+                na, nb = pd.isna(a), pd.isna(b)
+                if na and nb:
+                    continue
+                if na != nb or str(a) != str(b):
                     bad = (c, i, a, b)
                     break
             if bad:
