@@ -183,6 +183,66 @@ object Corpus {
     packed.withColumnRenamed("_id", orderCol).withColumnRenamed("_tok", tokensCol)
   }
 
+  /** Deterministic exact-size sample: the `k` rows with the smallest
+    * `md5(salt || id)` — a uniform "random" sample with an exact row
+    * count, reproducible across runs/engines/partitionings (neither
+    * property holds for `sample()`, whose output size is binomial and
+    * seed×partitioning-dependent). Changing `salt` redraws the sample;
+    * growing `k` strictly extends it (hash order is fixed), which gives
+    * nested samples for scaling-law runs.
+    *
+    * Plans as TakeOrderedAndProject: per-partition top-k heaps, then a
+    * driver merge of k×partitions candidates — no global sort, no full
+    * shuffle, valid while k stays driver-sized (it's a sample; it is).
+    */
+  def sampleK(df: DataFrame, idCol: String, k: Int, salt: String = "samplek"): DataFrame =
+    df.withColumn("_h", md5(concat(lit(salt), col(idCol).cast("string"))))
+      .orderBy("_h")
+      .limit(k)
+      .drop("_h")
+
+  /** Benchmark-contamination check: n-gram shingle overlap between a
+    * training corpus and an evaluation set — the data-hygiene pass every
+    * LLM corpus build runs before training (is the eval set leaking into
+    * the training data?). Emits (eval_id, train_id, n_common,
+    * n_shingles, overlap) for pairs sharing ≥ `minCommon` shingles,
+    * where `overlap` = matched fraction of the eval doc's shingles.
+    *
+    * Scale shape: both sides shingle narrowly (explode), the match is
+    * ONE equi-join on the shingle string — hash-partitioned, never
+    * all-pairs. The skew hazard is boilerplate n-grams appearing in
+    * millions of training docs; `maxShingleDf` drops shingles whose
+    * train-side document frequency exceeds the cap BEFORE the join
+    * (an n-gram that common carries no contamination signal — real
+    * leaks are rare, near-unique n-grams). The eval side is tiny by
+    * nature, so the joined/grouped result stays bounded by
+    * eval_docs × matched train docs.
+    */
+  def contamination(
+      train: DataFrame,
+      evalDf: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      minCommon: Int = 2,
+      maxShingleDf: Long = 10000): DataFrame = {
+    val t = Dedup.shingleTable(train, idCol, textCol, n)
+      .select(col(idCol).as("train_id"), col("shingle"))
+    val hot = t.groupBy("shingle").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > maxShingleDf).select("shingle")
+    val tf = t.join(hot, Seq("shingle"), "left_anti")
+    val e = Dedup.shingleTable(evalDf, idCol, textCol, n)
+      .select(col(idCol).as("eval_id"), col("shingle"))
+    val evalTotals = e.groupBy("eval_id").agg(count(lit(1)).as("n_shingles"))
+    e.join(tf, "shingle")
+      .groupBy("eval_id", "train_id")
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= minCommon)
+      .join(evalTotals, "eval_id")
+      .withColumn("overlap",
+        graft.queries.Det.r6(col("n_common") / col("n_shingles")))
+  }
+
   /** Inverted index: token → document frequency + (capped) sorted
     * posting list. Tokens are de-duplicated per document first (df
     * counts documents, not occurrences).

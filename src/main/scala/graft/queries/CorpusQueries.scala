@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.Corpus
+import graft.ops.{Corpus, Profile}
 import graft.sources.Tables
 
 /** Gate queries for the corpus-assembly operators ([[graft.ops.Corpus]]):
@@ -60,6 +60,16 @@ object CorpusQueries {
       .select("doc_id", "n_tokens", "pack_id", "begin_offset")
       .orderBy("doc_id")
 
+  def qSampleK(s: SparkSession, dir: String): DataFrame =
+    Corpus.sampleK(docs(s, dir), "doc_id", k = 100)
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+
+  def qProfile(s: SparkSession, dir: String): DataFrame =
+    Profile.numeric(Tables.table(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+      .orderBy("column")
+
   def qInverted(s: SparkSession, dir: String): DataFrame =
     Corpus.invertedIndex(docs(s, dir), "doc_id", "text",
         minDf = 200, maxPostings = 15)
@@ -71,6 +81,8 @@ object CorpusQueries {
     "q_mix" -> (qMix _),
     "q_pack" -> (qPack _),
     "q_inverted" -> (qInverted _),
+    "q_sample_k" -> (qSampleK _),
+    "q_profile" -> (qProfile _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -110,6 +122,18 @@ object CorpusQueries {
         "0)::BIGINT AS cb FROM t) " +
         "SELECT doc_id, n_tokens, cb // 128 AS pack_id, " +
         "(cb % 128)::INT AS begin_offset FROM c ORDER BY doc_id"),
+    "q_sample_k" ->
+      ("SELECT doc_id, lang, source, n_chars FROM " +
+        "(SELECT * FROM documents ORDER BY md5('samplek' || doc_id::VARCHAR) " +
+        "LIMIT 100) ORDER BY doc_id"),
+    "q_profile" ->
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map { c =>
+        s"SELECT '$c' AS \"column\", count($c) AS n_nonnull, " +
+          s"count(DISTINCT $c) AS n_distinct, min($c)::DOUBLE AS mn, " +
+          s"max($c)::DOUBLE AS mx, quantile_disc($c, 0.25)::DOUBLE AS q1, " +
+          s"quantile_disc($c, 0.5)::DOUBLE AS median, " +
+          s"quantile_disc($c, 0.75)::DOUBLE AS q3 FROM lineitem"
+      }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY \"column\""),
     "q_inverted" ->
       ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
         "t AS (SELECT DISTINCT doc_id, u.t AS token FROM w, unnest(w.w) AS u(t) " +

@@ -368,6 +368,20 @@ object ExtQueries {
       .orderBy("o_orderstatus")
   }
 
+  /** Benchmark-contamination check ([[graft.ops.Corpus.contamination]]):
+    * every 97th doc plays the eval set, the rest the training corpus;
+    * 3-gram shingle overlap with the hot-shingle cap exercised (df > 50
+    * train-side shingles excluded before the join).
+    */
+  def qContamination(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    graft.ops.Corpus.contamination(
+        d.filter(col("doc_id") % 97 =!= 0), d.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 3, minCommon = 2, maxShingleDf = 50)
+      .select("eval_id", "train_id", "n_common", "n_shingles", "overlap")
+      .orderBy("eval_id", "train_id")
+  }
+
   /** Morton/Z-order key derivation ([[Layout.zValue]]): the exact
     * bit-interleave both engines can compute — the gate checks the key
     * itself; the layout benefit (both dimensions prune) is asserted in
@@ -615,6 +629,7 @@ object ExtQueries {
     "q_semi_anti" -> (qSemiAnti _),
     "q_upsert" -> (qUpsert _),
     "q_zorder" -> (qZorder _),
+    "q_contamination" -> (qContamination _),
     "q_rollup" -> (qRollup _),
     "q_cube" -> (qCube _),
     "q_strings" -> (qStrings _),
@@ -749,6 +764,19 @@ object ExtQueries {
         "SELECT o_orderstatus, count(*) AS n, " + O.dsum("o_totalprice") +
         " AS sum_price, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key " +
         "FROM m GROUP BY 1 ORDER BY 1"),
+    "q_contamination" ->
+      (s"WITH $wCte, $shCte, " +
+        "x AS (SELECT doc_id, u.g AS shingle FROM s, unnest(s.sh) AS u(g)), " +
+        "ev AS (SELECT doc_id AS eval_id, shingle FROM x WHERE doc_id % 97 = 0), " +
+        "tr AS (SELECT doc_id AS train_id, shingle FROM x WHERE doc_id % 97 != 0), " +
+        "hot AS (SELECT shingle FROM tr GROUP BY 1 HAVING count(*) > 50), " +
+        "tf AS (SELECT * FROM tr WHERE shingle NOT IN (SELECT shingle FROM hot)), " +
+        "et AS (SELECT eval_id, count(*) AS n_shingles FROM ev GROUP BY 1), " +
+        "j AS (SELECT eval_id, train_id, count(*) AS n_common FROM ev " +
+        "JOIN tf USING (shingle) GROUP BY 1, 2) " +
+        "SELECT eval_id, train_id, n_common, n_shingles, " +
+        O.r6("n_common / n_shingles") + " AS overlap " +
+        "FROM j JOIN et USING (eval_id) WHERE n_common >= 2 ORDER BY 1, 2"),
     "q_zorder" ->
       ("SELECT event_id, xb, yb, " +
         (0 until 10).map(b =>

@@ -164,6 +164,36 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("corpus split/sample are narrow: no exchange anywhere in the plan") {
+    val d = Tables.table(spark, Sf0001, "documents")
+    val split = graft.ops.Corpus.hashSplit(d, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(!plan(split).contains("Exchange"), s"hashSplit shuffles:\n${plan(split)}")
+    val sampled = graft.ops.Corpus.stratifiedSample(
+      d, "lang", "doc_id", Map("en" -> 0.25), defaultRate = 0.75)
+    assert(!plan(sampled).contains("Exchange"), "stratifiedSample shuffles")
+    val mixed = graft.ops.Corpus.mix(d, "source", "doc_id", Map("src0" -> 2.5))
+    assert(!plan(mixed).contains("Exchange"), "mix shuffles")
+  }
+
+  test("inverted index: window and groupBy share ONE exchange on token") {
+    val d = Tables.table(spark, Sf0001, "documents")
+    val idx = graft.ops.Corpus.invertedIndex(d, "doc_id", "text", 2, 10)
+    val p = plan(idx)
+    // tree lines only ("+- Exchange (n)"), not the "(n) Exchange" details
+    val exchanges = p.linesIterator.count(_.contains("+- Exchange ("))
+    assert(exchanges == 1, s"expected exactly 1 exchange, got $exchanges:\n$p")
+  }
+
+  test("packChunked with shardCol avoids the single-partition global window") {
+    val d = Tables.table(spark, Sf0001, "documents")
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .withColumn("shard", col("doc_id") % 8)
+    val p = plan(graft.ops.Corpus.packChunked(d, "doc_id", "n_tokens", 128, Some("shard")))
+    assert(p.contains("hashpartitioning(shard"), s"no per-shard partitioning:\n$p")
+    assert(!p.contains("SinglePartition"), "sharded packing still plans a global window")
+  }
+
   test("partitioned parquet layout prunes by partition key on read") {
     val dir = tmpDir("plan_part")
     Tables.events(spark, Sf0001)

@@ -133,6 +133,49 @@ class CorpusSpec extends SparkTestBase {
     assert(!out.contains(""))
   }
 
+  test("sampleK: exact size, deterministic, nested under growing k, plans TakeOrdered") {
+    val df = spark.range(0, 5000).toDF("doc_id")
+    val s100 = Corpus.sampleK(df, "doc_id", 100)
+    assert(s100.count() == 100)
+    // deterministic across partitionings
+    val again = Corpus.sampleK(df.repartition(13), "doc_id", 100)
+    assert(s100.exceptAll(again).isEmpty)
+    // nested: top-100 ⊂ top-250
+    val s250 = Corpus.sampleK(df, "doc_id", 250)
+    assert(s100.exceptAll(s250).isEmpty)
+    // scale shape: top-k merge, not a global sort
+    val plan = s100.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
+  }
+
+  test("contamination: shared shingles found, hot shingles excluded, overlap exact") {
+    val train = Seq(
+      (10L, "the quick brown fox jumps over dogs"), // shares "quick brown fox" run with eval 1
+      (11L, "quick brown fox jumps high today"),
+      (12L, "completely unrelated text about planes"),
+      (13L, "common filler common filler common filler"), // hot-shingle source
+      (14L, "common filler common filler common filler"),
+      (15L, "common filler common filler common filler"),
+    ).toDF("doc_id", "text")
+    val eval_ = Seq(
+      (1L, "the quick brown fox jumps"), // shingles: 3 of them
+      (2L, "common filler common filler"), // only hot shingles → no rows
+      (3L, "nothing in common here at all"),
+    ).toDF("doc_id", "text")
+    val out = Corpus.contamination(train, eval_, "doc_id", "text",
+        n = 3, minCommon = 2, maxShingleDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // eval 1 = shingles {the quick brown, quick brown fox, brown fox jumps};
+    // train 10 shares all 3, train 11 shares 2
+    assert(out((1L, 10L)) == (3L, 3L, 1.0))
+    assert(out((1L, 11L))._1 == 2L)
+    // "common filler common" appears in 3 train docs > cap 2 → excluded,
+    // and eval 2's remaining matches fall under minCommon
+    assert(!out.keys.exists(_._1 == 2L))
+    assert(!out.keys.exists(_._1 == 3L))
+  }
+
   test("invertedIndex over a 400-doc fixture: df floor respected") {
     val out = Corpus.invertedIndex(docsFixture, "doc_id", "text", minDf = 30, maxPostings = 5)
     val mn = out.select(min("df")).head().getLong(0)
