@@ -175,7 +175,40 @@ object SqlSurfaceQueries {
         |FROM events_v GROUP BY event_type ORDER BY event_type""".stripMargin)
   }
 
+  /** Correlated subqueries — Catalyst's decorrelation path (scalar
+    * subquery → left outer aggregate join; EXISTS → left semi join),
+    * a planner surface the DSL queries never touch. The SQL text runs
+    * verbatim on both engines.
+    */
+  def qSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.table(s, dir, "customer").createOrReplaceTempView("customer_v")
+    Tables.table(s, dir, "orders").createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT c_custkey, c_mktsegment,
+        |  (SELECT count(*) FROM orders_v o WHERE o.o_custkey = c.c_custkey) AS n_orders
+        |FROM customer_v c
+        |WHERE EXISTS (SELECT 1 FROM orders_v o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** SQL lateral explode (LATERAL VIEW posexplode): the table-generator
+    * path through the SQL parser; DuckDB spells the identical result by
+    * unnesting `range(len(w))` and indexing (no WITH ORDINALITY there).
+    */
+  def qLateral(s: SparkSession, dir: String): DataFrame = {
+    Tables.table(s, dir, "documents").createOrReplaceTempView("documents_v")
+    s.sql(
+      """SELECT doc_id, pos, token
+        |FROM documents_v
+        |LATERAL VIEW posexplode(split(text, ' ')) AS pos, token
+        |WHERE doc_id % 100 = 0
+        |ORDER BY doc_id, pos""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_subquery" -> (qSubquery _),
+    "q_lateral" -> (qLateral _),
     "q_tpch_q3" -> (qTpchQ3 _),
     "q_tpch_q5" -> (qTpchQ5 _),
     "q_window_frames" -> (qWindowFrames _),
@@ -187,6 +220,18 @@ object SqlSurfaceQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_subquery" ->
+      ("SELECT c_custkey, c_mktsegment, " +
+        "(SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders " +
+        "FROM customer c " +
+        "WHERE EXISTS (SELECT 1 FROM orders o " +
+        "WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000) " +
+        "ORDER BY c_custkey"),
+    "q_lateral" ->
+      ("WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents " +
+        "WHERE doc_id % 100 = 0) " +
+        "SELECT doc_id, CAST(u.i AS INT) AS pos, w[CAST(u.i + 1 AS INT)] AS token " +
+        "FROM s, unnest(range(len(s.w))) AS u(i) ORDER BY doc_id, pos"),
     "q_variant" ->
       ("WITH x AS (SELECT event_type, json_extract_string(props, '$.k')::INT AS k FROM events) " +
         "SELECT event_type, count(*) AS n, sum(k)::BIGINT AS sum_k, " +
