@@ -43,6 +43,79 @@ object TextAnalysis {
         ).otherwise(array().cast("array<string>"))),
       1)
 
+  /** All n-word grams of the token array, duplicates kept — the input
+    * to repetition statistics (unlike [[shingles]], which distincts for
+    * set-similarity). Same one-time lambda binding as [[shingles]].
+    */
+  def ngrams(toks: Column, n: Int): Column =
+    element_at(
+      transform(array(toks), t =>
+        when(
+          size(t) >= n,
+          transform(
+            sequence(lit(0), size(t) - lit(n)),
+            j => concat_ws(" ",
+              (1 to n).map(i => element_at(t, j + lit(i))): _*)),
+        ).otherwise(array().cast("array<string>"))),
+      1)
+
+  /** Single-pass run statistics over a SORTED string array: the struct
+    * `(best, dup)` where `best` is the count of the most frequent value
+    * (= longest equal run) and `dup` the number of elements whose value
+    * occurs more than once (= Gopher's duplicated-n-gram numerator).
+    *
+    * One `aggregate` fold per row, no shuffle — the relational
+    * equivalent (explode → groupBy(doc, gram) → groupBy(doc)) shuffles
+    * every n-gram occurrence in the corpus twice, which at 100 TB is
+    * ~2× corpus bytes of shuffle for a per-document statistic.
+    */
+  private[ops] def runStats(sortedArr: Column): Column =
+    aggregate(
+      sortedArr,
+      struct(lit("").as("prev"), lit(0).as("run"),
+        lit(0).as("best"), lit(0).as("dup")),
+      (acc, x) => {
+        val same = x === acc("prev")
+        val run2 = when(same, acc("run") + 1).otherwise(lit(1))
+        // entering a run's 2nd element counts both it and the 1st
+        val dup2 = acc("dup") +
+          when(same, when(acc("run") === 1, 2).otherwise(1)).otherwise(0)
+        struct(x.as("prev"), run2.as("run"),
+          greatest(acc("best"), run2).as("best"), dup2.as("dup"))
+      })
+
+  /** Gopher-style repetition quality metrics (Rae et al. 2021 §A1.1,
+    * re-expressed over whitespace tokens): duplicate-token fraction,
+    * top-bigram occurrence fraction, duplicated-trigram occurrence
+    * fraction, and a keep flag under fixed thresholds. High values mark
+    * boilerplate/spam documents that LLM corpora drop before training.
+    *
+    * Pure per-row projection (tokens → sorted n-grams → one fold), so
+    * it runs map-side at corpus scale. Every fraction is a single IEEE
+    * division of two exact integers, so DuckDB reproduces each value —
+    * and the keep flag's comparisons — bit-exactly with no rounding.
+    */
+  def repetitionMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toksCol = tokens(col(textCol))
+    def frac(num: Column, den: Column): Column =
+      when(den > 0, num / den).otherwise(lit(0.0))
+    df.withColumn("_toks", toksCol)
+      .withColumn("_bg", runStats(array_sort(ngrams(col("_toks"), 2))))
+      .withColumn("_tg", runStats(array_sort(ngrams(col("_toks"), 3))))
+      .select(
+        col(idCol),
+        size(col("_toks")).as("n_tokens"),
+        frac(size(col("_toks")) - size(array_distinct(col("_toks"))),
+          size(col("_toks"))).as("dup_token_frac"),
+        frac(col("_bg")("best"), size(col("_toks")) - 1).as("top_bigram_frac"),
+        frac(col("_tg")("dup"), size(col("_toks")) - 2).as("dup_trigram_frac"),
+      )
+      .withColumn("keep",
+        (col("dup_token_frac") < 0.6 &&
+          col("top_bigram_frac") < 0.08 &&
+          col("dup_trigram_frac") < 0.05).cast("int"))
+  }
+
   /** Default stopword list used by the quality/langid heuristics. */
   val EnStopwords: Seq[String] =
     Seq("the", "and", "of", "to", "a", "in", "is", "it", "for", "on")
@@ -121,6 +194,33 @@ object TextAnalysis {
       .withColumn("idf", log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0)
       .withColumn("tfidf", col("tf") * col("idf"))
       .drop("n_docs")
+  }
+
+  /** Heavy hitters by sketch-then-verify: a merged Misra–Gries summary
+    * ([[graft.functions.MisraGries]]) nominates candidate tokens with a
+    * corpus-size-independent shuffle (capacity-bounded partial summaries
+    * instead of every distinct token), then a second pass recounts ONLY
+    * the candidates exactly — same pattern as LSH-then-Jaccard dedup:
+    * the sketch bounds the work, the verify pass makes the output exact.
+    *
+    * The candidate set (≤ capacity rows) broadcasts into a semi-join, so
+    * the recount's group-by shuffles candidate tokens only — at 100 TB
+    * that is k-ish keys instead of a billions-key vocabulary shuffle.
+    * Output = exact (token, freq) top-k, ordered freq desc / token asc —
+    * deterministic, hence DuckDB-hash-checkable against plain exact SQL.
+    */
+  def heavyHitters(
+      df: DataFrame,
+      textCol: String,
+      k: Int = 20,
+      capacity: Int = 256): DataFrame = {
+    val toks = df.select(explode(tokens(col(textCol))).as("token"))
+    val mg = udaf(new graft.functions.MisraGries(capacity))
+    val cands = toks.agg(mg(col("token")).as("cands"))
+      .select(explode(col("cands")).as("token"))
+    toks.join(broadcast(cands), Seq("token"), "left_semi")
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token")).limit(k)
   }
 
   /** Sketch-based corpus profile: HyperLogLog++ approximate distincts

@@ -32,10 +32,15 @@ object PrepQueries {
     TextPrep.bigramSurprisal(docs(s, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  def qRepetition(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextAnalysis.repetitionMetrics(docs(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_chunks" -> (qChunks _),
     "q_redact" -> (qRedact _),
     "q_surprisal" -> (qSurprisal _),
+    "q_repetition" -> (qRepetition _),
   )
 
   private def redactSql: String =
@@ -72,5 +77,30 @@ object PrepQueries {
         O.r6("CAST(sum(CAST(nlp AS DECIMAL(25,6))) AS DOUBLE) / count(*)") +
         " AS mean_surprisal " +
         "FROM p JOIN sc USING (w1, w2) GROUP BY doc_id ORDER BY doc_id"),
+    // Relational mirror of the engine's per-row fold: n-gram counts via
+    // unnest+group-by; every fraction is one IEEE division of exact
+    // integers, so values (and the keep comparisons) match bit-exactly.
+    "q_repetition" ->
+      ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "tok AS (SELECT doc_id, len(w)::INT AS n_tokens, " +
+        "len(list_distinct(w))::INT AS n_distinct FROM w), " +
+        "b AS (SELECT doc_id, w[CAST(t.i+1 AS INT)] || ' ' || w[CAST(t.i+2 AS INT)] AS g " +
+        "FROM w, unnest(range(0, greatest(len(w.w)-1, 0))) AS t(i)), " +
+        "bc AS (SELECT doc_id, g, count(*) AS n FROM b GROUP BY 1, 2), " +
+        "bs AS (SELECT doc_id, max(n) AS top_n FROM bc GROUP BY 1), " +
+        "t3 AS (SELECT doc_id, w[CAST(t.i+1 AS INT)] || ' ' || w[CAST(t.i+2 AS INT)] " +
+        "|| ' ' || w[CAST(t.i+3 AS INT)] AS g " +
+        "FROM w, unnest(range(0, greatest(len(w.w)-2, 0))) AS t(i)), " +
+        "tc AS (SELECT doc_id, g, count(*) AS n FROM t3 GROUP BY 1, 2), " +
+        "ts AS (SELECT doc_id, coalesce(sum(n) FILTER (n > 1), 0) AS dup_n FROM tc GROUP BY 1), " +
+        "m AS (SELECT doc_id, n_tokens, " +
+        "CASE WHEN n_tokens > 0 THEN (n_tokens - n_distinct) / n_tokens ELSE 0.0 END AS dup_token_frac, " +
+        "CASE WHEN n_tokens - 1 > 0 THEN coalesce(top_n, 0) / (n_tokens - 1) ELSE 0.0 END AS top_bigram_frac, " +
+        "CASE WHEN n_tokens - 2 > 0 THEN coalesce(dup_n, 0) / (n_tokens - 2) ELSE 0.0 END AS dup_trigram_frac " +
+        "FROM tok LEFT JOIN bs USING (doc_id) LEFT JOIN ts USING (doc_id)) " +
+        "SELECT doc_id, n_tokens, dup_token_frac, top_bigram_frac, dup_trigram_frac, " +
+        "(CASE WHEN dup_token_frac < 0.6 AND top_bigram_frac < 0.08 " +
+        "AND dup_trigram_frac < 0.05 THEN 1 ELSE 0 END)::INT AS keep " +
+        "FROM m ORDER BY doc_id"),
   )
 }

@@ -105,6 +105,35 @@ object EventStreams {
     * size tracks the late-data window, not the stream's history. The
     * 100 TB/endless-stream property: bounded state regardless of volume.
     */
+  /** Windowed heavy hitters on the stream — the SAME mergeable
+    * Misra–Gries summary as the batch op
+    * ([[graft.functions.MisraGries]] / `TextAnalysis.heavyHitters`),
+    * applied per event-time window: because the sketch is a mergeable
+    * typed Aggregator, Structured Streaming holds ONE capacity-bounded
+    * map per open window as its state (merged incrementally across
+    * micro-batches), instead of per-key counts over an unbounded key
+    * space — the streaming frequent-items shape that works on an
+    * endless stream. Watermark evicts closed windows.
+    *
+    * Emits the surviving candidates ordered by estimated frequency;
+    * batch-exact recounting of candidates (the verify half) is a batch
+    * join downstream — on a stream the estimates themselves carry the
+    * N/(capacity+1) error bound.
+    */
+  def windowedHeavyHitters(
+      events: DataFrame,
+      watermark: String = "2 hours",
+      windowLen: String = "1 hour",
+      capacity: Int = 64,
+  ): DataFrame = {
+    val mg = udaf(new graft.functions.MisraGries(capacity))
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(mg(col("event_type")).as("heavy_hitters"))
+      .select(col("window.start").as("window_start"), col("heavy_hitters"))
+  }
+
   def dedupStream(events: DataFrame, keyCols: Seq[String], watermark: String): DataFrame =
     events
       .withWatermark("ts", watermark)

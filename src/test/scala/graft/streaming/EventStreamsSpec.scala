@@ -48,6 +48,27 @@ class EventStreamsSpec extends SparkTestBase {
     assert(got.sameElements(want))
   }
 
+  test("windowed heavy hitters merge the sketch across micro-batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    // hour 0: click ×3, view ×1 split across two micro-batches — the
+    // window's sketch state must merge, not reset
+    input.addData(
+      Event(ts(0, 1), 1, "click", 1.0),
+      Event(ts(0, 2), 2, "click", 1.0),
+      Event(ts(0, 3), 3, "view", 1.0))
+    input.addData(Event(ts(0, 4), 4, "click", 1.0))
+    EventStreams.runToMemory(
+      EventStreams.windowedHeavyHitters(input.toDF(), capacity = 8),
+      "heavy_stream", OutputMode.Complete())
+    val rows = spark.table("heavy_stream").orderBy("window_start").collect()
+    assert(rows.length == 1)
+    val hh = rows.head.getSeq[String](1)
+    // ordered by estimated frequency desc: click(3) before view(1)
+    assert(hh == Seq("click", "view"))
+  }
+
   test("stateful running user totals accumulate across micro-batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
