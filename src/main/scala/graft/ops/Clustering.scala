@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed k-means (Lloyd's algorithm) over an embedding column —
+  * the centroid-training half of the IVF ANN index
+  * ([[Similarity]]: the coarse quantizer there takes stride-sampled
+  * vectors as cells; this op refines them into actual cluster centers).
+  *
+  * Scale shape per iteration: centroids (k rows) broadcast into a
+  * crossJoin against the corpus — the classic Lloyd map side; the
+  * assignment argmin is a per-row fold; the centroid update shuffles
+  * (cluster, dim) partial sums only (map-side combine), never vectors.
+  * Nothing is collected to the driver: centroids stay a k-row DataFrame
+  * joined lazily each round, and the iteration count is FIXED (an
+  * unrolled hyperparameter, like a training epoch count) so the whole
+  * computation is one declarative plan.
+  *
+  * Cross-engine determinism (gate-checkable in DuckDB, which has no
+  * k-means): float components cast to double (exact), squared-distance
+  * as a LEFT FOLD in index order (every IEEE op identical in any
+  * engine), ties broken by lower cluster id, and the centroid-update
+  * mean as an exact DECIMAL(38,20) component sum (order-independent;
+  * double→decimal casts have no representable round-half tie points)
+  * followed by ONE double division. Assignments and centroids reproduce
+  * exactly cross-engine (verified in the gate); the reported d2 can
+  * differ in the last ulp (fold codegen / FP contraction differences),
+  * so gate queries round it to 6 dp.
+  */
+object Clustering {
+
+  /** Squared L2 distance between two double arrays, as an index-order
+    * left fold (deterministic across engines and partitionings).
+    */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+
+  /** Fixed-iteration Lloyd k-means.
+    *
+    * @return (vec_id, cluster, d2) — the assignment under the FINAL
+    *         centroids, d2 = exact squared distance (callers round for
+    *         cross-engine hashing).
+    */
+  def kmeans(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int = 2,
+  ): DataFrame = {
+    // exact float→double widening once, up front
+    val vecs = emb.select(
+      col(idCol).as("vec_id"),
+      transform(col(vecCol), _.cast("double")).as("v"))
+
+    // deterministic stride init: the k vectors at ids 0, s, 2s, … where
+    // s = n/k — evenly spread over the id space, no RNG, no collect
+    // (the count is a lazy 1-row broadcast, computed inside the plan)
+    val n = vecs.agg(count(lit(1)).as("_n"))
+    var centroids = vecs
+      .crossJoin(broadcast(n))
+      .withColumn("_s", (col("_n") / k).cast("long"))
+      .filter(col("vec_id") % col("_s") === 0 &&
+        (col("vec_id") / col("_s")).cast("long") < k)
+      .select((col("vec_id") / col("_s")).cast("int").as("cluster"), col("v").as("c"))
+
+    def assign(cent: DataFrame): DataFrame =
+      vecs.crossJoin(broadcast(cent))
+        .withColumn("d2", sqDist(col("v"), col("c")))
+        .groupBy("vec_id")
+        .agg(min(struct(col("d2"), col("cluster"))).as("_best"))
+        .select(col("vec_id"), col("_best.cluster").as("cluster"),
+          col("_best.d2").as("d2"))
+
+    for (_ <- 1 to iters) {
+      // update: exact decimal component sums (order-independent), one
+      // double division per component, array rebuilt in index order
+      val assigned = assign(centroids)
+        .join(vecs, "vec_id")
+        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+      centroids = assigned
+        .groupBy("cluster", "pos")
+        .agg((sum(col("x").cast("decimal(38,20)")).cast("double") /
+          count(lit(1))).as("m"))
+        .groupBy("cluster")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s("m")).as("c"))
+    }
+    assign(centroids)
+  }
+
+  /** DuckDB spelling of [[kmeans]] — the oracle side, generated for the
+    * same (k, iters) so the unrolled CTE chain mirrors the loop above.
+    * `finalSelect` wraps the last assignment CTE (named `a`).
+    */
+  def kmeansOracleSql(k: Int, iters: Int, finalSelect: String): String = {
+    val d2 =
+      "list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(v) + 1), " +
+        "i -> (v[CAST(i AS INT)] - c[CAST(i AS INT)]) * " +
+        "(v[CAST(i AS INT)] - c[CAST(i AS INT)]))), (acc, x) -> acc + x)"
+    def assignCte(name: String, cent: String): String =
+      s"$name AS (SELECT vec_id, best.c2 AS cluster, best.d AS d2 FROM (" +
+        s"SELECT vec_id, min({'d': $d2, 'c2': cluster}) AS best " +
+        s"FROM vecs, $cent GROUP BY vec_id))"
+    def updateCte(name: String, asg: String): String =
+      s"$name AS (SELECT cluster, list(m ORDER BY pos) AS c FROM (" +
+        "SELECT cluster, pos, CAST(sum(CAST(x AS DECIMAL(38,20))) AS DOUBLE) / count(*) AS m " +
+        s"FROM (SELECT $asg.cluster, u.i AS pos, v[CAST(u.i AS INT)] AS x " +
+        s"FROM $asg JOIN vecs USING (vec_id), unnest(range(1, len(v) + 1)) AS u(i)) " +
+        "GROUP BY cluster, pos) GROUP BY cluster)"
+    val base =
+      "vecs AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), " +
+        s"nn AS (SELECT (count(*) // $k)::BIGINT AS s FROM vecs), " +
+        "cent0 AS (SELECT (vec_id // s)::INT AS cluster, v AS c FROM vecs, nn " +
+        s"WHERE vec_id % s = 0 AND vec_id // s < $k)"
+    val steps = (1 to iters).flatMap { i =>
+      Seq(assignCte(s"asg$i", s"cent${i - 1}"), updateCte(s"cent$i", s"asg$i"))
+    }
+    val last = assignCte("a", s"cent$iters")
+    (Seq(base) ++ steps :+ last).mkString("WITH ", ", ", s" $finalSelect")
+  }
+}
