@@ -132,4 +132,42 @@ object Layout {
     require(dupes.isEmpty, s"updates must be unique on ${keys.mkString(",")}")
     updates.unionByName(base.join(updates.select(keys.map(col): _*), keys, "left_anti"))
   }
+
+  /** Write `df` as a bucketed+sorted catalog table: rows hash-placed
+    * into `nBuckets` files by `key`, each file sorted on it.
+    *
+    * Bucketing is the pre-paid shuffle: two tables bucketed the same
+    * way join with NO exchange and (being sorted) no sort — the
+    * sort-merge join reads co-bucketed files directly. At 100 TB this
+    * converts every recurring join/aggregation on the bucket key from
+    * a per-query corpus shuffle into a one-time layout decision —
+    * exactly how warehouse fact tables are stored. Requires the
+    * session catalog (bucket metadata lives there, not in parquet),
+    * hence `saveAsTable`; `path` keeps the data external so the
+    * catalog entry is metadata only. PlanSpec asserts the no-exchange
+    * plan; the q_bucket_join gate checks result equality to the plain
+    * join.
+    */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      path: String,
+      key: String,
+      nBuckets: Int,
+  ): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    // align write tasks with buckets first: otherwise every task writes
+    // a file per bucket it sees (tasks × buckets small files), and a
+    // multi-file bucket forces the reader to re-sort. One shuffle here
+    // buys one file per bucket, hence sort-free bucketed scans forever.
+    df.repartition(nBuckets, col(key))
+      .write
+      .format("parquet")
+      .bucketBy(nBuckets, key)
+      .sortBy(key)
+      .option("path", path)
+      .mode(SaveMode.Overwrite)
+      .saveAsTable(table)
+  }
 }

@@ -370,4 +370,46 @@ object Dedup {
     df.select(
       col(idCol),
       SimHash64.simhash64(TextAnalysis.tokens(col(textCol))).as("simhash"))
+
+  /** SimHash near-dup pairs via 4×16-bit banding (Manku et al., WWW
+    * 2007): two fingerprints within Hamming distance ≤ 3 must agree on
+    * at least one of 4 disjoint 16-bit bands (pigeonhole — 3 flipped
+    * bits can touch at most 3 bands), so banded equi-join + exact
+    * `bit_count(xor)` verify finds EVERY such pair: exact recall, no
+    * probabilistic tuning, unlike the MinHash-LSH path.
+    *
+    * Scale shape matches the LSH family: candidates come from an
+    * equi-join on (band_idx, band_value) — never all-pairs — and the
+    * Hamming verify is one codegen'd integer op per candidate. A
+    * boilerplate-heavy corpus concentrating one band value has the same
+    * oversized-bucket hazard as MinHash banding; route hot band values
+    * through [[lshCandidatePairs]]'s cap-and-star strategy if profiling
+    * shows it.
+    */
+  def simhashNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDist: Int = 3,
+  ): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"4x16 banding guarantees recall only for maxDist <= 3, got $maxDist")
+    val sh = simhashes(df, idCol, textCol)
+    val bands = sh.select(col(idCol), col("simhash"),
+      explode(array((0 until 4).map(i => struct(
+        lit(i).as("bi"),
+        shiftright(col("simhash"), 16 * i).bitwiseAND(lit(0xFFFFL)).as("bv"))): _*))
+        .as("band"))
+      .select(col(idCol), col("simhash"),
+        col("band.bi").as("bi"), col("band.bv").as("bv"))
+    val a = bands.toDF("doc_a", "sh_a", "bi", "bv")
+    val b = bands.toDF("doc_b", "sh_b", "bi", "bv")
+    a.join(b, Seq("bi", "bv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sh_a", "sh_b").distinct() // multi-band hits once
+      .withColumn("hamming",
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int"))
+      .filter(col("hamming") <= maxDist)
+      .select("doc_a", "doc_b", "hamming")
+  }
 }

@@ -55,4 +55,33 @@ object Skew {
       .groupBy(keys.map(col): _*)
       .agg(finalAggs.head, finalAggs.tail: _*)
   }
+
+  /** Salted equi-join for a skewed fact side: the fact table's hot join
+    * key no longer lands on one reducer — each fact row carries a
+    * deterministic row-hash salt in [0, nSalts), and the (smaller, but
+    * too big to broadcast) build side is replicated once per salt so
+    * every (key, salt) pair still meets. The join key becomes
+    * (key, salt): a hot key's rows spread across nSalts reducers while
+    * the build side pays a bounded nSalts× duplication — the standard
+    * manual skew-join for when AQE's runtime skew split doesn't apply
+    * (e.g. the skew is known up front, or the stage feeds a further
+    * co-partitioned op that AQE's split would break).
+    *
+    * Inner-join semantics are preserved exactly: every fact row has
+    * exactly one salt, and exactly one replica of each matching build
+    * row carries that salt.
+    */
+  def saltedJoin(
+      fact: DataFrame,
+      build: DataFrame,
+      key: String,
+      nSalts: Int = 16,
+  ): DataFrame = {
+    require(nSalts > 0)
+    val saltedFact = fact.withColumn(
+      "_salt", pmod(hash(fact.columns.map(col): _*), lit(nSalts)))
+    val replicatedBuild = build.withColumn(
+      "_salt", explode(sequence(lit(0), lit(nSalts - 1))))
+    saltedFact.join(replicatedBuild, Seq(key, "_salt")).drop("_salt")
+  }
 }

@@ -98,12 +98,11 @@ class PlanSpec extends SparkTestBase {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      Tables.table(spark, Sf0001, "lineitem")
-        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .mode("overwrite").saveAsTable("li_bucketed")
-      Tables.table(spark, Sf0001, "orders")
-        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .mode("overwrite").saveAsTable("ord_bucketed")
+      val base = java.nio.file.Files.createTempDirectory("bucket_plan").toString
+      graft.etl.Layout.writeBucketed(Tables.table(spark, Sf0001, "lineitem"),
+        "li_bucketed", s"$base/li", "l_orderkey", 8)
+      graft.etl.Layout.writeBucketed(Tables.table(spark, Sf0001, "orders"),
+        "ord_bucketed", s"$base/ord", "o_orderkey", 8)
       val j = spark.table("li_bucketed")
         .join(spark.table("ord_bucketed"),
           col("l_orderkey") === col("o_orderkey"))
@@ -128,8 +127,10 @@ class PlanSpec extends SparkTestBase {
     // q_sim_ivf: cell assignment scores every vector against the
     // broadcast centroid set — a deliberate map-side cross join)
     // (q_surprisal: 1-row vocab scalar broadcast, like q_tfidf)
+    // (q_kmeans: Lloyd assignment IS a broadcast cross join — k centroid
+    // rows against the corpus, plus the 1-row stride count)
     val bnljByDesign = Set("q_sim_topk", "q_sim_topk_agg", "q_top_tokens",
-      "q_tfidf", "q_asof", "q_sim_ivf", "q_surprisal")
+      "q_tfidf", "q_asof", "q_sim_ivf", "q_surprisal", "q_kmeans")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = plan(fn(spark, Sf0001))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")

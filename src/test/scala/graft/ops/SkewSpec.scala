@@ -37,4 +37,26 @@ class SkewSpec extends SparkTestBase {
     val b = Skew.saltedAgg(ev, Seq("event_type"), Nil, Seq("value"), 8).collect()
     assert(a.map(_.toString).sorted.sameElements(b.map(_.toString).sorted))
   }
+
+  test("saltedJoin equals the plain inner join, row for row") {
+    import spark.implicits._
+    // skewed fact: key 1 dominates; dim with extra keys (unmatched rows
+    // must vanish exactly as in a plain inner join)
+    val fact = (1 to 1000).map(i => (if (i % 10 == 0) i.toLong % 7 else 1L, i))
+      .toDF("k", "payload")
+    val dim = (0L to 20L).map(k => (k, s"dim_$k")).toDF("k", "attr")
+    val plain = fact.join(dim, "k")
+    val salted = Skew.saltedJoin(fact, dim, "k", nSalts = 8)
+    assert(salted.count() == plain.count())
+    val cols = plain.columns.map(col)
+    assert(salted.select(cols: _*).except(plain).isEmpty &&
+      plain.except(salted.select(cols: _*)).isEmpty)
+    // the salt actually splits the hot key's join-key space (partition
+    // spread itself is AQE-dependent at this scale; the key split is
+    // the structural property that causes it)
+    val salts = fact.withColumn(
+      "_salt", pmod(hash(fact.columns.map(col): _*), lit(8)))
+      .filter(col("k") === 1L).select("_salt").distinct().count()
+    assert(salts > 1, "hot key should fan out over multiple salts")
+  }
 }
