@@ -84,6 +84,14 @@ object ExtQueries {
         lower(lpad(hex(col("simhash")), 16, "0")).as("simhash_hex"))
       .orderBy("doc_id")
 
+  /** Banded SimHash near-dup pairs with exact-recall Hamming verify
+    * ([[Dedup.simhashNearDupPairs]]) — the end-to-end SimHash dedup
+    * path the fingerprint dump above feeds.
+    */
+  def qDedupSimhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDupPairs(docs(s, dir), "doc_id", "text", maxDist = 3)
+      .orderBy("doc_a", "doc_b")
+
   /** Near-dup clusters: verified MinHash-LSH pairs → connected
     * components (min reachable id as cluster id).
     */
@@ -156,6 +164,19 @@ object ExtQueries {
       .cosineTopKAgg(queriesDf(s, dir), candsDf(s, dir), k = 10, scoreRounding = r6)
       .orderBy("qid", "rank")
 
+  /** Distributed Lloyd k-means over the embeddings table
+    * ([[graft.ops.Clustering.kmeans]]): k=8, 2 unrolled iterations,
+    * deterministic stride init — hash-checked against the generated
+    * DuckDB CTE chain for the identical algorithm.
+    */
+  def qKmeans(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Clustering
+      .kmeans(emb(s, dir), "vec_id", "embedding", k = 8, iters = 2)
+      // d2 is deterministic to the last ulp WITHIN each engine, but the
+      // two engines' fold codegen can differ by 1 ulp — report at 6 dp
+      .select(col("vec_id"), col("cluster"), r6(col("d2")).as("d2"))
+      .orderBy("vec_id")
+
   def qSimLshMulti(s: SparkSession, dir: String): DataFrame =
     Similarity
       .multiProbeTopK(queriesDf(s, dir), candsDf(s, dir), k = 10, nBits = 4,
@@ -226,6 +247,15 @@ object ExtQueries {
       .orderBy(col("freq").desc, col("token"))
       .limit(20)
   }
+
+  /** Sketch-then-verify heavy hitters ([[TextAnalysis.heavyHitters]]).
+    * Shares q_top_tokens' exact semantics (the verify pass makes the
+    * sketch invisible in the output), so the oracle is plain exact SQL —
+    * the gate proves the Misra–Gries candidate pass loses nothing.
+    */
+  def qHeavy(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.heavyHitters(docs(s, dir), "text", k = 20, capacity = 256)
+      .orderBy(col("freq").desc, col("token"))
 
   /** Winnowed Karp–Rabin fingerprint (codegen'd rolling hash), emitted as
     * 16-hex-char strings. DuckDB can't spell the one-pass sliding
@@ -582,6 +612,52 @@ object ExtQueries {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
+  /** Salted skew join ([[graft.ops.Skew.saltedJoin]]): lineitem ⋈
+    * orders on the order key with a 8-way salt, re-aggregated — the
+    * oracle computes the UNSALTED join, proving the salt+replicate
+    * transform is invisible in the result.
+    */
+  def qJoinSalted(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.table(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val ord = Tables.table(s, dir, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    graft.ops.Skew.saltedJoin(li, ord, "l_orderkey", nSalts = 8)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Bucketed-table join ([[graft.etl.Layout.writeBucketed]]): lineitem
+    * and orders land as co-bucketed sorted catalog tables, then join on
+    * the bucket key with no exchange and no sort (asserted in PlanSpec)
+    * — result checked against the plain-join oracle.
+    */
+  def qBucketJoin(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_bucket").toString
+    graft.etl.Layout.writeBucketed(
+      Tables.table(s, dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount"),
+      "graft_b_lineitem", s"$base/lineitem", "l_orderkey", 8)
+    graft.etl.Layout.writeBucketed(
+      Tables.table(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus"),
+      "graft_b_orders", s"$base/orders", "o_orderkey", 8)
+    s.table("graft_b_lineitem")
+      // merge hint: without it the small sf build side would broadcast
+      // and never exercise the bucket layout (at warehouse scale SMJ is
+      // what the planner picks on its own)
+      .hint("merge")
+      .join(s.table("graft_b_orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy("o_orderstatus")
+  }
+
   // ---- multimodal -----------------------------------------------------
 
   def qMultimodal(s: SparkSession, dir: String): DataFrame = {
@@ -598,6 +674,7 @@ object ExtQueries {
     "q_dedup_near" -> (qDedupNear _),
     "q_dedup_ngram" -> (qDedupNgram _),
     "q_dedup_simhash" -> (qDedupSimhash _),
+    "q_dedup_simhash_pairs" -> (qDedupSimhashPairs _),
     "q_dedup_embed" -> (qDedupEmbed _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_clusters_fast" -> (qDedupClustersFast _),
@@ -607,12 +684,14 @@ object ExtQueries {
     "q_sim_ivf" -> (qSimIvf _),
     "q_sim_topk_agg" -> (qSimTopkAgg _),
     "q_sim_lsh_multi" -> (qSimLshMulti _),
+    "q_kmeans" -> (qKmeans _),
     "q_text_stats" -> (qTextStats _),
     "q_lang_id" -> (qLangId _),
     "q_quality" -> (qQuality _),
     "q_fingerprint" -> (qFingerprint _),
     "q_fingerprint_roll" -> (qFingerprintRoll _),
     "q_top_tokens" -> (qTopTokens _),
+    "q_heavy" -> (qHeavy _),
     "q_sessions" -> (qSessions _),
     "q_tfidf" -> (qTfidf _),
     "q_window" -> (qWindow _),
@@ -635,9 +714,30 @@ object ExtQueries {
     "q_strings" -> (qStrings _),
     "q_multimodal" -> (qMultimodal _),
     "q_agg_salted" -> (qAggSalted _),
+    "q_join_salted" -> (qJoinSalted _),
+    "q_bucket_join" -> (qBucketJoin _),
   )
 
   // ---- oracle SQL -----------------------------------------------------
+
+  /** SimHash rebuilt bit-by-bit from md5(token): bit b of the 64-bit
+    * md5-prefix hash lives in hex char 16-(b//4) at nibble bit b%4;
+    * per-bit vote sums then reassemble into the 16-hex-char form (the
+    * Spark side emits lower(lpad(hex(simhash),16,'0'))). Shared by the
+    * fingerprint dump and the banded-pairs oracle.
+    */
+  private val simhashHexSelect: String =
+    "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents), " +
+      "bits AS (SELECT doc_id, b.b AS b, " +
+      "SUM(CASE WHEN (((strpos('0123456789abcdef', substr(md5(token), CAST(16 - (b.b // 4) AS INT), 1)) - 1) " +
+      ">> (b.b % 4)) & 1) = 1 THEN 1 ELSE -1 END) AS s " +
+      "FROM toks CROSS JOIN (SELECT unnest(range(0, 64)) AS b) b GROUP BY doc_id, b.b), " +
+      "nib AS (SELECT doc_id, (b // 4) AS nid, " +
+      "SUM(CASE WHEN s > 0 THEN (1 << (b % 4)) ELSE 0 END) AS nv " +
+      "FROM bits GROUP BY doc_id, (b // 4)) " +
+      "SELECT doc_id, string_agg(substr('0123456789abcdef', CAST(nv AS INT) + 1, 1), '' " +
+      "ORDER BY nid DESC) AS simhash_hex " +
+      "FROM nib GROUP BY doc_id"
 
   /** Shared DuckDB CTE fragments. */
   private val wCte =
@@ -694,6 +794,18 @@ object ExtQueries {
       ("SELECT l_returnflag, l_linestatus, count(*) AS n, " +
         O.r6("CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / count(*)") +
         " AS avg_price FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"),
+    // both compute the plain join — the salt/bucket transforms must be
+    // invisible in the result
+    "q_join_salted" ->
+      ("SELECT o_orderpriority, count(*) AS n, " +
+        O.dsum("l_extendedprice * (1.0 - l_discount)") + " AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "q_bucket_join" ->
+      ("SELECT o_orderstatus, count(*) AS n, " +
+        O.dsum("l_extendedprice * (1.0 - l_discount)") + " AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     "q_dedup_exact" ->
       ("SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) " +
         "AS content_key, min(doc_id) AS keep_id, count(*) AS copies " +
@@ -790,22 +902,25 @@ object ExtQueries {
         O.r6("len(list_intersect(a.td, b.td)) / len(list_distinct(list_concat(a.td, b.td)))") +
         " AS jac FROM tk a JOIN tk b ON b.doc_id - a.doc_id BETWEEN 1 AND 3 " +
         "ORDER BY doc_a, doc_b"),
-    "q_dedup_simhash" ->
-      // SimHash rebuilt bit-by-bit from md5(token): bit b of the 64-bit
-      // md5-prefix hash lives in hex char 16-(b//4) at nibble bit b%4;
-      // per-bit vote sums then reassemble into the 16-hex-char form (the
-      // Spark side emits lower(lpad(hex(simhash),16,'0'))).
-      ("WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents), " +
-        "bits AS (SELECT doc_id, b.b AS b, " +
-        "SUM(CASE WHEN (((strpos('0123456789abcdef', substr(md5(token), CAST(16 - (b.b // 4) AS INT), 1)) - 1) " +
-        ">> (b.b % 4)) & 1) = 1 THEN 1 ELSE -1 END) AS s " +
-        "FROM toks CROSS JOIN (SELECT unnest(range(0, 64)) AS b) b GROUP BY doc_id, b.b), " +
-        "nib AS (SELECT doc_id, (b // 4) AS nid, " +
-        "SUM(CASE WHEN s > 0 THEN (1 << (b % 4)) ELSE 0 END) AS nv " +
-        "FROM bits GROUP BY doc_id, (b // 4)) " +
-        "SELECT doc_id, string_agg(substr('0123456789abcdef', CAST(nv AS INT) + 1, 1), '' " +
-        "ORDER BY nid DESC) AS simhash_hex " +
-        "FROM nib GROUP BY doc_id ORDER BY doc_id"),
+    "q_dedup_simhash" -> (simhashHexSelect + " ORDER BY doc_id"),
+    // banded pairs + exact Hamming over the same hex fingerprints: band
+    // i = hex chars [4i+1, 4i+4] (16 bits), Hamming = Σ bit_count(xor)
+    // over the 16 nibbles
+    "q_dedup_simhash_pairs" ->
+      (s"WITH sim AS ($simhashHexSelect), " +
+        "bands AS (SELECT doc_id, simhash_hex, b.i AS bi, " +
+        "substr(simhash_hex, CAST(4 * b.i + 1 AS INT), 4) AS bv " +
+        "FROM sim, (SELECT unnest(range(0, 4)) AS i) b), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "a.simhash_hex AS ha, b.simhash_hex AS hb " +
+        "FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv " +
+        "AND a.doc_id < b.doc_id), " +
+        "ham AS (SELECT doc_a, doc_b, list_sum(list_transform(range(1, 17), i -> " +
+        "bit_count(xor(strpos('0123456789abcdef', substr(ha, CAST(i AS INT), 1)) - 1, " +
+        "strpos('0123456789abcdef', substr(hb, CAST(i AS INT), 1)) - 1)))) AS d " +
+        "FROM cand) " +
+        "SELECT doc_a, doc_b, d::INT AS hamming FROM ham WHERE d <= 3 " +
+        "ORDER BY doc_a, doc_b"),
     "q_vocab_exact" ->
       ("WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) " +
         "SELECT count(DISTINCT token) AS vocab_exact, count(DISTINCT doc_id) AS docs_exact, " +
@@ -872,6 +987,9 @@ object ExtQueries {
         "FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) " +
         s"SELECT id_a, id_b, ${O.r6("c")} AS cos FROM p WHERE c >= 0.35 " +
         "ORDER BY id_a, id_b"),
+    "q_kmeans" ->
+      graft.ops.Clustering.kmeansOracleSql(8, 2,
+        s"SELECT vec_id, cluster, ${O.r6("d2")} AS d2 FROM a ORDER BY vec_id"),
     "q_sim_ivf" ->
       ("WITH cen AS (SELECT vec_id AS centroid_id, embedding AS cv " +
         "FROM embeddings WHERE vec_id % 64 = 0), " +
@@ -1053,6 +1171,10 @@ object ExtQueries {
         "v AS (SELECT count(DISTINCT token) AS vocab_size FROM t) " +
         "SELECT token, count(*) AS freq, vocab_size FROM t CROSS JOIN v " +
         "GROUP BY token, vocab_size ORDER BY freq DESC, token LIMIT 20"),
+    "q_heavy" ->
+      ("SELECT token, count(*) AS freq " +
+        "FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) " +
+        "GROUP BY token ORDER BY freq DESC, token LIMIT 20"),
     // byte-based (hex over UTF-8 encode), matching Spark's binary payload
     // semantics for non-ASCII text too — ascii()/length() count CODEPOINTS
     // and would silently diverge on any multi-byte character

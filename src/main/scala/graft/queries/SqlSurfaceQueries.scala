@@ -71,6 +71,50 @@ object SqlSurfaceQueries {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** TPC-H Q18 shape (large-volume customers): a HAVING-filtered
+    * aggregate used as a semi-join filter on the fact spine, then a
+    * three-way join re-aggregated per order.
+    *
+    * Scale shape: the HAVING subquery is a pre-aggregation of lineitem
+    * on its natural key (map-side partial agg → one shuffle), whose
+    * SMALL survivor set (here sum(qty) > 250, ~1% of orders) semi-joins
+    * back — Catalyst turns the IN into a LeftSemi that AQE broadcasts,
+    * so the big fact table never shuffles for the filter. Customer joins
+    * last, against already-reduced orders.
+    */
+  def qTpchQ18(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.table(s, dir, "lineitem")
+    val big = li.groupBy("l_orderkey")
+      .agg(sum("l_quantity").as("_sq")).filter(col("_sq") > 250)
+      .select("l_orderkey")
+    Tables.table(s, dir, "orders")
+      .join(big, col("o_orderkey") === big("l_orderkey"), "left_semi")
+      .join(Tables.table(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+      .agg(sum("l_quantity").as("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderdate"), col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** Wide-to-long reshape (UNPIVOT/melt) + re-aggregation: four lineitem
+    * measure columns melt into (metric, value) rows, then per-metric
+    * count/mean/min/max. The unpivot itself is a zero-shuffle per-row
+    * explode (rows × 4); only the 4-group aggregate shuffles.
+    */
+  def qUnpivot(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "lineitem")
+      .select("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .unpivot(Array.empty, "metric", "value")
+      .groupBy("metric")
+      .agg(
+        count(lit(1)).as("n"),
+        davg(col("value")).as("mean_v"),
+        r6(min("value")).as("min_v"),
+        r6(max("value")).as("max_v"),
+      )
+      .orderBy("metric")
+
   /** Window frame variants over per-user event sequences: ntile
     * quartiles, percent_rank/cume_dist (deterministic via the event_id
     * tiebreak: no rank peers), full-frame first/last/nth_value, and a
@@ -211,6 +255,8 @@ object SqlSurfaceQueries {
     "q_lateral" -> (qLateral _),
     "q_tpch_q3" -> (qTpchQ3 _),
     "q_tpch_q5" -> (qTpchQ5 _),
+    "q_tpch_q18" -> (qTpchQ18 _),
+    "q_unpivot" -> (qUnpivot _),
     "q_window_frames" -> (qWindowFrames _),
     "q_dates" -> (qDates _),
     "q_json" -> (qJson _),
@@ -256,6 +302,22 @@ object SqlSurfaceQueries {
         "AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey " +
         "AND r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1998-01-01' " +
         "GROUP BY n_name ORDER BY revenue DESC, n_name"),
+    // sum(l_quantity) is integer-valued doubles → exact, order-free
+    "q_tpch_q18" ->
+      ("SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, " +
+        "sum(l_quantity) AS sum_qty " +
+        "FROM customer, orders, lineitem " +
+        "WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem " +
+        "GROUP BY l_orderkey HAVING sum(l_quantity) > 250) " +
+        "AND c_custkey = o_custkey AND o_orderkey = l_orderkey " +
+        "GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice " +
+        "ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100"),
+    "q_unpivot" ->
+      ("SELECT metric, count(*) AS n, " + O.davg("value") + " AS mean_v, " +
+        O.r6("min(value)") + " AS min_v, " + O.r6("max(value)") + " AS max_v " +
+        "FROM (UNPIVOT (SELECT l_quantity, l_extendedprice, l_discount, l_tax " +
+        "FROM lineitem) ON l_quantity, l_extendedprice, l_discount, l_tax " +
+        "INTO NAME metric VALUE value) GROUP BY metric ORDER BY metric"),
     "q_window_frames" ->
       ("SELECT event_id, user_id, " +
         "(ntile(4) OVER wt)::INT AS quartile, " +

@@ -327,6 +327,85 @@ class OpsSpec extends SparkTestBase {
     assert(a.sameElements(b))
   }
 
+  test("simhash banded pairs: exact recall vs brute-force Hamming ≤ 3") {
+    val sh = Dedup.simhashes(docs, "doc_id", "text")
+    val brute = sh.toDF("doc_a", "ha").crossJoin(sh.toDF("doc_b", "hb"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int"))
+      .filter(col("hamming") <= 3).select("doc_a", "doc_b", "hamming")
+    val banded = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxDist = 3)
+    // pigeonhole: banding may not LOSE any pair the brute force finds
+    assert(banded.count() == brute.count())
+    assert(banded.except(brute).isEmpty && brute.except(banded).isEmpty)
+  }
+
+  test("repetition metrics: fold matches crafted truths and relational recount") {
+    import spark.implicits._
+    val crafted = Seq(
+      (1L, "a a a a"),                                  // fully repeated
+      (2L, "x y x y x y x y"),                          // alternating
+      (3L, (1 to 30).map(i => s"w$i").mkString(" ")),   // all distinct
+      (4L, "solo"),                                     // too short for n-grams
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.repetitionMetrics(crafted, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(m(0).getAs[Double]("dup_token_frac") == 0.75)
+    assert(m(0).getAs[Double]("top_bigram_frac") == 1.0)   // "a a" ×3 of 3
+    assert(m(0).getAs[Double]("dup_trigram_frac") == 1.0)  // "a a a" ×2 of 2
+    assert(m(0).getAs[Int]("keep") == 0)
+    assert(m(1).getAs[Double]("top_bigram_frac") == 4.0 / 7) // "x y" ×4 of 7
+    assert(m(1).getAs[Double]("dup_trigram_frac") == 1.0)
+    assert(m(2).getAs[Double]("dup_token_frac") == 0.0)
+    assert(m(2).getAs[Int]("keep") == 1)
+    assert(m(3).getAs[Double]("top_bigram_frac") == 0.0)   // guarded 0/0
+    assert(m(3).getAs[Int]("keep") == 1)
+    // the per-row fold agrees with an independent relational recount
+    // (explode → group-by count → max) on the whole corpus fixture
+    val rel = docs.select(col("doc_id"),
+      explode(TextAnalysis.ngrams(TextAnalysis.tokens(col("text")), 2)).as("g"))
+      .groupBy("doc_id", "g").count()
+      .groupBy("doc_id").agg(max("count").as("top_rel"))
+    val fold = TextAnalysis.repetitionMetrics(docs, "doc_id", "text")
+      .select(col("doc_id"),
+        (col("top_bigram_frac") * (col("n_tokens") - 1)).as("top_fold"))
+    assert(fold.join(rel, "doc_id")
+      .filter(abs(col("top_fold") - col("top_rel")) > 1e-9).count() == 0)
+  }
+
+  test("heavy hitters: sketch-then-verify equals exact top-k under tight capacity") {
+    import spark.implicits._
+    // Zipf-ish head + a 5000-token unique tail; capacity 16 ≪ vocabulary
+    // forces real Misra–Gries evictions in reduce AND merge, yet every
+    // head token clears the N/(capacity+1) survival bound
+    val rows = (1 to 5).flatMap(i => Seq.fill(6000 / i)(s"h$i")) ++
+      (1 to 5000).map(i => s"tail$i")
+    val df = rows.zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("id", "text")
+      .repartition(32)
+    val hh = TextAnalysis.heavyHitters(df, "text", k = 5, capacity = 16)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val exact = df.select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token")).limit(5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(hh == exact)
+    assert(hh.head == ("h1", 6000L))
+  }
+
+  test("kmeans: deterministic under repartitioning, monotone in iterations") {
+    val base = Clustering.kmeans(emb, "vec_id", "embedding", k = 4, iters = 2)
+      .orderBy("vec_id").collect()
+    val shuffled = Clustering.kmeans(emb.repartition(13), "vec_id", "embedding",
+      k = 4, iters = 2).orderBy("vec_id").collect()
+    assert(base.sameElements(shuffled))
+    assert(base.map(_.getAs[Int]("cluster")).distinct.length > 1)
+    // Lloyd objective never increases with more iterations
+    def objective(iters: Int): Double =
+      Clustering.kmeans(emb, "vec_id", "embedding", k = 4, iters = iters)
+        .agg(sum("d2")).head().getDouble(0)
+    assert(objective(2) <= objective(1) + 1e-9)
+  }
+
   test("HLL sketch cardinalities land within the declared error bound") {
     val p = TextAnalysis.vocabProfile(docs, "doc_id", "text").head()
     val (vExact, vApprox) = (p.getLong(0), p.getLong(1))
