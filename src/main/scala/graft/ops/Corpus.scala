@@ -57,6 +57,48 @@ object Corpus {
     df.withColumn("split", split)
   }
 
+  /** End-to-end corpus curation — the flagship composition proving the
+    * operator families fit together as one declarative plan:
+    *
+    *  1. quality gate: Gopher repetition thresholds
+    *     ([[TextAnalysis.repetitionMetrics]] keep flag) AND predicted
+    *     language == `lang` ([[TextAnalysis.langPredict]]);
+    *  2. exact dedup: one survivor (min id) per word-set key
+    *     ([[Dedup.wordSetKey]]);
+    *  3. deterministic split assignment ([[hashSplit]]).
+    *
+    * Scale shape: steps 1 and the key/language derivations are narrow
+    * map work fused into the scan; the only shuffles are the survivor
+    * group-by on the uniform md5 key and the id-join of the metrics
+    * frame (both corpus-bounded, both AQE-coalesced). Output is one row
+    * per surviving document with its split — the exact frame a
+    * downstream tokenizer/packer consumes.
+    */
+  def curate(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      lang: String = "en",
+      fractions: Seq[(String, Double)] =
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+  ): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val rep = TextAnalysis.repetitionMetrics(df, idCol, textCol)
+      .select(col(idCol), col("n_tokens"), col("keep"))
+    val base = df.select(
+      col(idCol),
+      TextAnalysis.langPredict(TextAnalysis.langHits(toks)).as("lang_pred"),
+      Dedup.wordSetKey(toks).as("_key"))
+    val kept = base.join(rep, Seq(idCol))
+      .filter(col("keep") === 1 && col("lang_pred") === lang)
+    val survivors = kept
+      .groupBy("_key")
+      .agg(min(struct(col(idCol), col("n_tokens"))).as("_s"))
+      .select(col(s"_s.$idCol").as(idCol), col("_s.n_tokens").as("n_tokens"))
+    hashSplit(survivors, idCol, fractions)
+      .select(col(idCol), col("n_tokens"), col("split"))
+  }
+
   /** Per-stratum deterministic sampling: keep a row iff its hash bucket
     * is under `rate(stratum) * buckets`. The workhorse for rebalancing a
     * corpus (downsample the dominant language, keep the rare ones) —

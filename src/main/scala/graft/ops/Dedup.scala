@@ -166,6 +166,45 @@ object Dedup {
     inCapPairs.union(overflowPairs).distinct()
   }
 
+  /** Incremental near-dup detection: a NEW batch against the EXISTING
+    * corpus — the daily-crawl production shape. Candidates come from a
+    * band equi-join between the batch's bands and the corpus's bands,
+    * never batch×batch or corpus×corpus, so a day's increment costs
+    * |batch| band rows joined into the corpus index instead of
+    * re-pairing the already-deduped corpus with itself. Verification is
+    * the same exact Jaccard as [[nearDuplicatePairs]].
+    *
+    * At scale the corpus band table is precomputed once and stored
+    * bucketed on the band hash ([[graft.etl.Layout.writeBucketed]]), so
+    * the daily join shuffles only the batch side. Signatures are
+    * seed-free md5 permutations precisely so the incremental index
+    * never goes stale against re-computed batch signatures.
+    */
+  def incrementalNearDupPairs(
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8,
+      k: Int = 8,
+      bands: Int = 4,
+  ): DataFrame = {
+    val cb = bandTable(minhashSignatures(corpus, idCol, textCol, k), idCol, k, bands)
+      .toDF("corpus_id", "band_idx", "band_hash")
+    val bb = bandTable(minhashSignatures(batch, idCol, textCol, k), idCol, k, bands)
+      .toDF("batch_id", "band_idx", "band_hash")
+    val cand = bb.join(cb, Seq("band_idx", "band_hash"))
+      .select("batch_id", "corpus_id").distinct()
+    val ct = corpus.select(col(idCol).as("corpus_id"),
+      TextAnalysis.tokens(col(textCol)).as("toks_c"))
+    val bt = batch.select(col(idCol).as("batch_id"),
+      TextAnalysis.tokens(col(textCol)).as("toks_b"))
+    cand.join(bt, "batch_id").join(ct, "corpus_id")
+      .withColumn("jac", jaccard(col("toks_b"), col("toks_c")))
+      .filter(col("jac") >= threshold)
+      .select("batch_id", "corpus_id", "jac")
+  }
+
   /** Exact token-set Jaccard similarity between two token arrays —
     * integer set sizes, one double division (deterministic).
     */

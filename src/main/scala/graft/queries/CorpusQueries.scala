@@ -36,6 +36,15 @@ object CorpusQueries {
         max("doc_id").as("max_id"), sum("n_chars").as("sum_chars"))
       .orderBy("split")
 
+  /** The composed curation pipeline ([[Corpus.curate]]): repetition
+    * quality gate → language gate → exact-dedup survivors → hash split,
+    * one row per surviving doc — hash-checked END TO END by composing
+    * the individual operators' oracle fragments, proving the pieces
+    * agree not just alone but chained.
+    */
+  def qPipeline(s: SparkSession, dir: String): DataFrame =
+    Corpus.curate(docs(s, dir), "doc_id", "text").orderBy("doc_id")
+
   def qSampleStrat(s: SparkSession, dir: String): DataFrame =
     Corpus.stratifiedSample(docs(s, dir), "lang", "doc_id",
         Map("en" -> 0.25, "zh" -> 1.0), defaultRate = 0.75)
@@ -77,6 +86,7 @@ object CorpusQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_split_hash" -> (qSplitHash _),
+    "q_pipeline" -> (qPipeline _),
     "q_sample_strat" -> (qSampleStrat _),
     "q_mix" -> (qMix _),
     "q_pack" -> (qPack _),
@@ -86,6 +96,24 @@ object CorpusQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the composed pipeline: each stage reuses the fragment its
+    // standalone gate query is checked with (repetition metrics,
+    // lang-ID argmax, word-set dedup key, hash-split thresholds)
+    "q_pipeline" ->
+      (s"WITH rep AS (${PrepQueries.repetitionSelect}), " +
+        s"lang AS (SELECT doc_id, ${ExtQueries.langPredSql} AS lang_pred FROM documents), " +
+        "ky AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(" +
+        "string_split(text, ' '))), ' ')) AS k FROM documents), " +
+        "kept AS (SELECT rep.doc_id, rep.n_tokens, ky.k FROM rep " +
+        "JOIN lang USING (doc_id) JOIN ky USING (doc_id) " +
+        "WHERE rep.keep = 1 AND lang.lang_pred = 'en'), " +
+        "surv AS (SELECT k, min(doc_id) AS doc_id FROM kept GROUP BY k), " +
+        "sv AS (SELECT kept.doc_id, kept.n_tokens FROM surv " +
+        "JOIN kept ON kept.doc_id = surv.doc_id), " +
+        s"b AS (SELECT doc_id, n_tokens, ${bucketSql("split", "doc_id")} AS b FROM sv) " +
+        "SELECT doc_id, n_tokens, CASE WHEN b < 8000 THEN 'train' " +
+        "WHEN b < 9000 THEN 'val' ELSE 'test' END AS split " +
+        "FROM b ORDER BY doc_id"),
     "q_split_hash" ->
       (s"WITH b AS (SELECT doc_id, n_chars, ${bucketSql("split", "doc_id")} AS b " +
         "FROM documents), " +

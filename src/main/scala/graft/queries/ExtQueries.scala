@@ -59,6 +59,20 @@ object ExtQueries {
       .withColumn("jac", r6(col("jac")))
       .orderBy("doc_a", "doc_b")
 
+  /** Incremental dedup gate: docs with doc_id % 5 == 0 play the "new
+    * batch", the rest the existing corpus
+    * ([[Dedup.incrementalNearDupPairs]]).
+    */
+  def qDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.incrementalNearDupPairs(
+      d.filter(col("doc_id") % 5 =!= 0),
+      d.filter(col("doc_id") % 5 === 0),
+      "doc_id", "text", threshold = 0.8)
+      .withColumn("jac", r6(col("jac")))
+      .orderBy("batch_id", "corpus_id")
+  }
+
   def qDedupNgram(s: SparkSession, dir: String): DataFrame = {
     val tk = docs(s, dir)
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
@@ -673,6 +687,7 @@ object ExtQueries {
     "q_dedup_lsh" -> (qDedupLsh _),
     "q_dedup_near" -> (qDedupNear _),
     "q_dedup_ngram" -> (qDedupNgram _),
+    "q_dedup_incremental" -> (qDedupIncremental _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_simhash_pairs" -> (qDedupSimhashPairs _),
     "q_dedup_embed" -> (qDedupEmbed _),
@@ -767,6 +782,18 @@ object ExtQueries {
     s"len(list_filter(string_split(text, ' '), x -> list_contains(" +
       words.map(w => s"'$w'").mkString("[", ", ", "]") + ", x)))::INT"
 
+  /** Language-ID argmax CASE (first-wins ties, matching
+    * [[TextAnalysis.langPredict]]) — shared with q_lang_id and the
+    * composed curation pipeline oracle (CorpusQueries q_pipeline).
+    */
+  private[queries] def langPredSql: String =
+    "CASE WHEN " + hitsSql(TextAnalysis.LangMarkers(0)._2) + " >= " +
+      hitsSql(TextAnalysis.LangMarkers(1)._2) + " AND " +
+      hitsSql(TextAnalysis.LangMarkers(0)._2) + " >= " +
+      hitsSql(TextAnalysis.LangMarkers(2)._2) + " THEN 'en' WHEN " +
+      hitsSql(TextAnalysis.LangMarkers(1)._2) + " >= " +
+      hitsSql(TextAnalysis.LangMarkers(2)._2) + " THEN 'es' ELSE 'de' END"
+
   private val punctSql =
     "((length(text) - length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))) / length(text))"
   private val stopRatioSql =
@@ -826,6 +853,21 @@ object ExtQueries {
         "JOIN tk ta ON ta.doc_id = p.doc_a JOIN tk tb ON tb.doc_id = p.doc_b " +
         "WHERE len(list_intersect(ta.td, tb.td)) / len(list_distinct(list_concat(ta.td, tb.td))) >= 0.8 " +
         "ORDER BY doc_a, doc_b"),
+    // signatures are subset-independent (per-doc min over own shingles),
+    // so one bands CTE serves both sides; the join is batch×corpus only
+    "q_dedup_incremental" ->
+      (s"WITH $wCte, $shCte, $sigCte, $bandsCte, " +
+        "cand AS (SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS corpus_id " +
+        "FROM bands a JOIN bands b ON a.band_idx = b.band_idx " +
+        "AND a.band_hash = b.band_hash " +
+        "WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0), " +
+        "tk AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS td FROM documents) " +
+        "SELECT batch_id, corpus_id, " +
+        O.r6("len(list_intersect(tb.td, tc.td)) / len(list_distinct(list_concat(tb.td, tc.td)))") +
+        " AS jac FROM cand " +
+        "JOIN tk tb ON tb.doc_id = cand.batch_id JOIN tk tc ON tc.doc_id = cand.corpus_id " +
+        "WHERE len(list_intersect(tb.td, tc.td)) / len(list_distinct(list_concat(tb.td, tc.td))) >= 0.8 " +
+        "ORDER BY batch_id, corpus_id"),
     "q_dedup_clusters" ->
       (s"WITH RECURSIVE $wCte, $shCte, $sigCte, $bandsCte, $pairsCte, " +
         "vp AS (SELECT doc_a, doc_b FROM p, " +
@@ -1043,12 +1085,7 @@ object ExtQueries {
         TextAnalysis.LangMarkers.map { case (lang, ws) =>
           s"${hitsSql(ws)} AS ${lang}_hits"
         }.mkString(", ") + ", " +
-        "CASE WHEN " + hitsSql(TextAnalysis.LangMarkers(0)._2) + " >= " +
-        hitsSql(TextAnalysis.LangMarkers(1)._2) + " AND " +
-        hitsSql(TextAnalysis.LangMarkers(0)._2) + " >= " +
-        hitsSql(TextAnalysis.LangMarkers(2)._2) + " THEN 'en' WHEN " +
-        hitsSql(TextAnalysis.LangMarkers(1)._2) + " >= " +
-        hitsSql(TextAnalysis.LangMarkers(2)._2) + " THEN 'es' ELSE 'de' END AS lang_pred " +
+        langPredSql + " AS lang_pred " +
         "FROM documents ORDER BY doc_id"),
     "q_quality" ->
       ("SELECT doc_id, " +

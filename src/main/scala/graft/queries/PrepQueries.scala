@@ -80,27 +80,34 @@ object PrepQueries {
     // Relational mirror of the engine's per-row fold: n-gram counts via
     // unnest+group-by; every fraction is one IEEE division of exact
     // integers, so values (and the keep comparisons) match bit-exactly.
-    "q_repetition" ->
-      ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
-        "tok AS (SELECT doc_id, len(w)::INT AS n_tokens, " +
-        "len(list_distinct(w))::INT AS n_distinct FROM w), " +
-        "b AS (SELECT doc_id, w[CAST(t.i+1 AS INT)] || ' ' || w[CAST(t.i+2 AS INT)] AS g " +
-        "FROM w, unnest(range(0, greatest(len(w.w)-1, 0))) AS t(i)), " +
-        "bc AS (SELECT doc_id, g, count(*) AS n FROM b GROUP BY 1, 2), " +
-        "bs AS (SELECT doc_id, max(n) AS top_n FROM bc GROUP BY 1), " +
-        "t3 AS (SELECT doc_id, w[CAST(t.i+1 AS INT)] || ' ' || w[CAST(t.i+2 AS INT)] " +
-        "|| ' ' || w[CAST(t.i+3 AS INT)] AS g " +
-        "FROM w, unnest(range(0, greatest(len(w.w)-2, 0))) AS t(i)), " +
-        "tc AS (SELECT doc_id, g, count(*) AS n FROM t3 GROUP BY 1, 2), " +
-        "ts AS (SELECT doc_id, coalesce(sum(n) FILTER (n > 1), 0) AS dup_n FROM tc GROUP BY 1), " +
-        "m AS (SELECT doc_id, n_tokens, " +
-        "CASE WHEN n_tokens > 0 THEN (n_tokens - n_distinct) / n_tokens ELSE 0.0 END AS dup_token_frac, " +
-        "CASE WHEN n_tokens - 1 > 0 THEN coalesce(top_n, 0) / (n_tokens - 1) ELSE 0.0 END AS top_bigram_frac, " +
-        "CASE WHEN n_tokens - 2 > 0 THEN coalesce(dup_n, 0) / (n_tokens - 2) ELSE 0.0 END AS dup_trigram_frac " +
-        "FROM tok LEFT JOIN bs USING (doc_id) LEFT JOIN ts USING (doc_id)) " +
-        "SELECT doc_id, n_tokens, dup_token_frac, top_bigram_frac, dup_trigram_frac, " +
-        "(CASE WHEN dup_token_frac < 0.6 AND top_bigram_frac < 0.08 " +
-        "AND dup_trigram_frac < 0.05 THEN 1 ELSE 0 END)::INT AS keep " +
-        "FROM m ORDER BY doc_id"),
+    "q_repetition" -> (PrepQueries.repetitionSelect + " ORDER BY doc_id"),
   )
+
+  /** Repetition-metrics oracle body (no ORDER BY) — shared with the
+    * composed curation pipeline oracle (CorpusQueries q_pipeline). A
+    * `def`, not a `val`: `oracleSql` above references it during object
+    * init, and a val defined below would still be null at that point.
+    */
+  private[queries] def repetitionSelect: String =
+    "WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+      "tok AS (SELECT doc_id, len(w)::INT AS n_tokens, " +
+      "len(list_distinct(w))::INT AS n_distinct FROM w), " +
+      "b AS (SELECT doc_id, w[CAST(t.i+1 AS INT)] || ' ' || w[CAST(t.i+2 AS INT)] AS g " +
+      "FROM w, unnest(range(0, greatest(len(w.w)-1, 0))) AS t(i)), " +
+      "bc AS (SELECT doc_id, g, count(*) AS n FROM b GROUP BY 1, 2), " +
+      "bs AS (SELECT doc_id, max(n) AS top_n FROM bc GROUP BY 1), " +
+      "t3 AS (SELECT doc_id, w[CAST(t.i+1 AS INT)] || ' ' || w[CAST(t.i+2 AS INT)] " +
+      "|| ' ' || w[CAST(t.i+3 AS INT)] AS g " +
+      "FROM w, unnest(range(0, greatest(len(w.w)-2, 0))) AS t(i)), " +
+      "tc AS (SELECT doc_id, g, count(*) AS n FROM t3 GROUP BY 1, 2), " +
+      "ts AS (SELECT doc_id, coalesce(sum(n) FILTER (n > 1), 0) AS dup_n FROM tc GROUP BY 1), " +
+      "m AS (SELECT doc_id, n_tokens, " +
+      "CASE WHEN n_tokens > 0 THEN (n_tokens - n_distinct) / n_tokens ELSE 0.0 END AS dup_token_frac, " +
+      "CASE WHEN n_tokens - 1 > 0 THEN coalesce(top_n, 0) / (n_tokens - 1) ELSE 0.0 END AS top_bigram_frac, " +
+      "CASE WHEN n_tokens - 2 > 0 THEN coalesce(dup_n, 0) / (n_tokens - 2) ELSE 0.0 END AS dup_trigram_frac " +
+      "FROM tok LEFT JOIN bs USING (doc_id) LEFT JOIN ts USING (doc_id)) " +
+      "SELECT doc_id, n_tokens, dup_token_frac, top_bigram_frac, dup_trigram_frac, " +
+      "(CASE WHEN dup_token_frac < 0.6 AND top_bigram_frac < 0.08 " +
+      "AND dup_trigram_frac < 0.05 THEN 1 ELSE 0 END)::INT AS keep " +
+      "FROM m"
 }

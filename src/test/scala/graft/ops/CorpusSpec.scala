@@ -176,6 +176,26 @@ class CorpusSpec extends SparkTestBase {
     assert(!out.keys.exists(_._1 == 3L))
   }
 
+  test("curate: kept docs pass both gates, survivors unique per key, split total") {
+    val docs = graft.sources.Tables.table(spark, Sf0001, "documents")
+    val out = Corpus.curate(docs, "doc_id", "text").cache()
+    assert(out.count() > 0)
+    // survivors = min kept doc per word-set key, computed independently
+    val toks = TextAnalysis.tokens(col("text"))
+    val kept = docs.select(col("doc_id"),
+      TextAnalysis.langPredict(TextAnalysis.langHits(toks)).as("lp"),
+      Dedup.wordSetKey(toks).as("k"))
+      .join(TextAnalysis.repetitionMetrics(docs, "doc_id", "text")
+        .select("doc_id", "keep"), Seq("doc_id"))
+      .filter(col("keep") === 1 && col("lp") === "en")
+    val expect = kept.groupBy("k").agg(min("doc_id").as("doc_id")).select("doc_id")
+    assert(out.select("doc_id").except(expect).isEmpty)
+    assert(expect.except(out.select("doc_id")).isEmpty)
+    // every row carries a valid split; all three appear at corpus size
+    assert(out.filter(!col("split").isin("train", "val", "test")).count() == 0)
+    out.unpersist()
+  }
+
   test("invertedIndex over a 400-doc fixture: df floor respected") {
     val out = Corpus.invertedIndex(docsFixture, "doc_id", "text", minDf = 30, maxPostings = 5)
     val mn = out.select(min("df")).head().getLong(0)

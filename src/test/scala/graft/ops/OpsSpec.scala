@@ -327,6 +327,27 @@ class OpsSpec extends SparkTestBase {
     assert(a.sameElements(b))
   }
 
+  test("incremental dedup equals the cross slice of the full self-join") {
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val inc = Dedup.incrementalNearDupPairs(corpus, batch, "doc_id", "text", 0.8)
+      .select(col("batch_id"), col("corpus_id"),
+        round(col("jac"), 6).as("jac")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // the full self-join's cross pairs (one side in each subset),
+    // reordered to (batch, corpus)
+    val full = Dedup.nearDuplicatePairs(docs, "doc_id", "text", 0.8)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac"))
+      .collect()
+      .flatMap { r =>
+        val (a, b, j) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+        if (a % 5 == 0 && b % 5 != 0) Some((a, b, j))
+        else if (b % 5 == 0 && a % 5 != 0) Some((b, a, j))
+        else None
+      }.toSet
+    assert(inc == full)
+  }
+
   test("simhash banded pairs: exact recall vs brute-force Hamming ≤ 3") {
     val sh = Dedup.simhashes(docs, "doc_id", "text")
     val brute = sh.toDF("doc_a", "ha").crossJoin(sh.toDF("doc_b", "hb"))
