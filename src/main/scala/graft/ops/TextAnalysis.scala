@@ -223,6 +223,53 @@ object TextAnalysis {
       .orderBy(col("freq").desc, col("token")).limit(k)
   }
 
+  /** Deterministic hashing-trick document embedding — the bridge from
+    * the text corpus to the similarity/ANN family without an external
+    * model: each token hashes to a bucket in [0, dim) with a ±1 sign
+    * (both from md5, seed-free), per-bucket signs sum exactly (ints),
+    * and the dense vector is L2-normalized. The signed-sum construction
+    * is the classic feature-hashing inner-product-preserving sketch
+    * (Weinberger et al. 2009), so cosine over these vectors
+    * approximates token-multiset similarity.
+    *
+    * Scale shape: explode → one hash-partitioned (doc, bucket) sum →
+    * one (doc) re-assembly group-by, both uniform keys; the densify
+    * grid is a per-doc sequence literal, not a join. Determinism:
+    * integer sums, one sqrt, one division per component — every engine
+    * reproduces the vector bit-for-bit.
+    */
+  def hashEmbedding(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      dim: Int = 64): DataFrame = {
+    val h = conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long")
+    val sign = when(conv(substring(md5(col("token")), 9, 1), 16, 10)
+      .cast("int") < 8, 1).otherwise(-1)
+    val sums = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .select(col(idCol), (h % dim).cast("int").as("bucket"), sign.as("sign"))
+      .groupBy(idCol, "bucket").agg(sum("sign").as("v"))
+    // densify against the doc's own [0, dim) grid (array literal, no
+    // join), then fold the sparse sums in
+    val dense = df.select(col(idCol))
+      .select(col(idCol), explode(sequence(lit(0), lit(dim - 1))).as("bucket"))
+      .join(sums, Seq(idCol, "bucket"), "left")
+      .withColumn("v", coalesce(col("v"), lit(0L)))
+    dense
+      .groupBy(idCol)
+      .agg(transform(array_sort(collect_list(struct(col("bucket"), col("v")))),
+        s => s("v")).as("_vec"))
+      .withColumn("_norm",
+        sqrt(aggregate(transform(col("_vec"), x => (x * x).cast("double")),
+          lit(0.0), _ + _)))
+      .withColumn("embedding",
+        transform(col("_vec"),
+          x => when(col("_norm") > 0, x.cast("double") / col("_norm"))
+            .otherwise(lit(0.0))))
+      .select(col(idCol), col("embedding"))
+  }
+
   /** Sketch-based corpus profile: HyperLogLog++ approximate distincts
     * next to their exact twins. At 100 TB exact count-distinct shuffles
     * every distinct value; the sketch shuffles fixed-size registers per

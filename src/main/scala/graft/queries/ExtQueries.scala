@@ -271,6 +271,29 @@ object ExtQueries {
     TextAnalysis.heavyHitters(docs(s, dir), "text", k = 20, capacity = 256)
       .orderBy(col("freq").desc, col("token"))
 
+  /** Hashing-trick document embeddings ([[TextAnalysis.hashEmbedding]])
+    * — text → vector with no model, hash-checked component-exact.
+    */
+  def qTextEmbed(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.hashEmbedding(docs(s, dir), "doc_id", "text", dim = 64)
+      .orderBy("doc_id")
+
+  /** The full text→vector→ANN chain: hashed embeddings feed the same
+    * brute-force cosine top-k as the embeddings table — similarity
+    * search over a corpus that never had vectors.
+    */
+  def qTextKnn(s: SparkSession, dir: String): DataFrame = {
+    val e = TextAnalysis.hashEmbedding(docs(s, dir), "doc_id", "text", dim = 64)
+      .select(col("doc_id"),
+        transform(col("embedding"), _.cast("float")).as("fe"))
+    Similarity.cosineTopK(
+        e.filter(col("doc_id") < 5).select(col("doc_id").as("qid"), col("fe").as("qe")),
+        e.select(col("doc_id").as("cid"), col("fe").as("ce")),
+        k = 5, scoreRounding = r6)
+      .select("qid", "cid", "score", "rank")
+      .orderBy("qid", "rank")
+  }
+
   /** Winnowed Karp–Rabin fingerprint (codegen'd rolling hash), emitted as
     * 16-hex-char strings. DuckDB can't spell the one-pass sliding
     * recurrence, but it CAN spell what the recurrence computes — the min
@@ -707,6 +730,8 @@ object ExtQueries {
     "q_fingerprint_roll" -> (qFingerprintRoll _),
     "q_top_tokens" -> (qTopTokens _),
     "q_heavy" -> (qHeavy _),
+    "q_text_embed" -> (qTextEmbed _),
+    "q_text_knn" -> (qTextKnn _),
     "q_sessions" -> (qSessions _),
     "q_tfidf" -> (qTfidf _),
     "q_window" -> (qWindow _),
@@ -802,6 +827,25 @@ object ExtQueries {
   /** DuckDB cosine between two list<float> cols, double left-fold (same
     * order as Spark's `aggregate`).
     */
+  /** Hashing-trick embedding oracle body (no ORDER BY) — shared by
+    * q_text_embed and q_text_knn. A def: referenced during oracleSql
+    * init (see PrepQueries.repetitionSelect for the val-order hazard).
+    */
+  private def textEmbedSelect: String =
+    "WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents), " +
+      "hb AS (SELECT doc_id, (('0x' || substr(md5(token), 1, 8))::BIGINT % 64)::INT AS bucket, " +
+      "CASE WHEN ('0x' || substr(md5(token), 9, 1))::INT < 8 THEN 1 ELSE -1 END AS sign FROM t), " +
+      "s AS (SELECT doc_id, bucket, sum(sign)::BIGINT AS v FROM hb GROUP BY 1, 2), " +
+      "g AS (SELECT d.doc_id, r.b AS bucket, coalesce(s.v, 0) AS v " +
+      "FROM (SELECT DISTINCT doc_id FROM documents) d " +
+      "CROSS JOIN (SELECT unnest(range(0, 64))::INT AS b) r " +
+      "LEFT JOIN s ON s.doc_id = d.doc_id AND s.bucket = r.b), " +
+      "vec AS (SELECT doc_id, list(v ORDER BY bucket) AS vec FROM g GROUP BY doc_id), " +
+      "n AS (SELECT doc_id, vec, sqrt(list_reduce(list_prepend(0.0::DOUBLE, " +
+      "list_transform(vec, x -> (x * x)::DOUBLE)), (a, x) -> a + x)) AS nrm FROM vec) " +
+      "SELECT doc_id, list_transform(vec, x -> CASE WHEN nrm > 0 " +
+      "THEN x / nrm ELSE 0.0 END) AS embedding FROM n"
+
   private def cosSql(a: String, b: String): String =
     s"list_sum(list_transform(range(len($a)), i -> $a[i+1]::DOUBLE * $b[i+1]::DOUBLE)) / " +
       s"(sqrt(list_sum(list_transform($a, x -> x::DOUBLE * x::DOUBLE))) * " +
@@ -1212,6 +1256,22 @@ object ExtQueries {
       ("SELECT token, count(*) AS freq " +
         "FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) " +
         "GROUP BY token ORDER BY freq DESC, token LIMIT 20"),
+    // feature hashing: bucket/sign from md5, exact integer sums, one
+    // sqrt + one division per component — bit-exact cross-engine
+    "q_text_embed" -> (textEmbedSelect + " ORDER BY doc_id"),
+    // the full text→vector→ANN chain: hashed embeddings (cast to float
+    // like the engine's CosineSim input) ranked by the same cosine
+    // window as q_sim_topk
+    "q_text_knn" ->
+      (s"WITH e AS ($textEmbedSelect), " +
+        "f AS (SELECT doc_id, list_transform(embedding, x -> x::FLOAT) AS fe FROM e), " +
+        "q AS (SELECT doc_id AS qid, fe AS qe FROM f WHERE doc_id < 5), " +
+        "c AS (SELECT doc_id AS cid, fe AS ce FROM f), " +
+        s"s AS (SELECT qid, cid, ${O.r6(cosSql("qe", "ce"))} AS score " +
+        "FROM q JOIN c ON qid != cid), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rnk FROM s) " +
+        "SELECT qid, cid, score, rnk::INT AS rank FROM r WHERE rnk <= 5 " +
+        "ORDER BY qid, rank"),
     // byte-based (hex over UTF-8 encode), matching Spark's binary payload
     // semantics for non-ASCII text too — ascii()/length() count CODEPOINTS
     // and would silently diverge on any multi-byte character

@@ -327,6 +327,29 @@ class OpsSpec extends SparkTestBase {
     assert(a.sameElements(b))
   }
 
+  test("hash embedding: unit norm, content-determined, cosine sanity") {
+    import spark.implicits._
+    val e = TextAnalysis.hashEmbedding(docs, "doc_id", "text", 64).cache()
+    assert(e.count() == docs.count())
+    val withNorm = e.withColumn("n",
+      sqrt(aggregate(transform(col("embedding"), x => x * x), lit(0.0), _ + _)))
+    assert(withNorm.filter(col("n") =!= 0.0)
+      .filter(abs(col("n") - 1.0) > 1e-9).count() == 0)
+    // same token multiset (any order) → identical vector; disjoint
+    // vocab → near-orthogonal (hash collisions only)
+    val crafted = Seq(
+      (1L, "alpha beta gamma alpha"),
+      (2L, "beta alpha alpha gamma"),
+      (3L, "delta epsilon zeta eta theta iota"),
+    ).toDF("doc_id", "text")
+    val ce = TextAnalysis.hashEmbedding(crafted, "doc_id", "text", 64)
+      .orderBy("doc_id").collect().map(_.getSeq[Double](1))
+    assert(ce(0) == ce(1))
+    val cos12 = ce(0).zip(ce(2)).map { case (a, b) => a * b }.sum
+    assert(math.abs(cos12) < 0.5, s"disjoint docs should be near-orthogonal: $cos12")
+    e.unpersist()
+  }
+
   test("incremental dedup equals the cross slice of the full self-join") {
     val corpus = docs.filter(col("doc_id") % 5 =!= 0)
     val batch = docs.filter(col("doc_id") % 5 === 0)
