@@ -115,6 +115,35 @@ object SqlSurfaceQueries {
       )
       .orderBy("metric")
 
+  /** Full-outer join of two per-user aggregates (click counts × view
+    * counts): users on only one side survive with a NULL other side —
+    * the join type the reference lacks entirely. USING-style key so
+    * both engines coalesce the key column identically.
+    */
+  def qJoinOuter(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    def byType(t: String, out: String) =
+      ev.filter(col("event_type") === t)
+        .groupBy("user_id").agg(count(lit(1)).as(out))
+    byType("click", "n_clicks")
+      .join(byType("view", "n_views"), Seq("user_id"), "full_outer")
+      .orderBy("user_id")
+  }
+
+  /** Explicit null-ordering sort: a derived nullable column ordered
+    * DESC NULLS FIRST with an event_id tiebreak — the sort surface
+    * where engine defaults differ (Spark: nulls first on ASC, last on
+    * DESC; DuckDB: nulls last everywhere), so spelling the null
+    * placement explicitly is the only portable form.
+    */
+  def qSortNulls(s: SparkSession, dir: String): DataFrame = {
+    val v = when(col("event_type") === "click", lit(null)).otherwise(col("value"))
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), v.as("v"))
+      .orderBy(col("v").desc_nulls_first, col("event_id"))
+      .limit(50)
+  }
+
   /** Window frame variants over per-user event sequences: ntile
     * quartiles, percent_rank/cume_dist (deterministic via the event_id
     * tiebreak: no rank peers), full-frame first/last/nth_value, and a
@@ -257,6 +286,8 @@ object SqlSurfaceQueries {
     "q_tpch_q5" -> (qTpchQ5 _),
     "q_tpch_q18" -> (qTpchQ18 _),
     "q_unpivot" -> (qUnpivot _),
+    "q_join_outer" -> (qJoinOuter _),
+    "q_sort_nulls" -> (qSortNulls _),
     "q_window_frames" -> (qWindowFrames _),
     "q_dates" -> (qDates _),
     "q_json" -> (qJson _),
@@ -312,6 +343,17 @@ object SqlSurfaceQueries {
         "AND c_custkey = o_custkey AND o_orderkey = l_orderkey " +
         "GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice " +
         "ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100"),
+    "q_join_outer" ->
+      ("WITH a AS (SELECT user_id, count(*) AS n_clicks FROM events " +
+        "WHERE event_type = 'click' GROUP BY user_id), " +
+        "b AS (SELECT user_id, count(*) AS n_views FROM events " +
+        "WHERE event_type = 'view' GROUP BY user_id) " +
+        "SELECT user_id, n_clicks, n_views FROM a FULL OUTER JOIN b USING (user_id) " +
+        "ORDER BY user_id"),
+    "q_sort_nulls" ->
+      ("SELECT event_id, user_id, " +
+        "CASE WHEN event_type = 'click' THEN NULL ELSE value END AS v " +
+        "FROM events ORDER BY v DESC NULLS FIRST, event_id LIMIT 50"),
     "q_unpivot" ->
       ("SELECT metric, count(*) AS n, " + O.davg("value") + " AS mean_v, " +
         O.r6("min(value)") + " AS min_v, " + O.r6("max(value)") + " AS max_v " +
