@@ -170,6 +170,25 @@ object SqlSurfaceQueries {
       .orderBy("event_id")
   }
 
+  /** Value-based RANGE window frame — the frame type ROWS can't
+    * express: "events in the last hour" includes however many rows fall
+    * in the value interval, and all peers of the current value. Ordered
+    * on epoch SECONDS on both engines (Spark's timestamp→long cast
+    * truncates to seconds; DuckDB spells `floor(epoch(ts))`), so frame
+    * membership is identical. State per window is bounded by the time
+    * interval, not the partition.
+    */
+  def qWindowRange(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").cast("long"))
+      .rangeBetween(-3600, Window.currentRow)
+    Tables.events(s, dir).select(
+      col("event_id"), col("user_id"),
+      count(lit(1)).over(w).as("n_last_hour"),
+      r6(sum(col("value").cast("decimal(25,6)")).over(w).cast("double"))
+        .as("sum_last_hour"),
+    ).orderBy("event_id")
+  }
+
   /** Date/time scalar surface: truncation, month arithmetic with
     * end-of-month clamping, calendar fields, day difference against a
     * fixed epoch, unix seconds. All pure per-row projections (codegen,
@@ -288,6 +307,7 @@ object SqlSurfaceQueries {
     "q_unpivot" -> (qUnpivot _),
     "q_join_outer" -> (qJoinOuter _),
     "q_sort_nulls" -> (qSortNulls _),
+    "q_window_range" -> (qWindowRange _),
     "q_window_frames" -> (qWindowFrames _),
     "q_dates" -> (qDates _),
     "q_json" -> (qJson _),
@@ -354,6 +374,12 @@ object SqlSurfaceQueries {
       ("SELECT event_id, user_id, " +
         "CASE WHEN event_type = 'click' THEN NULL ELSE value END AS v " +
         "FROM events ORDER BY v DESC NULLS FIRST, event_id LIMIT 50"),
+    "q_window_range" ->
+      ("SELECT event_id, user_id, count(*) OVER w AS n_last_hour, " +
+        O.r6("CAST(sum(CAST(value AS DECIMAL(25,6))) OVER w AS DOUBLE)") +
+        " AS sum_last_hour FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY floor(epoch(ts))::BIGINT " +
+        "RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) ORDER BY event_id"),
     "q_unpivot" ->
       ("SELECT metric, count(*) AS n, " + O.davg("value") + " AS mean_v, " +
         O.r6("min(value)") + " AS min_v, " + O.r6("max(value)") + " AS max_v " +
