@@ -126,7 +126,9 @@ object Bench {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (name != "q_e2e") {
         try fn(spark, sfDir).count() // untimed codegen/JIT warm-up pass
-        catch { case _: Throwable => () } // the timed run records the error
+        // NonFatal only: the timed run records query errors, but an OOM
+        // or interrupt here must not be masked into a garbage timing
+        catch { case scala.util.control.NonFatal(_) => () }
         timed(name)(fn(spark, sfDir).count())
       }
     }

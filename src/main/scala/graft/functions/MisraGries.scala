@@ -1,5 +1,7 @@
 package graft.functions
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
@@ -23,48 +25,57 @@ import org.apache.spark.sql.expressions.Aggregator
   * the verify pass then recounts survivors exactly, so sketch error never
   * reaches the reported numbers.
   *
+  * The buffer is a mutable map updated in place: on the Zipf long tail
+  * nearly every input arrives with the summary full, so an immutable
+  * rebuild per miss would allocate O(capacity) in the hottest per-row
+  * path. The in-place decrement still does O(live entries) work on a
+  * miss, but that is bounded by the increments it cancels (the classic
+  * amortization) and allocates nothing.
+  *
   * `finish` returns the surviving tokens ordered by estimate descending
   * (token ascending on ties) — deterministic, and keys-only because the
   * estimates are intentionally not for consumption.
   */
 class MisraGries(capacity: Int)
-    extends Aggregator[String, Map[String, Long], Array[String]] {
+    extends Aggregator[String, mutable.HashMap[String, Long], Array[String]] {
 
-  override def zero: Map[String, Long] = Map.empty
+  override def zero: mutable.HashMap[String, Long] = mutable.HashMap.empty
 
-  override def reduce(b: Map[String, Long], x: String): Map[String, Long] =
+  override def reduce(
+      b: mutable.HashMap[String, Long], x: String): mutable.HashMap[String, Long] = {
     b.get(x) match {
-      case Some(c) => b.updated(x, c + 1L)
-      case None if b.size < capacity => b.updated(x, 1L)
+      case Some(c) => b.update(x, c + 1L)
+      case None if b.size < capacity => b.update(x, 1L)
       case None =>
         // classic decrement-all step: a miss at capacity pays one count
-        // from every tracked token (amortized O(1) per input via the
-        // zero-removals; at most N/(capacity+1) total decrements each)
-        b.flatMap { case (k, v) => if (v > 1L) Some(k -> (v - 1L)) else None }
+        // from every tracked token; zeros drop out
+        b.mapValuesInPlace((_, v) => v - 1L)
+        b.filterInPlace((_, v) => v > 0L)
     }
+    b
+  }
 
-  override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
-    val combined = b.foldLeft(a) { case (acc, (k, v)) =>
-      acc.updated(k, acc.getOrElse(k, 0L) + v)
-    }
-    if (combined.size <= capacity) combined
-    else {
+  override def merge(
+      a: mutable.HashMap[String, Long],
+      b: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
+    b.foreach { case (k, v) => a.update(k, a.getOrElse(k, 0L) + v) }
+    if (a.size > capacity) {
       // subtract the (capacity+1)-th largest count from all and drop
       // non-positives — the mergeable-summaries trim, which preserves
       // the undercount bound additively
-      val cut = combined.valuesIterator.toArray.sorted(Ordering[Long].reverse)
+      val cut = a.valuesIterator.toArray.sorted(Ordering[Long].reverse)
         .apply(capacity)
-      combined.flatMap { case (k, v) =>
-        if (v - cut > 0L) Some(k -> (v - cut)) else None
-      }
+      a.mapValuesInPlace((_, v) => v - cut)
+      a.filterInPlace((_, v) => v > 0L)
     }
+    a
   }
 
-  override def finish(b: Map[String, Long]): Array[String] =
+  override def finish(b: mutable.HashMap[String, Long]): Array[String] =
     b.toArray.sortBy { case (k, v) => (-v, k) }.map(_._1)
 
-  override def bufferEncoder: Encoder[Map[String, Long]] =
-    Encoders.kryo[Map[String, Long]]
+  override def bufferEncoder: Encoder[mutable.HashMap[String, Long]] =
+    Encoders.kryo[mutable.HashMap[String, Long]]
 
   override def outputEncoder: Encoder[Array[String]] =
     ExpressionEncoder[Array[String]]()

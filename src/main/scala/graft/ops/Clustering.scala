@@ -18,12 +18,13 @@ import org.apache.spark.sql.functions._
   * computation is one declarative plan.
   *
   * Cross-engine determinism (gate-checkable in DuckDB, which has no
-  * k-means): float components cast to double (exact), squared-distance
-  * as a LEFT FOLD in index order (every IEEE op identical in any
-  * engine), ties broken by lower cluster id, and the centroid-update
-  * mean as an exact DECIMAL(38,20) component sum (order-independent;
-  * double→decimal casts have no representable round-half tie points)
-  * followed by ONE double division. Assignments and centroids reproduce
+  * k-means): seed-free md5 hash-sample init (no id-density assumption,
+  * graceful when n < k), float components cast to double (exact),
+  * squared-distance as a LEFT FOLD in index order (every IEEE op
+  * identical in any engine), ties broken by lower cluster id, and the
+  * centroid-update mean as an exact DECIMAL(38,20) component sum
+  * (order-independent; double→decimal casts have no representable
+  * round-half tie points) followed by ONE double division. Assignments and centroids reproduce
   * exactly cross-engine (verified in the gate); the reported d2 can
   * differ in the last ulp (fold codegen / FP contraction differences),
   * so gate queries round it to 6 dp.
@@ -54,16 +55,22 @@ object Clustering {
       col(idCol).as("vec_id"),
       transform(col(vecCol), _.cast("double")).as("v"))
 
-    // deterministic stride init: the k vectors at ids 0, s, 2s, … where
-    // s = n/k — evenly spread over the id space, no RNG, no collect
-    // (the count is a lazy 1-row broadcast, computed inside the plan)
-    val n = vecs.agg(count(lit(1)).as("_n"))
-    var centroids = vecs
-      .crossJoin(broadcast(n))
-      .withColumn("_s", (col("_n") / k).cast("long"))
-      .filter(col("vec_id") % col("_s") === 0 &&
-        (col("vec_id") / col("_s")).cast("long") < k)
-      .select((col("vec_id") / col("_s")).cast("int").as("cluster"), col("v").as("c"))
+    // deterministic hash-sample init: the k vectors with the smallest
+    // md5('kmeans' || id) — a uniform pseudo-random draw with no RNG
+    // state, no assumption about id density or range (a stride over raw
+    // id VALUES returns nothing on shifted ids and divides by zero when
+    // n < k). orderBy+limit plans as TakeOrdered (per-partition top-k,
+    // no global sort); the k survivors rank into cluster ids on a
+    // k-row frame. n < k degrades gracefully to n centroids.
+    val seeded = vecs.withColumn("_h",
+      md5(concat(lit("kmeans"), col("vec_id").cast("string"))))
+    var centroids = seeded
+      .orderBy(col("_h"), col("vec_id"))
+      .limit(k)
+      .withColumn("cluster",
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("_h"), col("vec_id"))) - 1).cast("int"))
+      .select(col("cluster"), col("v").as("c"))
 
     def assign(cent: DataFrame): DataFrame =
       vecs.crossJoin(broadcast(cent))
@@ -111,9 +118,9 @@ object Clustering {
         "GROUP BY cluster, pos) GROUP BY cluster)"
     val base =
       "vecs AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), " +
-        s"nn AS (SELECT (count(*) // $k)::BIGINT AS s FROM vecs), " +
-        "cent0 AS (SELECT (vec_id // s)::INT AS cluster, v AS c FROM vecs, nn " +
-        s"WHERE vec_id % s = 0 AND vec_id // s < $k)"
+        "ranked AS (SELECT v, (row_number() OVER (ORDER BY " +
+        "md5('kmeans' || vec_id::VARCHAR), vec_id) - 1)::INT AS cluster FROM vecs), " +
+        s"cent0 AS (SELECT cluster, v AS c FROM ranked WHERE cluster < $k)"
     val steps = (1 to iters).flatMap { i =>
       Seq(assignCte(s"asg$i", s"cent${i - 1}"), updateCte(s"cent$i", s"asg$i"))
     }

@@ -69,7 +69,16 @@ object Skew {
     *
     * Inner-join semantics are preserved exactly: every fact row has
     * exactly one salt, and exactly one replica of each matching build
-    * row carries that salt.
+    * row carries that salt. The salt mixes a row hash with the row's
+    * position (`monotonically_increasing_id`), NOT the row hash alone:
+    * a hot key's rows are typically byte-identical (repeated
+    * boilerplate/default rows — the exact degenerate case that makes
+    * the key hot), and a pure content hash would send them all to ONE
+    * salt, silently undoing the spread. The positional component makes
+    * placement partitioning-dependent across reruns, which is safe
+    * here: the salt only ever decides WHERE a row is joined, never
+    * whether or with what — the result set is identical for any salt
+    * assignment.
     */
   def saltedJoin(
       fact: DataFrame,
@@ -79,7 +88,9 @@ object Skew {
   ): DataFrame = {
     require(nSalts > 0)
     val saltedFact = fact.withColumn(
-      "_salt", pmod(hash(fact.columns.map(col): _*), lit(nSalts)))
+      "_salt",
+      pmod(hash(fact.columns.map(col) :+ monotonically_increasing_id(): _*),
+        lit(nSalts)))
     val replicatedBuild = build.withColumn(
       "_salt", explode(sequence(lit(0), lit(nSalts - 1))))
     saltedFact.join(replicatedBuild, Seq(key, "_salt")).drop("_salt")

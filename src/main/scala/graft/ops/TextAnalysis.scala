@@ -21,31 +21,21 @@ object TextAnalysis {
   def tokens(text: Column, pattern: String = " "): Column =
     split(text, pattern)
 
-  /** Distinct n-word shingles of the token array (empty when fewer than
-    * `n` tokens — guarded so `sequence` never sees a negative range).
+  /** Distinct n-word shingles of the token array — [[ngrams]] with the
+    * duplicates removed (set semantics for MinHash/Jaccard).
+    */
+  def shingles(toks: Column, n: Int = 3): Column =
+    array_distinct(ngrams(toks, n))
+
+  /** All n-word grams of the token array, duplicates kept (empty when
+    * fewer than `n` tokens — guarded so `sequence` never sees a
+    * negative range).
     *
     * `toks` is bound once as a lambda variable via a 1-element array:
     * higher-order lambdas are interpreted and re-evaluate inlined
-    * argument expressions on every element access, so referencing e.g. a
-    * `split(...)` column directly inside the body would re-split the text
-    * per shingle per word.
-    */
-  def shingles(toks: Column, n: Int = 3): Column =
-    element_at(
-      transform(array(toks), t =>
-        when(
-          size(t) >= n,
-          array_distinct(
-            transform(
-              sequence(lit(0), size(t) - lit(n)),
-              j => concat_ws(" ",
-                (1 to n).map(i => element_at(t, j + lit(i))): _*))),
-        ).otherwise(array().cast("array<string>"))),
-      1)
-
-  /** All n-word grams of the token array, duplicates kept — the input
-    * to repetition statistics (unlike [[shingles]], which distincts for
-    * set-similarity). Same one-time lambda binding as [[shingles]].
+    * argument expressions on every element access, so referencing e.g.
+    * a `split(...)` column directly inside the body would re-split the
+    * text per gram per word.
     */
   def ngrams(toks: Column, n: Int): Column =
     element_at(
@@ -251,8 +241,10 @@ object TextAnalysis {
       .select(col(idCol), (h % dim).cast("int").as("bucket"), sign.as("sign"))
       .groupBy(idCol, "bucket").agg(sum("sign").as("v"))
     // densify against the doc's own [0, dim) grid (array literal, no
-    // join), then fold the sparse sums in
-    val dense = df.select(col(idCol))
+    // join), then fold the sparse sums in. distinct() matches the
+    // oracle's DISTINCT doc_id — a duplicated id must not double the
+    // grid and assemble a 2×dim vector
+    val dense = df.select(col(idCol)).distinct()
       .select(col(idCol), explode(sequence(lit(0), lit(dim - 1))).as("bucket"))
       .join(sums, Seq(idCol, "bucket"), "left")
       .withColumn("v", coalesce(col("v"), lit(0L)))

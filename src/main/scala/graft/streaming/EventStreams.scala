@@ -99,12 +99,6 @@ object EventStreams {
       next
     }
 
-  /** Streaming exact dedup — the continuous form of the batch content-
-    * hash dedup (graft.ops.Dedup): keep the first event per key, where
-    * state for a key is dropped once the watermark passes it, so state
-    * size tracks the late-data window, not the stream's history. The
-    * 100 TB/endless-stream property: bounded state regardless of volume.
-    */
   /** Windowed heavy hitters on the stream — the SAME mergeable
     * Misra–Gries summary as the batch op
     * ([[graft.functions.MisraGries]] / `TextAnalysis.heavyHitters`),
@@ -134,6 +128,12 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("heavy_hitters"))
   }
 
+  /** Streaming exact dedup — the continuous form of the batch content-
+    * hash dedup (graft.ops.Dedup): keep the first event per key, where
+    * state for a key is dropped once the watermark passes it, so state
+    * size tracks the late-data window, not the stream's history. The
+    * 100 TB/endless-stream property: bounded state regardless of volume.
+    */
   def dedupStream(events: DataFrame, keyCols: Seq[String], watermark: String): DataFrame =
     events
       .withWatermark("ts", watermark)

@@ -51,12 +51,18 @@ class SkewSpec extends SparkTestBase {
     val cols = plain.columns.map(col)
     assert(salted.select(cols: _*).except(plain).isEmpty &&
       plain.except(salted.select(cols: _*)).isEmpty)
-    // the salt actually splits the hot key's join-key space (partition
-    // spread itself is AQE-dependent at this scale; the key split is
-    // the structural property that causes it)
-    val salts = fact.withColumn(
-      "_salt", pmod(hash(fact.columns.map(col): _*), lit(8)))
-      .filter(col("k") === 1L).select("_salt").distinct().count()
-    assert(salts > 1, "hot key should fan out over multiple salts")
+    // the degenerate hot key: BYTE-IDENTICAL rows (a content-only hash
+    // would collapse them onto one salt). Same salt expression as the
+    // op; the positional component must fan them out.
+    val clones = Seq.fill(1000)((1L, 0)).toDF("k", "payload")
+    val salts = clones.withColumn(
+      "_salt",
+      pmod(hash(clones.columns.map(col) :+ monotonically_increasing_id(): _*),
+        lit(8)))
+      .select("_salt").distinct().count()
+    assert(salts > 1, "identical hot rows should fan out over multiple salts")
+    // and semantics still hold for the clone fact
+    val cloneJoin = Skew.saltedJoin(clones, dim, "k", nSalts = 8)
+    assert(cloneJoin.count() == 1000)
   }
 }
