@@ -98,6 +98,64 @@ object TemporalJoins {
       .drop("_t", "_tag", "_rv", "_rt")
   }
 
+  /** FORWARD as-of: the nearest right value strictly AFTER the left
+    * timestamp (`right.t > left.t`) — the direction [[asofJoinBig]]'s
+    * backward lookup can't express (pandas' merge_asof
+    * direction='forward'). Same union-merge single-shuffle shape,
+    * mirrored: right rows sort BEFORE left rows at equal timestamps so
+    * the strictly-following frame excludes same-t right values, and
+    * `first` over the following frame picks min t (then min value on
+    * ties — deterministic).
+    */
+  def asofJoinBigForward(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTimeCol: String,
+      rightTimeCol: String,
+      rightValCol: String,
+  ): DataFrame = {
+    val valType = right.schema(rightValCol).dataType
+    val timeType = right.schema(rightTimeCol).dataType
+    val leftCols = left.columns
+    val l = left.withColumn("_t", col(leftTimeCol))
+      .withColumn("_tag", lit(1))
+      .withColumn("_rv", lit(null).cast(valType))
+      .withColumn("_rt", lit(null).cast(timeType))
+    val r = right.select(
+      col(keyCol),
+      col(rightTimeCol).as("_t"),
+      lit(0).as("_tag"),
+      col(rightValCol).as("_rv"),
+      col(rightTimeCol).as("_rt"))
+    val merged = l.select(
+      (leftCols.map(col) :+ col("_t") :+ col("_tag") :+ col("_rv") :+ col("_rt")): _*)
+      .unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(keyCol).orderBy(col("_t"), col("_tag"), col("_rv"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    merged
+      .withColumn("asof_v", first(col("_rv"), ignoreNulls = true).over(w))
+      .withColumn("asof_t", first(col("_rt"), ignoreNulls = true).over(w))
+      .filter(col("_tag") === 1)
+      .drop("_t", "_tag", "_rv", "_rt")
+  }
+
+  /** Tolerance post-filter for either as-of direction: null out matches
+    * whose time gap exceeds `toleranceSec` — "a quote is only valid for
+    * N seconds". Compares on epoch SECONDS (timestamp→long truncation),
+    * the granularity oracles can reproduce exactly.
+    */
+  def withAsofTolerance(
+      joined: DataFrame,
+      leftTimeCol: String,
+      toleranceSec: Long): DataFrame = {
+    val gap = abs(col(leftTimeCol).cast("long") - col("asof_t").cast("long"))
+    val ok = col("asof_t").isNotNull && gap <= toleranceSec
+    joined
+      .withColumn("asof_v", when(ok, col("asof_v")))
+      .withColumn("asof_t", when(ok, col("asof_t")))
+  }
+
   /** Range (interval-containment) join: left points t ∈ right intervals
     * [start, end], inclusive. A naive theta join is a cartesian product;
     * this buckets time into `bucketSeconds` cells, explodes each

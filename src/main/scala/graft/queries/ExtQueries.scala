@@ -354,6 +354,36 @@ object ExtQueries {
       .orderBy("event_id")
   }
 
+  /** FORWARD as-of ([[graft.ops.TemporalJoins.asofJoinBigForward]]):
+    * next value strictly after each event — the direction DuckDB's ASOF
+    * lacks, so the oracle is the manual keyed argmin.
+    */
+  def qAsofFwd(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select("event_id", "user_id", "ts", "value")
+    graft.ops.TemporalJoins
+      .asofJoinBigForward(ev, ev.select("user_id", "ts", "value"),
+        "user_id", "ts", "ts", "value")
+      .select(col("event_id"), col("user_id"),
+        r6(coalesce(col("asof_v"), lit(0.0))).as("next_value"))
+      .orderBy("event_id")
+  }
+
+  /** Backward as-of with a 1-hour tolerance
+    * ([[graft.ops.TemporalJoins.withAsofTolerance]]): a match older
+    * than the window is dropped — "a quote is only valid for an hour".
+    */
+  def qAsofTol(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select("event_id", "user_id", "ts", "value")
+    graft.ops.TemporalJoins.withAsofTolerance(
+        graft.ops.TemporalJoins.asofJoinBig(
+          ev, ev.select("user_id", "ts", "value"),
+          "user_id", "ts", "ts", "value"),
+        "ts", toleranceSec = 3600)
+      .select(col("event_id"), col("user_id"),
+        r6(coalesce(col("asof_v"), lit(0.0))).as("prev_value_1h"))
+      .orderBy("event_id")
+  }
+
   /** The same keyed as-of as [[qAsofBig]], through the NATIVE sorted-merge
     * operator (custom LogicalPlan + Strategy + SparkPlan,
     * [[graft.plans.AsOfJoinPlan]]) — it shares q_asof_big's DuckDB ASOF
@@ -756,6 +786,8 @@ object ExtQueries {
     "q_asof" -> (qAsof _),
     "q_asof_big" -> (qAsofBig _),
     "q_asof_native" -> (qAsofNative _),
+    "q_asof_fwd" -> (qAsofFwd _),
+    "q_asof_tol" -> (qAsofTol _),
     "q_range" -> (qRange _),
     "q_pivot" -> (qPivot _),
     "q_semi_anti" -> (qSemiAnti _),
@@ -1168,6 +1200,27 @@ object ExtQueries {
         O.r6("coalesce(p.value, 0.0)") + " AS prev_value " +
         "FROM e ASOF LEFT JOIN e p ON e.user_id = p.user_id AND e.t > p.t " +
         "ORDER BY e.event_id"),
+    // forward direction: DuckDB ASOF is backward-only, so the oracle is
+    // the manual keyed argmin — (min{'t','v'}).v == the engine's
+    // first-over-following-frame (min t, then min v on ties)
+    "q_asof_fwd" ->
+      ("WITH e AS (SELECT event_id, user_id, ts::TIMESTAMP AS t, value FROM events), " +
+        "n AS (SELECT e.event_id, (min({'t': p.t, 'v': p.value})).v AS nv " +
+        "FROM e JOIN e p ON e.user_id = p.user_id AND p.t > e.t " +
+        "GROUP BY e.event_id) " +
+        "SELECT e.event_id, e.user_id, " + O.r6("coalesce(n.nv, 0.0)") +
+        " AS next_value FROM e LEFT JOIN n USING (event_id) ORDER BY e.event_id"),
+    // backward + tolerance: restricting the join to the window equals
+    // the engine's nearest-match-then-null-out, because backward gaps
+    // grow monotonically — if the nearest is out of tolerance, all are
+    "q_asof_tol" ->
+      ("WITH e AS (SELECT event_id, user_id, ts::TIMESTAMP AS t, value FROM events), " +
+        "n AS (SELECT e.event_id, (max({'t': p.t, 'v': p.value})).v AS pv " +
+        "FROM e JOIN e p ON e.user_id = p.user_id AND p.t < e.t " +
+        "AND floor(epoch(e.t)) - floor(epoch(p.t)) <= 3600 " +
+        "GROUP BY e.event_id) " +
+        "SELECT e.event_id, e.user_id, " + O.r6("coalesce(n.pv, 0.0)") +
+        " AS prev_value_1h FROM e LEFT JOIN n USING (event_id) ORDER BY e.event_id"),
     "q_asof_native" -> // same oracle as q_asof_big: both must agree with it
       ("WITH e AS (SELECT event_id, user_id, ts::TIMESTAMP AS t, value FROM events) " +
         "SELECT e.event_id, e.user_id, " +

@@ -327,6 +327,28 @@ class OpsSpec extends SparkTestBase {
     assert(a.sameElements(b))
   }
 
+  test("forward as-of mirrors backward on a reversed axis; tolerance nulls stale matches") {
+    import spark.implicits._
+    val left = Seq((1L, 10L), (1L, 20L), (1L, 30L), (2L, 10L))
+      .toDF("k", "t").withColumn("t", col("t").cast("timestamp"))
+    val right = Seq((1L, 5L, 1.0), (1L, 20L, 2.0), (1L, 25L, 3.0), (2L, 9L, 4.0))
+      .toDF("k", "t", "v").withColumn("t", col("t").cast("timestamp"))
+    val fwd = TemporalJoins
+      .asofJoinBigForward(left, right, "k", "t", "t", "v")
+      .orderBy("k", "t").collect()
+      .map(r => Option(r.getAs[Any]("asof_v")).map(_.asInstanceOf[Double]))
+    // t=10 → next right t=20 (2.0); t=20 → strictly after → 25 (3.0);
+    // t=30 → none; k=2 t=10 → nothing after
+    assert(fwd.toSeq == Seq(Some(2.0), Some(3.0), None, None))
+    val tol = TemporalJoins.withAsofTolerance(
+      TemporalJoins.asofJoinBig(left, right, "k", "t", "t", "v"), "t", toleranceSec = 6)
+      .orderBy("k", "t").collect()
+      .map(r => Option(r.getAs[Any]("asof_v")).map(_.asInstanceOf[Double]))
+    // t=10 → prev 5 (gap 5 ≤ 6 → 1.0); t=20 → prev 5 (gap 15 → null);
+    // t=30 → prev 25 (gap 5 → 3.0); k=2 t=10 → prev 9 (gap 1 → 4.0)
+    assert(tol.toSeq == Seq(Some(1.0), None, Some(3.0), Some(4.0)))
+  }
+
   test("hash embedding: unit norm, content-determined, cosine sanity") {
     import spark.implicits._
     val e = TextAnalysis.hashEmbedding(docs, "doc_id", "text", 64).cache()
