@@ -1,0 +1,140 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.queries.Det._
+
+/** Behavioral / product analytics over event logs: cohort retention,
+  * ordered funnels, and gaps-and-islands activity spans. These are the
+  * event-warehouse workloads the reference's trip aggregates gesture at
+  * (reference `notebooks/analysis.ipynb` groups trips by hour/day); here
+  * they are first-class parameterized operators.
+  *
+  * Scale shape (100 TB event logs): every operator shuffles on the user
+  * key exactly once and then reduces — per-user windows and aggregates
+  * are the textbook partition-friendly form. Nothing collects to the
+  * driver; funnel's per-step joins are equi-joins on the user key over
+  * monotonically shrinking frames (step k+1's input is the survivors of
+  * step k), so AQE can reuse/co-locate the exchange.
+  */
+object Behavior {
+
+  /** Cohort retention: users bucketed by their first-activity period
+    * (`truncUnit` ∈ day/week/month…, `unitDays` its length in days); for
+    * each (cohort, periods_since) the distinct users still active, plus
+    * the retention ratio against the cohort's size.
+    *
+    * Both engines truncate periods identically (ISO Monday weeks,
+    * calendar days), so the bucket edges agree; offsets are exact
+    * integer day arithmetic. The ratio is int/int double division
+    * (bit-identical cross-engine).
+    */
+  def retention(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      truncUnit: String = "week",
+      unitDays: Int = 7): DataFrame = {
+    val periods = events
+      .select(col(userCol).as("_u"),
+        date_trunc(truncUnit, col(tsCol)).as("period"))
+      .distinct()
+    val cohorts = periods.groupBy("_u").agg(min(col("period")).as("cohort"))
+    // same-key join: both sides were just shuffled on _u
+    val offsets = periods.join(cohorts, "_u")
+      .select(col("_u"), col("cohort"),
+        (datediff(col("period").cast("date"), col("cohort").cast("date")) / unitDays)
+          .cast("int").as("periods_since"))
+    val counts = offsets
+      .groupBy("cohort", "periods_since")
+      .agg(countDistinct(col("_u")).as("n_users"))
+    // offset 0 exists for every cohort by construction (the min period
+    // itself), so first over the offset-ordered window is cohort size
+    val w = Window.partitionBy("cohort").orderBy("periods_since")
+    counts
+      .withColumn("retention",
+        col("n_users").cast("double") / first(col("n_users")).over(w))
+  }
+
+  /** Ordered funnel: how many users complete `steps` in sequence, each
+    * later step strictly after the previous one and all within
+    * `windowSec` of the first step. Returns one row per step with the
+    * users reaching it and the conversion vs step 1.
+    *
+    * Shape: per-step min-timestamp aggregation joined back to the event
+    * stream, k-1 equi-joins on the user key over shrinking survivor
+    * frames. No per-user arrays, no window over the full log — the
+    * un-aggregated event frame is touched once per step and reduced
+    * map-side first.
+    */
+  def funnel(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      steps: Seq[String],
+      windowSec: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val base = events.select(
+      col(userCol).as("_u"), col(typeCol).as("_ty"), col(tsCol).as("_ts"))
+    val step1 = base.filter(col("_ty") === steps.head)
+      .groupBy("_u").agg(min(col("_ts")).as("ts_1"))
+    val reached = steps.indices.drop(1).foldLeft(Vector(step1)) { (acc, i) =>
+      val prev = acc.last
+      val priorTs = (1 to i).map(j => col(s"ts_$j"))
+      val next = prev
+        .join(base.filter(col("_ty") === steps(i)), Seq("_u"))
+        .filter(col("_ts") > col(s"ts_$i") &&
+          col("_ts") <= col("ts_1") + expr(s"INTERVAL $windowSec SECONDS"))
+        .groupBy((col("_u") +: priorTs): _*)
+        .agg(min(col("_ts")).as(s"ts_${i + 1}"))
+      acc :+ next
+    }
+    val counts = reached.zipWithIndex.map { case (df, i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("step_idx"), lit(steps(i)).as("step"),
+          col("n_users"))
+    }
+    // k rows total — the unpartitioned window is a k-row frame, not a
+    // single-partition pass over data
+    val all = counts.reduce(_ unionByName _)
+    val w = Window.orderBy("step_idx")
+    all.withColumn("conversion",
+      col("n_users").cast("double") / first(col("n_users")).over(w))
+  }
+
+  /** Gaps-and-islands: contiguous per-user activity spans, a new island
+    * whenever the silence before an event exceeds `gapSec` (compared at
+    * whole-second granularity — both engines floor epoch seconds).
+    * Returns one row per island with span, event count, and value sum.
+    *
+    * The island id is the classic running sum of new-island flags over
+    * the per-user time-ordered window; ordering ties break on the event
+    * id so the result is deterministic.
+    */
+  def activityIslands(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      idCol: String,
+      valueCol: String,
+      gapSec: Long): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    val flagged = events
+      .withColumn("_sec", col(tsCol).cast("long"))
+      .withColumn("_new",
+        when(col("_sec") - lag(col("_sec"), 1).over(w) > gapSec || lag(col("_sec"), 1).over(w).isNull, 1)
+          .otherwise(0))
+      .withColumn("island_id",
+        sum(col("_new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged
+      .groupBy(col(userCol), col("island_id"))
+      .agg(
+        min(col(tsCol)).as("island_start"),
+        max(col(tsCol)).as("island_end"),
+        count(lit(1)).as("n_events"),
+        dsum(col(valueCol)).as("sum_value"))
+  }
+}
