@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.queries.Det._
+
+/** Distribution statistics: fixed-width histograms and per-key z-score
+  * anomaly flagging. Cross-engine determinism comes from integer moment
+  * sums (exact in BIGINT) and spelling the final double arithmetic
+  * identically on both engines — division, multiply, and sqrt are all
+  * correctly-rounded IEEE ops, so identical inputs give identical bits.
+  */
+object Stats {
+
+  /** Fixed-width histogram of `valueCol` over its observed [min, max]:
+    * `nBins` equal bins, top edge clamped into the last bin. One
+    * map-side pass against a broadcast 1-row bounds frame, then a
+    * `nBins`-row aggregate: the 100 TB-safe histogram shape.
+    */
+  def fixedWidthHistogram(
+      df: DataFrame,
+      valueCol: String,
+      nBins: Int): DataFrame = {
+    val bounds = df.agg(
+      min(col(valueCol)).as("_lo"), max(col(valueCol)).as("_hi"))
+    df.crossJoin(broadcast(bounds))
+      .select(
+        least(
+          floor((col(valueCol) - col("_lo")) /
+            ((col("_hi") - col("_lo")) / nBins)),
+          lit((nBins - 1).toDouble)).cast("int").as("bin"),
+        col(valueCol).as("_v"), col("_lo"), col("_hi"))
+      .groupBy("bin")
+      .agg(
+        // bin edge re-derived from the broadcast bounds riding along
+        first(col("_lo") + col("bin") * ((col("_hi") - col("_lo")) / nBins))
+          .as("bin_lo"),
+        count(lit(1)).as("n"),
+        davg(col("_v")).as("avg_value"))
+  }
+
+  /** Per-key anomaly days: bucket events per (`keyCol`, day), compute
+    * each key's own count mean/stddev from exact integer moment sums,
+    * and flag buckets beyond `zThreshold` sigmas. Keys with a single
+    * bucket have no variance and are skipped.
+    */
+  def dailyCountAnomalies(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      zThreshold: Double): DataFrame = {
+    val daily = events
+      .groupBy(col(keyCol), date_trunc("day", col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val mean = col("_sm").cast("double") / col("_n")
+    val variance =
+      (col("_sq").cast("double") - col("_sm").cast("double") * col("_sm").cast("double") / col("_n")) /
+        (col("_n") - 1)
+    val stats = daily
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("_n"), sum(col("cnt")).as("_sm"),
+        sum(col("cnt") * col("cnt")).as("_sq"))
+      .filter(col("_n") > 1)
+      .withColumn("_mean", mean)
+      .withColumn("_var", variance)
+      // zero variance would make z = 0/0 = NaN, and BOTH engines order
+      // NaN above every threshold — flag nothing for constant series
+      .filter(col("_var") > 0)
+    daily
+      .join(stats, Seq(keyCol)) // both sides just shuffled on the key
+      .withColumn("zscore",
+        (col("cnt").cast("double") - col("_mean")) / sqrt(col("_var")))
+      .filter(abs(col("zscore")) > zThreshold)
+      .select(col(keyCol), col("day"), col("cnt"), r6(col("zscore")).as("zscore"))
+  }
+}

@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.queries.Det._
+
+/** Time-series regularization and history tracking over event logs:
+  * resampling onto a fixed grid with forward fill, and SCD2 (slowly
+  * changing dimension) validity intervals from a change log.
+  *
+  * Scale shape: both operators shuffle once on the series key; the
+  * resample spine is derived from the already-aggregated frame (one row
+  * per key-bucket, not per event) and the per-key window passes reuse
+  * that partitioning. Nothing is proportional to the raw event count
+  * after the first aggregate.
+  */
+object TimeSeries {
+
+  /** Resample events onto a per-key `unit` grid (every bucket between the
+    * key's first and last active bucket), with event counts, per-bucket
+    * value sums, and last-observation-carried-forward `filled_value`.
+    * The first bucket of every key has data by construction, so the fill
+    * never emits a leading null.
+    */
+  def resampleFill(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      unit: String = "hour"): DataFrame = {
+    val bucketed = events
+      .groupBy(col(keyCol), date_trunc(unit, col(tsCol)).as("bucket"))
+      .agg(count(lit(1)).as("n_events"), dsum(col(valueCol)).as("sum_value"))
+    val spine = bucketed
+      .groupBy(keyCol)
+      .agg(min(col("bucket")).as("_lo"), max(col("bucket")).as("_hi"))
+      .select(col(keyCol),
+        explode(sequence(col("_lo"), col("_hi"), expr(s"INTERVAL 1 $unit")))
+          .as("bucket"))
+    val w = Window.partitionBy(keyCol).orderBy("bucket")
+    spine
+      .join(bucketed, Seq(keyCol, "bucket"), "left")
+      .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+      .withColumn("filled_value",
+        last(col("sum_value"), ignoreNulls = true).over(w))
+  }
+
+  /** SCD2 history from a change log: collapse consecutive repeats of
+    * `attrCol` per key, then derive [valid_from, valid_to) intervals
+    * (null valid_to = current row). Two per-key window passes over the
+    * same partitioning — Catalyst plans one exchange. Ordering ties
+    * break on `idCol` for determinism.
+    */
+  def scd2(
+      log: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      attrCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(idCol))
+    val changed = log
+      .withColumn("_prev", lag(col(attrCol), 1).over(w))
+      .filter(col("_prev").isNull || col("_prev") =!= col(attrCol))
+    changed
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col(keyCol), col(attrCol).as("state"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+  }
+}

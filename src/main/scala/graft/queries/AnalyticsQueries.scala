@@ -3,14 +3,17 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.Behavior
+import graft.ops.{Behavior, Stats, TimeSeries}
 import graft.sources.Tables
 
 /** Gate queries for the behavioral / time-series analytics family
-  * ([[graft.ops.Behavior]]): cohort retention, ordered funnels,
-  * gaps-and-islands activity spans. DuckDB-hash-checked like the rest
-  * of the gate; the operators are additionally unit-proven on crafted
-  * event fixtures in BehaviorSpec.
+  * ([[graft.ops.Behavior]], [[graft.ops.TimeSeries]],
+  * [[graft.ops.Stats]]): cohort retention, ordered funnels,
+  * gaps-and-islands activity spans, grid resampling with forward fill,
+  * SCD2 validity intervals, fixed-width histograms, and per-key z-score
+  * anomalies. DuckDB-hash-checked like the rest of the gate; the
+  * operators are additionally unit-proven on crafted event fixtures in
+  * BehaviorSpec / TimeSeriesSpec.
   */
 object AnalyticsQueries {
 
@@ -36,10 +39,36 @@ object AnalyticsQueries {
         "event_id", "value", gapSec = 7200)
       .orderBy("user_id", "island_start")
 
+  /** Hourly per-user grid with forward-filled value sums. */
+  def qResample(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.resampleFill(Tables.events(s, dir), "user_id", "ts", "value")
+      .orderBy("user_id", "bucket")
+
+  /** SCD2 state history of each user's event_type change log. */
+  def qScd2(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.scd2(Tables.events(s, dir), "user_id", "ts", "event_id",
+        "event_type")
+      .orderBy("user_id", "valid_from")
+
+  /** 20-bin fixed-width histogram of event values. */
+  def qHistogram(s: SparkSession, dir: String): DataFrame =
+    Stats.fixedWidthHistogram(Tables.events(s, dir), "value", nBins = 20)
+      .orderBy("bin")
+
+  /** Users' 2-sigma daily-activity outliers against their own history. */
+  def qAnomaly(s: SparkSession, dir: String): DataFrame =
+    Stats.dailyCountAnomalies(Tables.events(s, dir), "user_id", "ts",
+        zThreshold = 2.0)
+      .orderBy("user_id", "day")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_retention" -> (qRetention _),
     "q_funnel" -> (qFunnel _),
     "q_islands" -> (qIslands _),
+    "q_resample" -> (qResample _),
+    "q_scd2" -> (qScd2 _),
+    "q_histogram" -> (qHistogram _),
+    "q_anomaly" -> (qAnomaly _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -86,5 +115,54 @@ object AnalyticsQueries {
         "SELECT user_id, island_id, min(t) AS island_start, max(t) AS island_end, " +
         "count(*) AS n_events, " + Oracle.dsum("value") + " AS sum_value " +
         "FROM g GROUP BY user_id, island_id ORDER BY user_id, island_start"),
+    // Spark sequence(lo, hi, 1 hour) == DuckDB unnest(generate_series);
+    // last_value IGNORE NULLS == Spark last(ignoreNulls) (default frames
+    // agree: unbounded preceding → current row, bucket unique per key)
+    "q_resample" ->
+      ("WITH h AS (SELECT user_id, date_trunc('hour', ts::TIMESTAMP)::TIMESTAMP AS bucket, " +
+        "count(*)::BIGINT AS n_events, " + Oracle.dsum("value") + " AS sum_value " +
+        "FROM events GROUP BY 1, 2), " +
+        "sp AS (SELECT user_id, unnest(generate_series(min(bucket), max(bucket), " +
+        "INTERVAL 1 HOUR)) AS bucket FROM h GROUP BY user_id), " +
+        "j AS (SELECT sp.user_id, sp.bucket, coalesce(h.n_events, 0) AS n_events, " +
+        "h.sum_value FROM sp LEFT JOIN h ON sp.user_id = h.user_id AND sp.bucket = h.bucket) " +
+        "SELECT user_id, bucket, n_events, sum_value, " +
+        "last_value(sum_value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket) " +
+        "AS filled_value FROM j ORDER BY user_id, bucket"),
+    "q_scd2" ->
+      ("WITH e AS (SELECT user_id, event_id, event_type, ts::TIMESTAMP AS t FROM events), " +
+        "c AS (SELECT *, lag(event_type) OVER " +
+        "(PARTITION BY user_id ORDER BY t, event_id) AS prev FROM e), " +
+        "ch AS (SELECT * FROM c WHERE prev IS NULL OR prev <> event_type) " +
+        "SELECT user_id, event_type AS state, t AS valid_from, " +
+        "lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS valid_to, " +
+        "(lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) IS NULL) AS is_current " +
+        "FROM ch ORDER BY user_id, valid_from"),
+    // bin arithmetic spelled identically on both engines (no
+    // width_bucket in DuckDB); doubles are IEEE-identical given the
+    // same expression tree
+    "q_histogram" ->
+      ("WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events), " +
+        "g AS (SELECT least(floor((e.value - b.lo) / ((b.hi - b.lo) / 20)), 19.0)::INT AS bin, " +
+        "e.value AS v, b.lo, b.hi FROM events e CROSS JOIN b) " +
+        "SELECT bin, first(lo + bin * ((hi - lo) / 20)) AS bin_lo, " +
+        "count(*)::BIGINT AS n, " + Oracle.davg("v") + " AS avg_value " +
+        "FROM g GROUP BY bin ORDER BY bin"),
+    // integer moment sums are exact in BIGINT; the z expression is the
+    // same double tree on both engines
+    "q_anomaly" ->
+      ("WITH d AS (SELECT user_id, date_trunc('day', ts::TIMESTAMP)::TIMESTAMP AS day, " +
+        "count(*)::BIGINT AS cnt FROM events GROUP BY 1, 2), " +
+        "s AS (SELECT user_id, count(*)::BIGINT AS n, sum(cnt)::BIGINT AS sm, " +
+        "sum(cnt*cnt)::BIGINT AS sq FROM d GROUP BY user_id HAVING count(*) > 1), " +
+        // zero variance → z = NaN, which both engines order above any
+        // threshold — the var > 0 guard matches the operator's
+        "v AS (SELECT user_id, sm::DOUBLE / n AS mean, " +
+        "(sq::DOUBLE - sm::DOUBLE * sm::DOUBLE / n) / (n - 1) AS var FROM s), " +
+        "z AS (SELECT d.user_id, d.day, d.cnt, " +
+        "(d.cnt::DOUBLE - v.mean) / sqrt(v.var) AS zscore " +
+        "FROM d JOIN v ON d.user_id = v.user_id WHERE v.var > 0) " +
+        "SELECT user_id, day, cnt, " + Oracle.r6("zscore") + " AS zscore " +
+        "FROM z WHERE abs(zscore) > 2 ORDER BY user_id, day"),
   )
 }
