@@ -3,17 +3,19 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Behavior, Stats, TimeSeries}
+import graft.ops.{Behavior, Graphs, Stats, TimeSeries}
 import graft.sources.Tables
 
 /** Gate queries for the behavioral / time-series analytics family
   * ([[graft.ops.Behavior]], [[graft.ops.TimeSeries]],
   * [[graft.ops.Stats]]): cohort retention, ordered funnels,
   * gaps-and-islands activity spans, grid resampling with forward fill,
-  * SCD2 validity intervals, fixed-width histograms, and per-key z-score
-  * anomalies. DuckDB-hash-checked like the rest of the gate; the
-  * operators are additionally unit-proven on crafted event fixtures in
-  * BehaviorSpec / TimeSeriesSpec.
+  * SCD2 validity intervals, fixed-width histograms, per-key z-score
+  * anomalies, and graph analytics ([[graft.ops.Graphs]]: co-occurrence
+  * edge derivation + degree-ordered triangle counting).
+  * DuckDB-hash-checked like the rest of the gate; the operators are
+  * additionally unit-proven on crafted fixtures in BehaviorSpec /
+  * TimeSeriesSpec / GraphsSpec.
   */
 object AnalyticsQueries {
 
@@ -61,6 +63,15 @@ object AnalyticsQueries {
         zThreshold = 2.0)
       .orderBy("user_id", "day")
 
+  /** Per-part triangle counts in the co-purchase graph (parts sharing
+    * an order), via the degree-ordered wedge join.
+    */
+  def qTriangles(s: SparkSession, dir: String): DataFrame =
+    Graphs.triangleCounts(
+        Graphs.coOccurrenceEdges(
+          Tables.table(s, dir, "lineitem"), "l_orderkey", "l_partkey"))
+      .orderBy("vertex")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_retention" -> (qRetention _),
     "q_funnel" -> (qFunnel _),
@@ -69,6 +80,7 @@ object AnalyticsQueries {
     "q_scd2" -> (qScd2 _),
     "q_histogram" -> (qHistogram _),
     "q_anomaly" -> (qAnomaly _),
+    "q_triangles" -> (qTriangles _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -164,5 +176,23 @@ object AnalyticsQueries {
         "FROM d JOIN v ON d.user_id = v.user_id WHERE v.var > 0) " +
         "SELECT user_id, day, cnt, " + Oracle.r6("zscore") + " AS zscore " +
         "FROM z WHERE abs(zscore) > 2 ORDER BY user_id, day"),
+    // degree-ordered wedge join, row-value comparisons mirror Spark's
+    // struct ordering; each triangle has exactly one apex (its
+    // order-minimal vertex), so no de-dup division is needed
+    "q_triangles" ->
+      ("WITH e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v " +
+        "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey " +
+        "AND a.l_partkey < b.l_partkey), " +
+        "deg AS (SELECT x, count(*) AS d FROM " +
+        "(SELECT u AS x FROM e UNION ALL SELECT v FROM e) GROUP BY x), " +
+        "dir AS (SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS s, " +
+        "CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS t " +
+        "FROM e JOIN deg du ON du.x = e.u JOIN deg dv ON dv.x = e.v), " +
+        "w AS (SELECT d1.s, d1.t AS b, d2.t AS c FROM dir d1 " +
+        "JOIN dir d2 ON d1.s = d2.s AND d1.t < d2.t), " +
+        "tri AS (SELECT w.s AS a, w.b, w.c FROM w JOIN e ON e.u = w.b AND e.v = w.c) " +
+        "SELECT vertex, count(*)::BIGINT AS n_triangles FROM " +
+        "(SELECT a AS vertex FROM tri UNION ALL SELECT b FROM tri " +
+        "UNION ALL SELECT c FROM tri) GROUP BY vertex ORDER BY vertex"),
   )
 }

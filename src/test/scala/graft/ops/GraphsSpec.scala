@@ -1,0 +1,35 @@
+package graft.ops
+
+import graft.SparkTestBase
+
+class GraphsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("coOccurrenceEdges: canonical u<v, loops dropped, multiplicity deduped") {
+    val df = Seq(
+      ("g1", 1L), ("g1", 2L), ("g1", 3L),
+      ("g2", 2L), ("g2", 3L), ("g2", 3L), // repeat item → would loop/dup
+    ).toDF("grp", "item")
+    val got = Graphs.coOccurrenceEdges(df, "grp", "item")
+      .orderBy("u", "v").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("triangleCounts: K4 has 4 triangles with every vertex in 3; stars have none") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("u", "v")
+    val got = Graphs.triangleCounts(k4)
+      .orderBy("vertex").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("u", "v")
+    assert(Graphs.triangleCounts(star).count() == 0)
+  }
+
+  test("triangleCounts: one triangle plus a tail counts only the cycle vertices") {
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    val got = Graphs.triangleCounts(g)
+      .orderBy("vertex").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L)))
+  }
+}
