@@ -58,4 +58,75 @@ object Graphs {
       .unionAll(triangles.select(col("c").as("vertex")))
       .groupBy("vertex").agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Fixed-iteration PageRank over an undirected canonical (u < v,
+    * distinct) edge list, treated as a symmetric directed graph.
+    *
+    * Determinism discipline (same as [[Clustering.kmeans]]): each
+    * contribution r/outdeg is one double division; the per-target sum —
+    * the only order-dependent reduction — rides DECIMAL(38,20), so
+    * partial aggregation order is invisible; the damping update is a
+    * fixed double expression. Constants are interpolated from the SAME
+    * Scala doubles into the oracle SQL, so e.g. 1−0.85 (which is NOT
+    * the double 0.15) agrees bit-for-bit cross-engine.
+    *
+    * @return (x, r) — vertex and rank; ranks sum to 1 over the graph
+    *         (symmetric graphs have no dangling mass).
+    */
+  def pageRank(
+      edges: DataFrame,
+      damping: Double = 0.85,
+      iters: Int = 3): DataFrame = {
+    val directed = edges.select(col("u"), col("v"))
+      .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+    val deg = directed.groupBy("u").agg(count(lit(1)).as("od"))
+    val outgoing = directed.join(deg, "u")
+    val verts = directed.select(col("u").as("x")).distinct()
+    val n = verts.agg(count(lit(1)).as("n"))
+    var ranks = verts.crossJoin(broadcast(n))
+      .select(col("x"), (lit(1.0) / col("n")).as("r"))
+    for (_ <- 1 to iters) {
+      val sums = ranks
+        .join(outgoing, col("x") === col("u"))
+        .select(col("v").as("x"), (col("r") / col("od")).as("cr"))
+        .groupBy("x")
+        .agg(sum(col("cr").cast("decimal(38,20)")).cast("double").as("m"))
+      // left join: general graphs have rank-sink vertices with no
+      // in-edges (symmetric ones don't, but the operator shouldn't care)
+      ranks = verts.crossJoin(broadcast(n))
+        .join(sums, Seq("x"), "left")
+        .select(col("x"),
+          (lit(1 - damping) / col("n") +
+            lit(damping) * coalesce(col("m"), lit(0.0))).as("r"))
+    }
+    ranks
+  }
+
+  /** DuckDB spelling of [[pageRank]] — unrolled-CTE oracle generated for
+    * the same damping/iters over `edgesSql` (any SELECT producing the
+    * canonical u/v columns). `finalSelect` consumes CTE `rank$iters(x, r)`
+    * and the 1-row CTE `nn(n)`.
+    */
+  def pageRankOracleSql(
+      edgesSql: String,
+      damping: Double,
+      iters: Int,
+      finalSelect: String): String = {
+    val steps = (1 to iters).map { i =>
+      s"c$i AS (SELECT e.v AS x, r${i - 1}.r / deg.od AS cr " +
+        s"FROM r${i - 1} JOIN e ON e.u = r${i - 1}.x JOIN deg ON deg.u = r${i - 1}.x), " +
+        s"s$i AS (SELECT x, CAST(sum(CAST(cr AS DECIMAL(38,20))) AS DOUBLE) AS m " +
+        s"FROM c$i GROUP BY x), " +
+        s"r$i AS (SELECT verts.x, ${1 - damping} / nn.n + " +
+        s"$damping * coalesce(s$i.m, 0.0) AS r " +
+        s"FROM verts CROSS JOIN nn LEFT JOIN s$i ON s$i.x = verts.x)"
+    }.mkString(", ")
+    s"WITH eu AS ($edgesSql), " +
+      "e AS (SELECT u, v FROM eu UNION ALL SELECT v AS u, u AS v FROM eu), " +
+      "deg AS (SELECT u, count(*) AS od FROM e GROUP BY u), " +
+      "verts AS (SELECT DISTINCT u AS x FROM e), " +
+      "nn AS (SELECT count(*)::BIGINT AS n FROM verts), " +
+      "r0 AS (SELECT x, 1.0 / nn.n AS r FROM verts CROSS JOIN nn), " +
+      s"$steps $finalSelect"
+  }
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops.{Behavior, Graphs, Stats, TimeSeries}
+import graft.queries.Det._
 import graft.sources.Tables
 
 /** Gate queries for the behavioral / time-series analytics family
@@ -72,6 +73,17 @@ object AnalyticsQueries {
           Tables.table(s, dir, "lineitem"), "l_orderkey", "l_partkey"))
       .orderBy("vertex")
 
+  /** 3-iteration PageRank over the co-purchase graph; ranks ×1000 so
+    * the 6-dp rounding keeps ~6 significant digits.
+    */
+  def qPageRank(s: SparkSession, dir: String): DataFrame =
+    Graphs.pageRank(
+        Graphs.coOccurrenceEdges(
+          Tables.table(s, dir, "lineitem"), "l_orderkey", "l_partkey"),
+        damping = 0.85, iters = 3)
+      .select(col("x").as("vertex"), r6(col("r") * lit(1000.0)).as("rank_k"))
+      .orderBy("vertex")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_retention" -> (qRetention _),
     "q_funnel" -> (qFunnel _),
@@ -81,7 +93,13 @@ object AnalyticsQueries {
     "q_histogram" -> (qHistogram _),
     "q_anomaly" -> (qAnomaly _),
     "q_triangles" -> (qTriangles _),
+    "q_pagerank" -> (qPageRank _),
   )
+
+  private def coPurchaseEdgesSql: String =
+    "SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v " +
+      "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey " +
+      "AND a.l_partkey < b.l_partkey"
 
   val oracleSql: Map[String, String] = Map(
     // date_trunc returns DATE in DuckDB, TIMESTAMP in Spark → ::TIMESTAMP;
@@ -194,5 +212,9 @@ object AnalyticsQueries {
         "SELECT vertex, count(*)::BIGINT AS n_triangles FROM " +
         "(SELECT a AS vertex FROM tri UNION ALL SELECT b FROM tri " +
         "UNION ALL SELECT c FROM tri) GROUP BY vertex ORDER BY vertex"),
+    "q_pagerank" -> Graphs.pageRankOracleSql(
+      coPurchaseEdgesSql, damping = 0.85, iters = 3,
+      finalSelect = "SELECT x AS vertex, " + Oracle.r6("r * 1000.0") +
+        " AS rank_k FROM r3 ORDER BY vertex"),
   )
 }

@@ -26,6 +26,16 @@ class GraphsSpec extends SparkTestBase {
     assert(Graphs.triangleCounts(star).count() == 0)
   }
 
+  test("pageRank: conserves mass, ranks the hub above symmetric leaves") {
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("u", "v") // 1 - 2 - 3
+    val r = Graphs.pageRank(path, damping = 0.85, iters = 3)
+      .orderBy("x").as[(Long, Double)].collect().toSeq
+    val byV = r.toMap
+    assert(math.abs(r.map(_._2).sum - 1.0) < 1e-12)   // symmetric: no sink mass
+    assert(byV(1L) == byV(3L))                        // decimal path: EXACTLY equal
+    assert(byV(2L) > byV(1L))
+  }
+
   test("triangleCounts: one triangle plus a tail counts only the cycle vertices") {
     val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("u", "v")
     val got = Graphs.triangleCounts(g)
