@@ -34,12 +34,25 @@ object Graphs {
   /** Per-vertex triangle counts over a canonical (u < v, distinct) edge
     * list; vertices in no triangle are absent. Sum over the column is
     * 3× the global triangle count.
+    *
+    * The edge list is persisted and counted once up front: it feeds
+    * four downstream passes (degrees, both wedge sides, the closing
+    * join), and an arbitrary caller plan — e.g. a co-occurrence
+    * self-join — must not be recomputed per pass. When the graph fits
+    * (`m ≤ broadcastCloseMaxEdges`), the closing join broadcasts the
+    * edge list so the wedge stream — the quadratic side — never
+    * shuffles; past the threshold it degrades to the shuffle equi-join,
+    * which is the only 100 TB-viable form.
     */
-  def triangleCounts(edges: DataFrame): DataFrame = {
-    val deg = edges.select(col("u").as("x"))
-      .unionAll(edges.select(col("v").as("x")))
+  def triangleCounts(
+      edges: DataFrame,
+      broadcastCloseMaxEdges: Long = 8000000L): DataFrame = {
+    val e = edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m = e.count()
+    val deg = e.select(col("u").as("x"))
+      .unionAll(e.select(col("v").as("x")))
       .groupBy("x").agg(count(lit(1)).as("d"))
-    val directed = edges
+    val directed = e
       .join(deg.withColumnRenamed("x", "u").withColumnRenamed("d", "du"), "u")
       .join(deg.withColumnRenamed("x", "v").withColumnRenamed("d", "dv"), "v")
       .select(
@@ -47,15 +60,23 @@ object Graphs {
           .otherwise(col("v")).as("s"),
         when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("v"))
           .otherwise(col("u")).as("t"))
-    val w1 = directed.select(col("s"), col("t").as("b"))
-    val w2 = directed.select(col("s"), col("t").as("c"))
+    // explicit partition count: the directed list is small (~MBs) so
+    // AQE would coalesce its exchange to one partition — and with it
+    // the 30×-larger join OUTPUT, serializing the quadratic step. An
+    // explicit repartition is exempt from AQE coalescing.
+    val nPart = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val keyed = directed.repartition(nPart, col("s"))
+    val w1 = keyed.select(col("s"), col("t").as("b"))
+    val w2 = keyed.select(col("s"), col("t").as("c"))
     val wedges = w1.join(w2, "s").filter(col("b") < col("c"))
-    val triangles = wedges.join(edges,
+    val closing = if (m <= broadcastCloseMaxEdges) broadcast(e) else e
+    val triangles = wedges.join(closing,
       col("u") === col("b") && col("v") === col("c"))
       .select(col("s").as("a"), col("b"), col("c"))
-    triangles.select(col("a").as("vertex"))
-      .unionAll(triangles.select(col("b").as("vertex")))
-      .unionAll(triangles.select(col("c").as("vertex")))
+    // explode, not a 3-way union: union branches would re-evaluate the
+    // whole wedge pipeline once each (no cross-branch subplan sharing)
+    triangles
+      .select(explode(array(col("a"), col("b"), col("c"))).as("vertex"))
       .groupBy("vertex").agg(count(lit(1)).as("n_triangles"))
   }
 
