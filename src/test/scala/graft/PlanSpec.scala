@@ -129,9 +129,14 @@ class PlanSpec extends SparkTestBase {
     // (q_surprisal: 1-row vocab scalar broadcast, like q_tfidf)
     // (q_kmeans: Lloyd assignment IS a broadcast cross join — k centroid
     // rows against the corpus, plus the 1-row stride count)
+    // (q_histogram: 1-row min/max bounds frame broadcast against the
+    // corpus for the map-side bin assignment)
+    // (q_pagerank: 1-row vertex-count frame broadcast for the uniform
+    // init and the per-iteration teleport term)
     val bnljByDesign = Set("q_sim_topk", "q_sim_topk_agg", "q_top_tokens",
       "q_tfidf", "q_asof", "q_sim_ivf", "q_surprisal", "q_kmeans",
-      "q_text_knn") // brute-force top-k: broadcast query side, like q_sim_topk
+      "q_text_knn", // brute-force top-k: broadcast query side, like q_sim_topk
+      "q_histogram", "q_pagerank")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = plan(fn(spark, Sf0001))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
