@@ -225,6 +225,41 @@ object Corpus {
     packed.withColumnRenamed("_id", orderCol).withColumnRenamed("_tok", tokensCol)
   }
 
+  /** Per-stratum document quota: keep the top `cap` rows of each
+    * stratum ranked by `scoreCol` descending (id ascending on ties) —
+    * the "at most N documents per domain/source" rule every web-crawl
+    * curation applies so one mega-site cannot dominate the corpus.
+    *
+    * Scale shape: the bounded-heap [[graft.functions.TopKAggregator]]
+    * pre-reduces every map task's slice to ≤ `cap` entries per stratum
+    * before the shuffle, so what crosses the wire is cap-bounded heaps
+    * — never the stratum's full row set. The `row_number().over(Window)`
+    * spelling ships EVERY row of a hot domain to one reducer and sorts
+    * there; at 100 TB a single boilerplate-heavy site breaks that task.
+    * Output: (stratum, id, score, rank), rank 1-based in quota order.
+    */
+  def sourceQuota(
+      df: DataFrame,
+      stratumCol: String,
+      idCol: String,
+      scoreCol: String,
+      cap: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(stratumCol).cast("string"), col(idCol).cast("long"),
+        col(scoreCol).cast("double"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(new graft.functions.TopKAggregator(cap).toColumn)
+      .flatMap { case (stratum, top) =>
+        top.iterator.zipWithIndex.map { case ((id, s), i) =>
+          (stratum, id, s, (i + 1).toLong)
+        }
+      }
+      .toDF(stratumCol, idCol, scoreCol, "rank")
+  }
+
   /** Deterministic exact-size sample: the `k` rows with the smallest
     * `md5(salt || id)` — a uniform "random" sample with an exact row
     * count, reproducible across runs/engines/partitionings (neither

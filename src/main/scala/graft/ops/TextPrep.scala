@@ -96,17 +96,25 @@ object TextPrep {
     */
   def bigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = TextAnalysis.tokens(col(textCol))
-    // (doc, w1, w2) pairs via index explode over the token array
-    val pairs = df.select(
-      col(idCol),
-      posexplode(slice(toks, lit(1), greatest(size(toks) - 1, lit(0))))
-        .as(Seq("i", "w1")),
-      toks.as("_toks"))
-      .withColumn("w2", element_at(col("_toks"), col("i") + 2))
-      .select(col(idCol), col("w1"), col("w2"))
-    val bigramCounts = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    val unigramCounts = pairs.groupBy("w1").agg(count(lit(1)).as("c1"))
-    val vocab = pairs.agg(countDistinct("w2").as("v"))
+    // (w1, w2) structs via zip_with over the shifted token array: the
+    // exploded rows carry ONLY the two words. (The posexplode +
+    // element_at spelling copies the whole token array into every
+    // output row — O(len) per bigram, quadratic bytes per document.)
+    val bigrams = zip_with(
+      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+      slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    // per-document distinct bigram counts: every downstream consumer
+    // derives from this ONE aggregate (its exchange is reused across
+    // branches), and the occurrence stream never crosses the wire again
+    val docBigrams = df
+      .select(col(idCol), explode(bigrams).as("_p"))
+      .select(col(idCol), col("_p.w1").as("w1"), col("_p.w2").as("w2"))
+      .groupBy(idCol, "w1", "w2")
+      .agg(count(lit(1)).as("cnt"))
+    val bigramCounts = docBigrams.groupBy("w1", "w2").agg(sum("cnt").as("c12"))
+    val unigramCounts = docBigrams.groupBy("w1").agg(sum("cnt").as("c1"))
+    val vocab = docBigrams.agg(countDistinct("w2").as("v"))
     // smoothed per-bigram -log p, rounded before any summation
     val scored = bigramCounts
       .join(unigramCounts, "w1")
@@ -114,12 +122,15 @@ object TextPrep {
       .withColumn("nlp",
         r6(-log((col("c12") + 1.0) / (col("c1") + col("v")))))
       .select("w1", "w2", "nlp")
-    pairs
+    // decimal nlp × exact count ≡ summing nlp once per occurrence
+    // (decimal addition is exact), so this matches the per-occurrence
+    // oracle bit-for-bit while joining only distinct (doc, bigram) rows
+    docBigrams
       .join(scored, Seq("w1", "w2"))
       .groupBy(idCol)
       .agg(
-        count(lit(1)).as("n_bigrams"),
-        r6(sum(col("nlp").cast("decimal(25,6)")).cast("double") / count(lit(1)))
-          .as("mean_surprisal"))
+        sum(col("cnt")).as("n_bigrams"),
+        r6(sum(col("nlp").cast("decimal(25,6)") * col("cnt")).cast("double") /
+          sum(col("cnt"))).as("mean_surprisal"))
   }
 }

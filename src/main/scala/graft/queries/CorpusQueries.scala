@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Corpus, Profile}
+import graft.ops.{Corpus, Profile, Quantization}
 import graft.sources.Tables
 
 /** Gate queries for the corpus-assembly operators ([[graft.ops.Corpus]]):
@@ -74,6 +74,41 @@ object CorpusQueries {
       .select("doc_id", "lang", "source", "n_chars")
       .orderBy("doc_id")
 
+  /** Per-source quota ([[Corpus.sourceQuota]]): top-15 docs per source
+    * by length — the "max N docs per domain" curation rule, computed
+    * with the cap-bounded heap aggregator (never the skew-prone window)
+    * and hash-checked against DuckDB's row_number spelling, proving the
+    * two agree row-for-row including tie-breaks.
+    */
+  def qSourceQuota(s: SparkSession, dir: String): DataFrame =
+    Corpus.sourceQuota(docs(s, dir), "source", "doc_id", "n_chars", cap = 15)
+      .select(col("source"), col("doc_id"),
+        col("n_chars").cast("long").as("n_chars"), col("rank"))
+      .orderBy("source", "rank")
+
+  /** Leakage-safe split: [[Corpus.hashSplit]] keyed on `source` instead
+    * of the row id, so every document of a source lands in the same
+    * split — near-duplicates within a site can never straddle
+    * train/test. `n_sources` per split is the witness (sums to the
+    * global source count ⇒ no source spans two splits).
+    */
+  def qSplitGroup(s: SparkSession, dir: String): DataFrame =
+    Corpus.hashSplit(docs(s, dir), "source",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "gsplit")
+      .groupBy("split")
+      .agg(count(lit(1)).as("n"), countDistinct(col("source")).as("n_sources"),
+        min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+      .orderBy("split")
+
+  /** Int8 embedding quantization audit ([[Quantization.quantizeInt8]]):
+    * per-vector affine params, an exact BIGINT checksum over all 64
+    * codes, and the worst-element reconstruction error.
+    */
+  def qEmbedQuant(s: SparkSession, dir: String): DataFrame =
+    Quantization.quantizeInt8(Tables.table(s, dir, "embeddings"),
+        "vec_id", "embedding")
+      .orderBy("vec_id")
+
   def qProfile(s: SparkSession, dir: String): DataFrame =
     Profile.numeric(Tables.table(s, dir, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
@@ -93,6 +128,9 @@ object CorpusQueries {
     "q_inverted" -> (qInverted _),
     "q_sample_k" -> (qSampleK _),
     "q_profile" -> (qProfile _),
+    "q_source_quota" -> (qSourceQuota _),
+    "q_split_group" -> (qSplitGroup _),
+    "q_embed_quant" -> (qEmbedQuant _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -162,6 +200,33 @@ object CorpusQueries {
           s"quantile_disc($c, 0.5)::DOUBLE AS median, " +
           s"quantile_disc($c, 0.75)::DOUBLE AS q3 FROM lineitem"
       }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY \"column\""),
+    "q_source_quota" ->
+      ("WITH r AS (SELECT source, doc_id, n_chars, row_number() OVER " +
+        "(PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rank " +
+        "FROM documents) " +
+        "SELECT source, doc_id, n_chars, rank FROM r WHERE rank <= 15 " +
+        "ORDER BY source, rank"),
+    "q_split_group" ->
+      (s"WITH b AS (SELECT source, doc_id, ${bucketSql("gsplit", "source")} AS b " +
+        "FROM documents), " +
+        "s AS (SELECT doc_id, source, CASE WHEN b < 8000 THEN 'train' " +
+        "WHEN b < 9000 THEN 'val' ELSE 'test' END AS split FROM b) " +
+        "SELECT split, count(*) AS n, count(DISTINCT source) AS n_sources, " +
+        "min(doc_id) AS min_id, max(doc_id) AS max_id " +
+        "FROM s GROUP BY 1 ORDER BY 1"),
+    "q_embed_quant" ->
+      ("WITH b AS (SELECT vec_id, embedding AS v, " +
+        "list_min(embedding)::DOUBLE AS mn, list_max(embedding)::DOUBLE AS mx " +
+        "FROM embeddings), " +
+        "s AS (SELECT *, (mx - mn) / 255.0 AS sc FROM b), " +
+        "c AS (SELECT vec_id, mn, mx, sc, v, CASE WHEN sc = 0 " +
+        "THEN list_transform(v, x -> 0::BIGINT) " +
+        "ELSE list_transform(v, x -> least(floor((x::DOUBLE - mn) / sc + 0.5), " +
+        "255.0)::BIGINT) END AS codes FROM s) " +
+        "SELECT vec_id, mn, mx, list_sum(codes)::BIGINT AS code_sum, " +
+        "floor(list_max(list_transform(range(1, len(v) + 1), i -> " +
+        "abs(mn + codes[i]::DOUBLE * sc - v[i]::DOUBLE))) * 1e6 + 0.5) / 1e6 " +
+        "AS max_err FROM c ORDER BY vec_id"),
     "q_inverted" ->
       ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
         "t AS (SELECT DISTINCT doc_id, u.t AS token FROM w, unnest(w.w) AS u(t) " +

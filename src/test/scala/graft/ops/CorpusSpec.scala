@@ -202,4 +202,53 @@ class CorpusSpec extends SparkTestBase {
     assert(mn >= 30)
     assert(out.select(max(size(col("postings")))).head().getInt(0) <= 5)
   }
+
+  test("sourceQuota: agrees row-for-row with the window spelling, ties to smaller id") {
+    import org.apache.spark.sql.expressions.Window
+    // scores collide constantly (i % 5) so the id tiebreak is exercised
+    val df = (1L to 300L).map(i => (s"s${i % 4}", i, (i % 5).toDouble))
+      .toDF("source", "doc_id", "score")
+    val got = Corpus.sourceQuota(df, "source", "doc_id", "score", cap = 10)
+    val w = Window.partitionBy("source")
+      .orderBy(col("score").desc, col("doc_id"))
+    val want = df
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // strata smaller than the cap are kept whole
+    val tiny = Seq(("a", 1L, 1.0), ("a", 2L, 2.0)).toDF("source", "doc_id", "score")
+    assert(Corpus.sourceQuota(tiny, "source", "doc_id", "score", 10).count() == 2)
+  }
+
+  test("quantizeInt8: codes in [0,255], error bounded by scale/2, constants exact") {
+    val vecs = Seq(
+      (1L, Array(0.1f, -0.5f, 0.9f, 0.3f)),
+      (2L, Array(7.0f, 7.0f, 7.0f)), // constant vector: sc == 0 branch
+      (3L, Array(-1e-4f, 1e-4f, 0f))).toDF("vec_id", "embedding")
+    val audit = Quantization.quantizeInt8(vecs, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getLong(3), r.getDouble(4))).toMap
+    val (mn1, mx1, sum1, err1) = audit(1L)
+    assert(mn1 == -0.5f.toDouble && mx1 == 0.9f.toDouble)
+    assert(err1 <= (mx1 - mn1) / 255.0 / 2.0 + 1e-6)
+    assert(sum1 >= 0 && sum1 <= 4L * 255)
+    val (_, _, sum2, err2) = audit(2L)
+    assert(sum2 == 0 && err2 == 0.0) // constant vector: all-zero codes, zero error
+    // code frame: min/max code hit 0 and 255, codes decode within the bound
+    val q = Quantization.quantizeVectors(vecs, "vec_id", "embedding")
+      .filter(col("vec_id") === 1L)
+      .select(explode(col("codes")).as("c")).agg(min("c"), max("c")).head()
+    assert(q.getShort(0) == 0 && q.getShort(1) == 255)
+  }
+
+  test("hashSplit keyed on a group column: no group straddles two splits") {
+    val df = (1L to 500L).map(i => (i, s"site${i % 23}")).toDF("doc_id", "source")
+    val out = Corpus.hashSplit(df, "source",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "gsplit")
+    val perGroup = out.groupBy("source")
+      .agg(countDistinct(col("split")).as("k"))
+      .agg(max("k")).head().getLong(0)
+    assert(perGroup == 1L, "a source appeared in more than one split")
+    assert(out.count() == 500)
+  }
 }

@@ -174,6 +174,25 @@ class OpsSpec extends SparkTestBase {
     info(s"bucketed recall: $hits/${exact.count()}")
   }
 
+  test("int8-quantized search: top-10 recall vs exact stays high") {
+    // the storage claim (4x) is arithmetic; the QUALITY claim — that
+    // searching decoded uint8 vectors finds the same neighbours — is
+    // what this asserts: recall@10 ≥ 0.8 over the sf0.001 corpus
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val dec = Quantization.quantizeVectors(emb, "vec_id", "embedding")
+      .select(col("vec_id").as("cid"),
+        transform(col("codes"), c =>
+          (col("mn") + c.cast("double") * col("scale")).cast("float")).as("ce"))
+    val c = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val exact = Similarity.cosineTopK(q, c, 10).select("qid", "cid")
+    val quant = Similarity.cosineTopK(q, dec, 10).select("qid", "cid")
+    val total = exact.count()
+    val hits = quant.intersect(exact).count()
+    assert(hits >= (total * 8) / 10, s"quantized recall $hits/$total below 0.8")
+    info(s"quantized recall: $hits/$total")
+  }
+
   test("bounded-heap top-k aggregator agrees with the window form row-for-row") {
     val q = emb.filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val c = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"))
