@@ -133,6 +133,38 @@ object Layout {
     updates.unionByName(base.join(updates.select(keys.map(col): _*), keys, "left_anti"))
   }
 
+  /** Snapshot diff — derive the CDC stream two table versions imply:
+    * one row per key that was `inserted` (new key), `deleted` (key
+    * gone), or `updated` (key present in both, any compared column
+    * changed). Unchanged keys are dropped. The inverse of [[upsert]]:
+    * `upsert` applies a change batch; this recovers one by comparing
+    * snapshots — the shape every incremental corpus/warehouse pipeline
+    * needs when upstream republishes full dumps without a changelog.
+    *
+    * Scale shape: ONE full-outer sort-merge join on the key (both
+    * sides shuffle once, co-partitioned; AQE handles skew), then a
+    * narrow struct inequality over `compareCols` — null-safe (`<=>`),
+    * so NULL→value and value→NULL both count as changes. No collects,
+    * no per-column joins.
+    */
+  def snapshotDiff(
+      before: DataFrame,
+      after: DataFrame,
+      keys: Seq[String],
+      compareCols: Seq[String]): DataFrame = {
+    val bTag = before.select(
+      keys.map(col) :+ struct(compareCols.map(col): _*).as("_b"): _*)
+    val aTag = after.select(
+      keys.map(col) :+ struct(compareCols.map(col): _*).as("_a"): _*)
+    bTag.join(aTag, keys, "full_outer")
+      .withColumn("change_type",
+        when(col("_b").isNull, lit("inserted"))
+          .when(col("_a").isNull, lit("deleted"))
+          .when(!(col("_a") <=> col("_b")), lit("updated")))
+      .filter(col("change_type").isNotNull)
+      .select(keys.map(col) :+ col("change_type"): _*)
+  }
+
   /** Write `df` as a bucketed+sorted catalog table: rows hash-placed
     * into `nBuckets` files by `key`, each file sorted on it.
     *

@@ -465,6 +465,25 @@ object ExtQueries {
       .orderBy("o_orderstatus")
   }
 
+  /** Snapshot diff ([[Layout.snapshotDiff]]) — recover the CDC stream
+    * between two table versions: the "after" snapshot drops every 89th
+    * order, bumps the price of every 97th surviving one, and adds
+    * offset-keyed new orders; the diff must classify exactly those as
+    * deleted/updated/inserted and drop everything unchanged.
+    */
+  def qTableDiff(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.table(s, dir, "orders")
+    val after = orders.filter(col("o_orderkey") % 89 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 97 === 0, col("o_totalprice") + lit(1000.0))
+          .otherwise(col("o_totalprice")))
+      .unionByName(orders.filter(col("o_orderkey") % 101 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L)))
+    Layout.snapshotDiff(orders, after, Seq("o_orderkey"),
+        Seq("o_totalprice", "o_orderstatus"))
+      .orderBy("o_orderkey")
+  }
+
   /** Benchmark-contamination check ([[graft.ops.Corpus.contamination]]):
     * every 97th doc plays the eval set, the rest the training corpus;
     * 3-gram shingle overlap with the hot-shingle cap exercised (df > 50
@@ -792,6 +811,7 @@ object ExtQueries {
     "q_pivot" -> (qPivot _),
     "q_semi_anti" -> (qSemiAnti _),
     "q_upsert" -> (qUpsert _),
+    "q_table_diff" -> (qTableDiff _),
     "q_zorder" -> (qZorder _),
     "q_contamination" -> (qContamination _),
     "q_rollup" -> (qRollup _),
@@ -1007,6 +1027,21 @@ object ExtQueries {
         "SELECT o_orderstatus, count(*) AS n, " + O.dsum("o_totalprice") +
         " AS sum_price, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key " +
         "FROM m GROUP BY 1 ORDER BY 1"),
+    "q_table_diff" ->
+      ("WITH a AS (SELECT o_orderkey, CASE WHEN o_orderkey % 97 = 0 " +
+        "THEN o_totalprice + 1000.0 ELSE o_totalprice END AS o_totalprice, " +
+        "o_orderstatus FROM orders WHERE o_orderkey % 89 <> 0 " +
+        "UNION ALL SELECT o_orderkey + 10000000, o_totalprice, o_orderstatus " +
+        "FROM orders WHERE o_orderkey % 101 = 0), " +
+        "d AS (SELECT coalesce(b.o_orderkey, a.o_orderkey) AS o_orderkey, " +
+        "CASE WHEN b.o_orderkey IS NULL THEN 'inserted' " +
+        "WHEN a.o_orderkey IS NULL THEN 'deleted' " +
+        "WHEN NOT (a.o_totalprice IS NOT DISTINCT FROM b.o_totalprice " +
+        "AND a.o_orderstatus IS NOT DISTINCT FROM b.o_orderstatus) " +
+        "THEN 'updated' END AS change_type " +
+        "FROM orders b FULL JOIN a ON b.o_orderkey = a.o_orderkey) " +
+        "SELECT o_orderkey, change_type FROM d " +
+        "WHERE change_type IS NOT NULL ORDER BY o_orderkey"),
     "q_contamination" ->
       (s"WITH $wCte, $shCte, " +
         "x AS (SELECT doc_id, u.g AS shingle FROM s, unnest(s.sh) AS u(g)), " +

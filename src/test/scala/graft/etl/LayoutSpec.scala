@@ -102,6 +102,26 @@ class LayoutSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Layout.upsert(base, dup, Seq("k")))
   }
 
+  test("snapshotDiff: inserted/deleted/updated classified, unchanged dropped, nulls safe") {
+    import spark.implicits._
+    val before = Seq(
+      (1L, Option("a"), 10.0), (2L, Option("b"), 20.0),
+      (3L, Option("c"), 30.0), (4L, None: Option[String], 40.0))
+      .toDF("k", "s", "v")
+    val aft = Seq(
+      (1L, Option("a"), 10.0), // unchanged → absent from the diff
+      (2L, Option("b"), 25.0), // value change → updated
+      (4L, Option("d"), 40.0), // NULL → value → updated (null-safe compare)
+      (5L, Option("e"), 50.0)) // new key → inserted
+      .toDF("k", "s", "v")
+    val out = Layout.snapshotDiff(before, aft, Seq("k"), Seq("s", "v"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq(
+      (2L, "updated"), (3L, "deleted"), (4L, "updated"), (5L, "inserted")))
+    // round-trip: the diff of a table against itself is empty
+    assert(Layout.snapshotDiff(before, before, Seq("k"), Seq("s", "v")).isEmpty)
+  }
+
   test("writeSorted with partition columns: hive layout + in-file order") {
     val dir = tmpDir("layout_part_sorted")
     val ev = Tables.events(spark, Sf0001)
