@@ -68,10 +68,32 @@ object Dedup {
     * md5-as-permutation keeps the signature reproducible across engines
     * and runs (no RNG seeds to persist) — the property the correctness
     * oracle needs and a production pipeline wants for incremental dedup.
-    * Partial `min` aggregation runs map-side; the shuffle carries one
-    * k-string row per document.
+    *
+    * Computed by the one-pass codegen expression
+    * [[graft.functions.MinHashSigs]]: a pure narrow projection — no
+    * explode, no exchange, no aggregation buffers. The relational
+    * spelling ([[minhashSignaturesRelational]]) is kept as the semantic
+    * reference; OpsSpec asserts exact agreement, and the DuckDB oracle
+    * (which spells exactly the relational form) keeps checking this
+    * path because the values are identical.
     */
-  def minhashSignatures(df: DataFrame, idCol: String, textCol: String, k: Int = 8): DataFrame =
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String, k: Int = 8): DataFrame = {
+    val sh = TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)))
+    df.select(col(idCol),
+        graft.functions.MinHashSigs.minhashSigs(sh, k).as("_sigs"))
+      .filter(col("_sigs").isNotNull) // docs with no shingles drop, as in the group-by form
+      .select(col(idCol) +:
+        (0 until k).map(i => element_at(col("_sigs"), i + 1).as(s"sig_$i")): _*)
+  }
+
+  /** The explode → k-partial-min-aggregates spelling of
+    * [[minhashSignatures]] — one exchange carrying docs × k hex strings.
+    * Kept as the executable reference the codegen expression is
+    * property-tested against (identical min semantics: hex string order
+    * ≡ unsigned digest byte order).
+    */
+  def minhashSignaturesRelational(
+      df: DataFrame, idCol: String, textCol: String, k: Int = 8): DataFrame =
     shingleTable(df, idCol, textCol)
       .groupBy(idCol)
       .agg(

@@ -122,6 +122,21 @@ class OpsSpec extends SparkTestBase {
       "every chain node must label to the min id 0")
   }
 
+  test("minhash codegen expression agrees with the relational form exactly") {
+    import spark.implicits._
+    val fast = Dedup.minhashSignatures(docs, "doc_id", "text", 8)
+    val ref = Dedup.minhashSignaturesRelational(docs, "doc_id", "text", 8)
+    assert(fast.exceptAll(ref).isEmpty && ref.exceptAll(fast).isEmpty)
+    // no-shingle docs (< 3 tokens) drop in BOTH forms
+    val tiny = Seq((1L, "just two"), (2L, "a full three tokens here"))
+      .toDF("doc_id", "text")
+    val f = Dedup.minhashSignatures(tiny, "doc_id", "text", 4)
+    assert(f.select("doc_id").as[Long].collect().toSeq == Seq(2L))
+    // the expression path is a narrow projection: no exchange in its plan
+    val plan = fast.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"signature pass should not shuffle:\n$plan")
+  }
+
   test("simhash: word-permuted duplicates collapse to identical hashes") {
     val multisetKey =
       md5(concat_ws(" ", array_sort(TextAnalysis.tokens(col("text")))))
