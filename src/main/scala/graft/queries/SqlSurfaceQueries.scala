@@ -71,6 +71,40 @@ object SqlSurfaceQueries {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** TPC-H Q7 shape (volume shipping): bilateral trade between two
+    * nations — supplier nation × customer nation restricted to the
+    * unordered pair, revenue per (supp_nation, cust_nation, year). The
+    * workout is the disjunctive cross-dimension predicate
+    * `(n1=A ∧ n2=B) ∨ (n1=B ∧ n2=A)`: it can't push into either scan
+    * alone, so each broadcast nation dim is pre-filtered to the pair
+    * (making every fact-spine join a pure equi-join) and the
+    * disjunction collapses to `supp_nation ≠ cust_nation` — the
+    * equivalent conjunctive residue, applied to two broadcast-carried
+    * name columns after the joins. The DuckDB oracle spells the
+    * ORIGINAL disjunction, so a pass proves the rewrite.
+    */
+  def qTpchQ7(s: SparkSession, dir: String): DataFrame = {
+    val pair = Seq("NATION_18", "NATION_19")
+    val n1 = Tables.table(s, dir, "nation").filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("_sk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.table(s, dir, "nation").filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("_ck"), col("n_name").as("cust_nation"))
+    Tables.table(s, dir, "lineitem")
+      .filter(col("l_shipdate").between(
+        lit("1996-01-01").cast("timestamp"), lit("1997-12-31").cast("timestamp")))
+      .join(Tables.table(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("_sk"))
+      .join(Tables.table(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.table(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n2), col("c_nationkey") === col("_ck"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
   /** TPC-H Q18 shape (large-volume customers): a HAVING-filtered
     * aggregate used as a semi-join filter on the fact spine, then a
     * three-way join re-aggregated per order.
@@ -303,6 +337,7 @@ object SqlSurfaceQueries {
     "q_lateral" -> (qLateral _),
     "q_tpch_q3" -> (qTpchQ3 _),
     "q_tpch_q5" -> (qTpchQ5 _),
+    "q_tpch_q7" -> (qTpchQ7 _),
     "q_tpch_q18" -> (qTpchQ18 _),
     "q_unpivot" -> (qUnpivot _),
     "q_join_outer" -> (qJoinOuter _),
@@ -353,6 +388,20 @@ object SqlSurfaceQueries {
         "AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey " +
         "AND r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1998-01-01' " +
         "GROUP BY n_name ORDER BY revenue DESC, n_name"),
+    "q_tpch_q7" ->
+      ("SELECT supp_nation, cust_nation, l_year, " +
+        O.dsum("l_extendedprice * (1.0 - l_discount)") + " AS revenue " +
+        "FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, " +
+        "year(l_shipdate) AS l_year, l_extendedprice, l_discount " +
+        "FROM supplier, lineitem, orders, customer, nation n1, nation n2 " +
+        "WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey " +
+        "AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey " +
+        "AND c_nationkey = n2.n_nationkey " +
+        "AND ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19') " +
+        "OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18')) " +
+        "AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' " +
+        "AND TIMESTAMP '1997-12-31') " +
+        "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
     // sum(l_quantity) is integer-valued doubles → exact, order-free
     "q_tpch_q18" ->
       ("SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, " +
