@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.{GraftShims, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** SQL-front-end registration for the engine's custom Catalyst
+  * expressions: a user of the `spark.sql(...)` surface gets the same
+  * codegen'd operators as the Column API — the expressions are
+  * first-class functions, not Column-API-only helpers.
+  *
+  * Registered (all idempotently, on every [[graft.util.Sessions.tune]]):
+  *  - `simhash64(tokens)`                — 64-bit SimHash fingerprint
+  *  - `minhash_sigs(shingles, k)`        — k-permutation MinHash array
+  *  - `cosine_sim(a, b)`                 — double cosine similarity
+  *  - `cosine_lsh_bucket(vec, nBits)`    — random-hyperplane LSH bucket
+  *  - `rolling_minhash(text, window)`    — winnowed rolling-hash value
+  *
+  * Arity/type errors surface at analysis time (the builders throw
+  * `IllegalArgumentException`, which Spark wraps into an analysis
+  * error with the function name attached). The `k`/`nBits`/`window`
+  * parameters must be integer literals — they parameterize codegen, so
+  * a per-row value cannot work by construction.
+  */
+object SqlFunctions {
+
+  private def litInt(e: Expression, fn: String, arg: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got $other")
+  }
+
+  private def arity(args: Seq[Expression], n: Int, fn: String): Unit =
+    if (args.length != n) throw new IllegalArgumentException(
+      s"$fn expects $n arguments, got ${args.length}")
+
+  /** Register every custom expression on `spark` (idempotent). */
+  def register(spark: SparkSession): Unit = {
+    GraftShims.registerFunction(spark, "simhash64", { args =>
+      arity(args, 1, "simhash64")
+      SimHash64Expr(args.head)
+    })
+    GraftShims.registerFunction(spark, "minhash_sigs", { args =>
+      arity(args, 2, "minhash_sigs")
+      MinHashSigsExpr(args.head, litInt(args(1), "minhash_sigs", "k"))
+    })
+    GraftShims.registerFunction(spark, "cosine_sim", { args =>
+      arity(args, 2, "cosine_sim")
+      CosineSimExpr(args.head, args(1))
+    })
+    GraftShims.registerFunction(spark, "cosine_lsh_bucket", { args =>
+      arity(args, 2, "cosine_lsh_bucket")
+      CosineLshBucketExpr(args.head, litInt(args(1), "cosine_lsh_bucket", "nBits"))
+    })
+    GraftShims.registerFunction(spark, "rolling_minhash", { args =>
+      arity(args, 2, "rolling_minhash")
+      RollingMinHashExpr(args.head, litInt(args(1), "rolling_minhash", "window"))
+    })
+  }
+}

@@ -310,6 +310,31 @@ object ExtQueries {
         .as("fp_roll_hex"),
     ).orderBy("doc_id")
 
+  /** The custom Catalyst expressions exercised through the SQL FRONT
+    * END ([[graft.functions.SqlFunctions]] registry): `simhash64`,
+    * `minhash_sigs` and `rolling_minhash` invoked by name from a
+    * `spark.sql` string over a temp view — proving the engine's custom
+    * machinery is a first-class function surface, not a Column-API-only
+    * helper. Values hash-check against the same DuckDB rebuilds as the
+    * Column-API gates (q_dedup_simhash / q_dedup_minhash /
+    * q_fingerprint_roll).
+    */
+  def qSqlFuncs(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir).createOrReplaceTempView("documents_sqlfn")
+    s.sql("""
+      SELECT doc_id,
+        lower(lpad(hex(simhash64(split(text, ' '))), 16, '0')) AS simhash_hex,
+        CASE WHEN size(split(text, ' ')) >= 3 THEN
+          element_at(minhash_sigs(array_distinct(transform(
+            sequence(0, size(split(text, ' ')) - 3),
+            j -> concat_ws(' ', element_at(split(text, ' '), j + 1),
+              element_at(split(text, ' '), j + 2),
+              element_at(split(text, ' '), j + 3)))), 8), 1)
+        END AS sig_0,
+        lower(lpad(hex(rolling_minhash(text, 16)), 16, '0')) AS fp_roll_hex
+      FROM documents_sqlfn ORDER BY doc_id""")
+  }
+
   /** Per-document top-3 distinguishing terms by TF-IDF (smoothed idf,
     * rounded before ranking so cross-engine log ulps can't flip ranks).
     */
@@ -790,6 +815,7 @@ object ExtQueries {
     "q_quality" -> (qQuality _),
     "q_fingerprint" -> (qFingerprint _),
     "q_fingerprint_roll" -> (qFingerprintRoll _),
+    "q_sql_funcs" -> (qSqlFuncs _),
     "q_top_tokens" -> (qTopTokens _),
     "q_heavy" -> (qHeavy _),
     "q_text_embed" -> (qTextEmbed _),
@@ -843,6 +869,25 @@ object ExtQueries {
       "SELECT doc_id, string_agg(substr('0123456789abcdef', CAST(nv AS INT) + 1, 1), '' " +
       "ORDER BY nid DESC) AS simhash_hex " +
       "FROM nib GROUP BY doc_id"
+
+  /** Winnowed Karp–Rabin via fresh per-window folds in HUGEINT mod
+    * 2^64 — identical to the engine's O(1)-state sliding recurrence.
+    * ascii(char) == byte holds because the fixture corpus is ASCII
+    * (generator contract, also relied on by q_multimodal's oracle).
+    * Shared by the fingerprint dump and the SQL-function-registry gate.
+    */
+  private val rollHexSelect: String =
+    "WITH ch AS (SELECT doc_id, list_transform(range(1, length(text)+1), " +
+      "i -> ascii(substr(text, CAST(i AS INT), 1))::HUGEINT) AS bs FROM documents), " +
+      "fp AS (SELECT doc_id, CASE WHEN len(bs) = 0 THEN 0::HUGEINT " +
+      "WHEN len(bs) <= 16 THEN list_reduce(list_prepend(0::HUGEINT, bs), " +
+      "(a, x) -> (a * 6364136223846793005::HUGEINT + x) % 18446744073709551616::HUGEINT) " +
+      "ELSE list_min(list_transform(range(len(bs) - 15), i -> " +
+      "list_reduce(list_prepend(0::HUGEINT, bs[CAST(i+1 AS INT):CAST(i+16 AS INT)]), " +
+      "(a, x) -> (a * 6364136223846793005::HUGEINT + x) % 18446744073709551616::HUGEINT))) " +
+      "END AS v FROM ch) " +
+      "SELECT doc_id, printf('%08x%08x', CAST(v // 4294967296 AS BIGINT), " +
+      "CAST(v % 4294967296 AS BIGINT)) AS fp_roll_hex FROM fp"
 
   /** Shared DuckDB CTE fragments. */
   private val wCte =
@@ -1112,22 +1157,18 @@ object ExtQueries {
         "quantile_disc(l_quantity, 0.75) AS q3, " +
         "quantile_disc(l_extendedprice, 0.5) AS median_price " +
         "FROM lineitem GROUP BY 1 ORDER BY l_returnflag"),
-    "q_fingerprint_roll" ->
-      // Winnowed Karp–Rabin via fresh per-window folds in HUGEINT mod
-      // 2^64 — identical to the engine's O(1)-state sliding recurrence.
-      // ascii(char) == byte holds because the fixture corpus is ASCII
-      // (generator contract, also relied on by q_multimodal's oracle).
-      ("WITH ch AS (SELECT doc_id, list_transform(range(1, length(text)+1), " +
-        "i -> ascii(substr(text, CAST(i AS INT), 1))::HUGEINT) AS bs FROM documents), " +
-        "fp AS (SELECT doc_id, CASE WHEN len(bs) = 0 THEN 0::HUGEINT " +
-        "WHEN len(bs) <= 16 THEN list_reduce(list_prepend(0::HUGEINT, bs), " +
-        "(a, x) -> (a * 6364136223846793005::HUGEINT + x) % 18446744073709551616::HUGEINT) " +
-        "ELSE list_min(list_transform(range(len(bs) - 15), i -> " +
-        "list_reduce(list_prepend(0::HUGEINT, bs[CAST(i+1 AS INT):CAST(i+16 AS INT)]), " +
-        "(a, x) -> (a * 6364136223846793005::HUGEINT + x) % 18446744073709551616::HUGEINT))) " +
-        "END AS v FROM ch) " +
-        "SELECT doc_id, printf('%08x%08x', CAST(v // 4294967296 AS BIGINT), " +
-        "CAST(v % 4294967296 AS BIGINT)) AS fp_roll_hex FROM fp ORDER BY doc_id"),
+    "q_fingerprint_roll" -> (rollHexSelect + " ORDER BY doc_id"),
+    // same rebuilds as the three Column-API gates, joined per doc; the
+    // minhash g CTE only contains >=3-token docs, hence the LEFT JOIN
+    "q_sql_funcs" ->
+      (s"WITH sim AS ($simhashHexSelect), roll AS ($rollHexSelect), " +
+        s"$wCte, $shCte, $sigCte " +
+        "SELECT d.doc_id, sim.simhash_hex, g.sig[1] AS sig_0, " +
+        "roll.fp_roll_hex FROM documents d " +
+        "JOIN sim ON sim.doc_id = d.doc_id " +
+        "LEFT JOIN g ON g.doc_id = d.doc_id " +
+        "JOIN roll ON roll.doc_id = d.doc_id " +
+        "ORDER BY d.doc_id"),
     "q_sim_topk" ->
       ("WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5), " +
         "c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings), " +

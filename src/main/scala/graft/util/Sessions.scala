@@ -60,6 +60,7 @@ object Sessions {
       catch { case _: org.apache.spark.sql.AnalysisException => () }
     }
     graft.plans.AsOfJoinPlan.register(spark)
+    graft.functions.SqlFunctions.register(spark)
     spark
   }
 }

@@ -19,4 +19,20 @@ object GraftShims {
     */
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Register a custom expression as a SQL function on an existing
+    * session (idempotent — re-registration overwrites with the same
+    * builder). The builder-time equivalent is
+    * `SparkSessionExtensions.injectFunction`; this covers sessions the
+    * harness hands us already built.
+    */
+  def registerFunction(
+      spark: SparkSession,
+      name: String,
+      builder: Seq[Expression] => Expression): Unit = {
+    val id = org.apache.spark.sql.catalyst.FunctionIdentifier(name)
+    val info = new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      "graft.functions", name)
+    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+  }
 }

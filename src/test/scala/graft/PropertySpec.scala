@@ -142,6 +142,30 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("SQL function registry: names resolve, values match the Column API, bad args fail analysis") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.util.Sessions.tune(spark)
+    val df = Seq((1L, "alpha beta gamma delta"), (2L, "x y z w v u"))
+      .toDF("id", "text")
+    df.createOrReplaceTempView("sqlfn_probe")
+    val viaSql = spark.sql(
+      "SELECT id, simhash64(split(text, ' ')) AS h, rolling_minhash(text, 16) AS r " +
+        "FROM sqlfn_probe")
+    val viaCol = df.select(col("id"),
+      graft.functions.SimHash64.simhash64(split(col("text"), " ")).as("h"),
+      graft.functions.RollingHash.winnowedMin(col("text"), 16).as("r"))
+    assert(viaSql.exceptAll(viaCol).isEmpty && viaCol.exceptAll(viaSql).isEmpty)
+    // codegen-parameter args must be integer literals — analysis-time error
+    val e = intercept[Exception](
+      spark.sql("SELECT rolling_minhash(text, id) FROM sqlfn_probe").collect())
+    assert(e.getMessage.contains("integer literal"))
+    // wrong arity is an analysis-time error too
+    val e2 = intercept[Exception](
+      spark.sql("SELECT simhash64(split(text, ' '), 2) FROM sqlfn_probe").collect())
+    assert(e2.getMessage.contains("expects 1 arguments"))
+  }
+
   test("simhash is token-permutation invariant") {
     import spark.implicits._
     val genToks = Gen.nonEmptyListOf(Gen.identifier.map(_.take(8)))
