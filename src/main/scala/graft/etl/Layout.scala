@@ -133,6 +133,28 @@ object Layout {
     updates.unionByName(base.join(updates.select(keys.map(col): _*), keys, "left_anti"))
   }
 
+  /** Apply a CDC change batch — the full MERGE triple: `changes` carries
+    * the base's columns plus `change_type` ∈ {inserted, updated,
+    * deleted} (exactly what [[snapshotDiff]] emits, plus payload), and
+    * the result is the base with deletes removed and inserts/updates
+    * applied whole-row. `applyChanges(before, diff-with-payload)`
+    * reproduces `after` exactly — the identity the q_cdc_apply gate
+    * hash-checks.
+    *
+    * Scale shape is [[upsert]]'s: one anti-join of the base against ALL
+    * change keys (upserts and deletes alike drop the base row; upserts
+    * then re-add the new version), broadcast whenever the batch is
+    * small. Key-uniqueness of the batch is enforced for the same
+    * nondeterminism reason.
+    */
+  def applyChanges(base: DataFrame, changes: DataFrame, keys: Seq[String]): DataFrame = {
+    val dupes = changes.groupBy(keys.map(col): _*).count().filter(col("count") > 1)
+    require(dupes.isEmpty, s"changes must be unique on ${keys.mkString(",")}")
+    val upserts = changes.filter(col("change_type") =!= "deleted").drop("change_type")
+    upserts.unionByName(
+      base.join(changes.select(keys.map(col): _*), keys, "left_anti"))
+  }
+
   /** Snapshot diff — derive the CDC stream two table versions imply:
     * one row per key that was `inserted` (new key), `deleted` (key
     * gone), or `updated` (key present in both, any compared column

@@ -496,7 +496,11 @@ object ExtQueries {
     * offset-keyed new orders; the diff must classify exactly those as
     * deleted/updated/inserted and drop everything unchanged.
     */
-  def qTableDiff(s: SparkSession, dir: String): DataFrame = {
+  /** The drifted "after" snapshot both CDC gates diff against: every
+    * 89th order deleted, every 97th survivor price-bumped, offset-keyed
+    * new orders appended.
+    */
+  private def driftedOrders(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val orders = Tables.table(s, dir, "orders")
     val after = orders.filter(col("o_orderkey") % 89 =!= 0)
       .withColumn("o_totalprice",
@@ -504,9 +508,34 @@ object ExtQueries {
           .otherwise(col("o_totalprice")))
       .unionByName(orders.filter(col("o_orderkey") % 101 === 0)
         .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L)))
+    (orders, after)
+  }
+
+  def qTableDiff(s: SparkSession, dir: String): DataFrame = {
+    val (orders, after) = driftedOrders(s, dir)
     Layout.snapshotDiff(orders, after, Seq("o_orderkey"),
         Seq("o_totalprice", "o_orderstatus"))
       .orderBy("o_orderkey")
+  }
+
+  /** The CDC round trip: diff the drifted snapshot, attach payload to
+    * the change rows, apply with [[Layout.applyChanges]] — the result
+    * must BE the after snapshot (diff ∘ apply = identity). The oracle
+    * aggregates the directly-constructed after, so a hash match proves
+    * the whole loop, deletes included.
+    */
+  def qCdcApply(s: SparkSession, dir: String): DataFrame = {
+    val (orders, after) = driftedOrders(s, dir)
+    val changes = Layout.snapshotDiff(orders, after, Seq("o_orderkey"),
+        Seq("o_totalprice", "o_orderstatus"))
+      .join(after, Seq("o_orderkey"), "left") // deleted rows: null payload
+    Layout.applyChanges(orders,
+        changes.select(after.columns.map(col) :+ col("change_type"): _*),
+        Seq("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"),
+        min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+      .orderBy("o_orderstatus")
   }
 
   /** Benchmark-contamination check ([[graft.ops.Corpus.contamination]]):
@@ -838,6 +867,7 @@ object ExtQueries {
     "q_semi_anti" -> (qSemiAnti _),
     "q_upsert" -> (qUpsert _),
     "q_table_diff" -> (qTableDiff _),
+    "q_cdc_apply" -> (qCdcApply _),
     "q_zorder" -> (qZorder _),
     "q_contamination" -> (qContamination _),
     "q_rollup" -> (qRollup _),
@@ -1087,6 +1117,17 @@ object ExtQueries {
         "FROM orders b FULL JOIN a ON b.o_orderkey = a.o_orderkey) " +
         "SELECT o_orderkey, change_type FROM d " +
         "WHERE change_type IS NOT NULL ORDER BY o_orderkey"),
+    // the oracle aggregates the directly-constructed after snapshot:
+    // a hash match proves diff + applyChanges reproduced it exactly
+    "q_cdc_apply" ->
+      ("WITH a AS (SELECT o_orderkey, CASE WHEN o_orderkey % 97 = 0 " +
+        "THEN o_totalprice + 1000.0 ELSE o_totalprice END AS o_totalprice, " +
+        "o_orderstatus FROM orders WHERE o_orderkey % 89 <> 0 " +
+        "UNION ALL SELECT o_orderkey + 10000000, o_totalprice, o_orderstatus " +
+        "FROM orders WHERE o_orderkey % 101 = 0) " +
+        "SELECT o_orderstatus, count(*) AS n, " + O.dsum("o_totalprice") +
+        " AS sum_price, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key " +
+        "FROM a GROUP BY 1 ORDER BY 1"),
     "q_contamination" ->
       (s"WITH $wCte, $shCte, " +
         "x AS (SELECT doc_id, u.g AS shingle FROM s, unnest(s.sh) AS u(g)), " +

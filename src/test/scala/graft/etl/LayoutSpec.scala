@@ -122,6 +122,19 @@ class LayoutSpec extends SparkTestBase {
     assert(Layout.snapshotDiff(before, before, Seq("k"), Seq("s", "v")).isEmpty)
   }
 
+  test("applyChanges: diff then apply reproduces the after snapshot exactly") {
+    import spark.implicits._
+    val before = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "s", "v")
+    val after = Seq((1L, "a", 10.0), (2L, "B", 25.0), (9L, "z", 1.0))
+      .toDF("k", "s", "v") // 2 updated, 3 deleted, 9 inserted
+    val changes = Layout.snapshotDiff(before, after, Seq("k"), Seq("s", "v"))
+      .join(after, Seq("k"), "left")
+      .select(col("k"), col("s"), col("v"), col("change_type"))
+    val rebuilt = Layout.applyChanges(before, changes, Seq("k"))
+    assert(rebuilt.exceptAll(after).isEmpty && after.exceptAll(rebuilt).isEmpty)
+  }
+
   test("writeSorted with partition columns: hive layout + in-file order") {
     val dir = tmpDir("layout_part_sorted")
     val ev = Tables.events(spark, Sf0001)
