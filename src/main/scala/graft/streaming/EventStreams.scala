@@ -128,6 +128,42 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("heavy_hitters"))
   }
 
+  /** An admission event from [[streamingQuota]]. */
+  case class QuotaAdmission(source: String, id: Long, score: Double)
+
+  /** Streaming per-source quota — the continuous form of
+    * [[graft.ops.Corpus.sourceQuota]]: each source's ONLY state is its
+    * current top-`cap` admission set by (score desc, id asc) — a
+    * cap-sized vector per active source, the same bound as the batch
+    * aggregator's heap — and every micro-batch emits the documents
+    * newly ADMITTED in that batch. A later higher-scoring document
+    * evicts the weakest member, so an emission is an admission event,
+    * not a final verdict; the state after any prefix equals the batch
+    * operator's result over that prefix (spec-asserted), which is what
+    * makes the continuous and batch curation rules interchangeable.
+    */
+  def streamingQuota(
+      docs: Dataset[(String, Long, Double)],
+      cap: Int): Dataset[QuotaAdmission] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.groupByKey(_._1)
+      .flatMapGroupsWithState[Vector[(Double, Long)], QuotaAdmission](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (source, batch, state) =>
+          val prev = state.getOption.getOrElse(Vector.empty)
+          val merged = (prev ++ batch.map(t => (t._3, t._2)))
+            .distinct
+            .sortBy { case (s, id) => (-s, id) }
+            .take(cap)
+          state.update(merged)
+          val prevSet = prev.toSet
+          merged.iterator
+            .filterNot(prevSet)
+            .map { case (s, id) => QuotaAdmission(source, id, s) }
+      }
+  }
+
   /** Streaming exact dedup — the continuous form of the batch content-
     * hash dedup (graft.ops.Dedup): keep the first event per key, where
     * state for a key is dropped once the watermark passes it, so state
@@ -301,6 +337,15 @@ object EventStreams {
     try q.processAllAvailable()
     finally q.stop()
   }
+
+  /** [[runToMemory]] but returning the live query, for tests that feed
+    * multiple batches and inspect the table between triggers.
+    */
+  def runToMemoryQuery(
+      df: DataFrame,
+      name: String,
+      mode: OutputMode): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream.outputMode(mode).format("memory").queryName(name).start()
 
   /** Production-shaped sink: append to partitioned parquet with a
     * checkpoint for exactly-once restart.

@@ -123,6 +123,36 @@ class EventStreamsSpec extends SparkTestBase {
       "idle timer must be re-armed on data")
   }
 
+  test("streaming quota: admissions bounded per source, final state matches the batch rule") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(String, Long, Double)]
+    val q = EventStreams.runToMemoryQuery(
+      EventStreams.streamingQuota(input.toDS(), cap = 2).toDF(),
+      "quota", OutputMode.Append())
+    try {
+      // batch 1: three docs for s1 — only the top 2 admitted
+      input.addData(("s1", 1L, 5.0), ("s1", 2L, 9.0), ("s1", 3L, 7.0))
+      q.processAllAvailable()
+      val b1 = spark.table("quota").as[(String, Long, Double)].collect().toSet
+      assert(b1 == Set(("s1", 2L, 9.0), ("s1", 3L, 7.0)))
+      // batch 2: a higher-scoring late doc evicts the weakest (id 3)
+      input.addData(("s1", 4L, 8.0), ("s2", 5L, 1.0))
+      q.processAllAvailable()
+      val all = spark.table("quota").as[(String, Long, Double)].collect().toSet
+      assert(all == b1 ++ Set(("s1", 4L, 8.0), ("s2", 5L, 1.0)))
+      // the admitted-and-not-evicted set equals the batch operator over the prefix
+      val prefix = Seq(("s1", 1L, 5.0), ("s1", 2L, 9.0), ("s1", 3L, 7.0),
+        ("s1", 4L, 8.0), ("s2", 5L, 1.0)).toDF("source", "doc_id", "score")
+      val batchTop = graft.ops.Corpus
+        .sourceQuota(prefix, "source", "doc_id", "score", cap = 2)
+        .select("source", "doc_id").as[(String, Long)].collect().toSet
+      assert(batchTop == Set(("s1", 2L), ("s1", 4L), ("s2", 5L)))
+      // every finally-admitted doc was emitted as an admission event
+      assert(batchTop.subsetOf(all.map(t => (t._1, t._2))))
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps one event per key across micro-batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
