@@ -667,6 +667,25 @@ object ExtQueries {
       .orderBy(col("g_prio"), col("g_status"), col("o_orderpriority"),
         col("o_orderstatus"))
 
+  /** Explicit GROUPING SETS — the arbitrary-set-list form rollup/cube
+    * are shorthands for: each dimension alone plus the grand total
+    * (NOT a rollup — the (prio, status) pair is deliberately absent),
+    * with GROUPING flags disambiguating real NULLs from subtotal rows.
+    */
+  def qGroupingSets(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderpriority")), Seq(col("o_orderstatus")), Seq()),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("sum_price"),
+        grouping("o_orderpriority").as("g_prio"),
+        grouping("o_orderstatus").as("g_status"),
+      )
+      .orderBy(col("g_prio"), col("g_status"), col("o_orderpriority"),
+        col("o_orderstatus"))
+
   /** String-function family (absent from the reference — engine
     * completeness): case mapping, substring, trim, regexp replacement,
     * edit distance, split counts.
@@ -871,6 +890,7 @@ object ExtQueries {
     "q_zorder" -> (qZorder _),
     "q_contamination" -> (qContamination _),
     "q_rollup" -> (qRollup _),
+    "q_grouping_sets" -> (qGroupingSets _),
     "q_cube" -> (qCube _),
     "q_strings" -> (qStrings _),
     "q_multimodal" -> (qMultimodal _),
@@ -1392,6 +1412,12 @@ object ExtQueries {
         O.dsum("o_totalprice") + " AS sum_price, " +
         "GROUPING(o_orderpriority) AS g_prio, GROUPING(o_orderstatus) AS g_status " +
         "FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus) " +
+        "ORDER BY g_prio, g_status, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST"),
+    "q_grouping_sets" ->
+      ("SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders, " +
+        O.dsum("o_totalprice") + " AS sum_price, " +
+        "GROUPING(o_orderpriority) AS g_prio, GROUPING(o_orderstatus) AS g_status " +
+        "FROM orders GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ()) " +
         "ORDER BY g_prio, g_status, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST"),
     "q_rollup" ->
       ("SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders, " +
