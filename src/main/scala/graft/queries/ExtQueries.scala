@@ -667,6 +667,31 @@ object ExtQueries {
       .orderBy(col("g_prio"), col("g_status"), col("o_orderpriority"),
         col("o_orderstatus"))
 
+  /** Array-function family over the token arrays: set algebra between
+    * each document's two halves (intersect/except/union on
+    * pre-distincted sides, where Spark and DuckDB agree), ordered
+    * access (sort + element), membership position (coalesced — Spark
+    * returns 0 for absent, DuckDB NULL). All narrow codegen'd
+    * projections; sizes/scalars out so the gate compares engine-neutral
+    * values, not engine-specific array orderings.
+    */
+  def qArrays(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val n = size(toks)
+    // floor-div: Spark's `/` on ints is double division
+    val half = floor(n / lit(2)).cast("int")
+    val h1 = array_distinct(slice(toks, lit(1), half))
+    val h2 = array_distinct(slice(toks, half + 1, n - half))
+    docs(s, dir).select(
+      col("doc_id"),
+      size(array_intersect(h1, h2)).as("n_common"),
+      size(array_except(h1, h2)).as("n_only_first"),
+      size(array_union(h1, h2)).as("n_union"),
+      element_at(array_sort(array_distinct(toks)), 1).as("first_sorted"),
+      array_position(toks, "the").cast("long").as("pos_the"),
+    ).orderBy("doc_id")
+  }
+
   /** Explicit GROUPING SETS — the arbitrary-set-list form rollup/cube
     * are shorthands for: each dimension alone plus the grand total
     * (NOT a rollup — the (prio, status) pair is deliberately absent),
@@ -891,6 +916,7 @@ object ExtQueries {
     "q_contamination" -> (qContamination _),
     "q_rollup" -> (qRollup _),
     "q_grouping_sets" -> (qGroupingSets _),
+    "q_arrays" -> (qArrays _),
     "q_cube" -> (qCube _),
     "q_strings" -> (qStrings _),
     "q_multimodal" -> (qMultimodal _),
@@ -1413,6 +1439,18 @@ object ExtQueries {
         "GROUPING(o_orderpriority) AS g_prio, GROUPING(o_orderstatus) AS g_status " +
         "FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus) " +
         "ORDER BY g_prio, g_status, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST"),
+    "q_arrays" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks, " +
+        "len(string_split(text, ' ')) AS n FROM documents), " +
+        "h AS (SELECT doc_id, toks, " +
+        "list_distinct(toks[1:(n // 2)]) AS h1, " +
+        "list_distinct(toks[(n // 2 + 1):n]) AS h2 FROM t) " +
+        "SELECT doc_id, len(list_intersect(h1, h2))::INT AS n_common, " +
+        "len(list_filter(h1, x -> NOT list_contains(h2, x)))::INT AS n_only_first, " +
+        "len(list_distinct(list_concat(h1, h2)))::INT AS n_union, " +
+        "list_min(toks) AS first_sorted, " +
+        "coalesce(list_position(toks, 'the'), 0)::BIGINT AS pos_the " +
+        "FROM h ORDER BY doc_id"),
     "q_grouping_sets" ->
       ("SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders, " +
         O.dsum("o_totalprice") + " AS sum_price, " +
