@@ -692,6 +692,29 @@ object ExtQueries {
     ).orderBy("doc_id")
   }
 
+  /** Map-function family: per-user event-type count MAPS built with
+    * `map_from_entries` over a sorted entry list (deterministic key
+    * order), then consumed via `element_at` (absent key → NULL,
+    * coalesced to 0), `size`, and `map_keys`. The oracle is map-free —
+    * it recomputes the extracted scalars relationally — so a pass
+    * proves the map round-trip preserved exactly the grouped counts.
+    */
+  def qMaps(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("user_id")
+      .agg(map_from_entries(
+        sort_array(collect_list(struct(col("event_type"), col("cnt")))))
+        .as("m"))
+      .select(
+        col("user_id"),
+        size(col("m")).as("n_types"),
+        coalesce(element_at(col("m"), "click"), lit(0L)).as("n_click"),
+        coalesce(element_at(col("m"), "view"), lit(0L)).as("n_view"),
+        array_join(map_keys(col("m")), ",").as("types_csv"))
+      .orderBy("user_id")
+
   /** Explicit GROUPING SETS — the arbitrary-set-list form rollup/cube
     * are shorthands for: each dimension alone plus the grand total
     * (NOT a rollup — the (prio, status) pair is deliberately absent),
@@ -917,6 +940,7 @@ object ExtQueries {
     "q_rollup" -> (qRollup _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_arrays" -> (qArrays _),
+    "q_maps" -> (qMaps _),
     "q_cube" -> (qCube _),
     "q_strings" -> (qStrings _),
     "q_multimodal" -> (qMultimodal _),
@@ -1439,6 +1463,14 @@ object ExtQueries {
         "GROUPING(o_orderpriority) AS g_prio, GROUPING(o_orderstatus) AS g_status " +
         "FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus) " +
         "ORDER BY g_prio, g_status, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST"),
+    "q_maps" ->
+      ("WITH per AS (SELECT user_id, event_type, count(*) AS cnt " +
+        "FROM events GROUP BY 1, 2) " +
+        "SELECT user_id, count(*)::INT AS n_types, " +
+        "coalesce(max(CASE WHEN event_type = 'click' THEN cnt END), 0)::BIGINT AS n_click, " +
+        "coalesce(max(CASE WHEN event_type = 'view' THEN cnt END), 0)::BIGINT AS n_view, " +
+        "string_agg(event_type, ',' ORDER BY event_type) AS types_csv " +
+        "FROM per GROUP BY user_id ORDER BY user_id"),
     "q_arrays" ->
       ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks, " +
         "len(string_split(text, ' ')) AS n FROM documents), " +
