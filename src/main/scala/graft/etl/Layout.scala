@@ -208,6 +208,21 @@ object Layout {
       path: String,
       key: String,
       nBuckets: Int,
+  ): Unit = writeBucketed(df, table, path, Seq(key), nBuckets)
+
+  /** Composite-key form: bucket (and sort) by several columns — needed
+    * when the recurring join's equi-keys are composite (e.g. the dedup
+    * band index on (band_idx, band_hash)): Spark requires ALL join keys
+    * in the bucket spec for co-partitioning
+    * (`spark.sql.requireAllClusterKeysForCoPartition`), so bucketing on
+    * a key subset reads as a plain table and reshuffles.
+    */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      path: String,
+      keys: Seq[String],
+      nBuckets: Int,
   ): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
@@ -215,11 +230,11 @@ object Layout {
     // a file per bucket it sees (tasks × buckets small files), and a
     // multi-file bucket forces the reader to re-sort. One shuffle here
     // buys one file per bucket, hence sort-free bucketed scans forever.
-    df.repartition(nBuckets, col(key))
+    df.repartition(nBuckets, keys.map(col): _*)
       .write
       .format("parquet")
-      .bucketBy(nBuckets, key)
-      .sortBy(key)
+      .bucketBy(nBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
       .option("path", path)
       .mode(SaveMode.Overwrite)
       .saveAsTable(table)

@@ -122,6 +122,45 @@ class LayoutSpec extends SparkTestBase {
     assert(Layout.snapshotDiff(before, before, Seq("k"), Seq("s", "v")).isEmpty)
   }
 
+  test("bucketed band index: the recurring incremental-dedup join shuffles only the batch side") {
+    // SCALE.md §4's incremental claim, proven: store the corpus band
+    // table bucketed on the band keys, and the daily batch-vs-corpus
+    // band join needs ONE exchange (the batch side) — the 100 TB corpus
+    // index is never reshuffled per increment. (Bucketing on band_hash
+    // alone does NOT work: Spark requires all join keys in the bucket
+    // spec for co-partitioning and reads the table as plain parquet.)
+    import graft.ops.Dedup
+    import graft.sources.Tables
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val docs = Tables.table(spark, Sf0001, "documents")
+      val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+      val batch = docs.filter(col("doc_id") % 7 === 0)
+      val base = tmpDir("band_idx")
+      val cb = Dedup.bandTable(
+        Dedup.minhashSignatures(corpus, "doc_id", "text", 8), "doc_id", 8, 4)
+        .toDF("corpus_id", "band_idx", "band_hash")
+      graft.etl.Layout.writeBucketed(cb, "band_index", s"$base/bands",
+        Seq("band_idx", "band_hash"), 8)
+      val bb = Dedup.bandTable(
+        Dedup.minhashSignatures(batch, "doc_id", "text", 8), "doc_id", 8, 4)
+        .toDF("batch_id", "band_idx", "band_hash")
+      val j = bb.join(spark.table("band_index"), Seq("band_idx", "band_hash"))
+        .select("batch_id", "corpus_id")
+      j.collect()
+      // AQE's toString appends the pre-adaptive "Initial Plan" — count
+      // exchanges only in the final executed section
+      val p = j.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(exchanges == 1, s"expected ONE exchange (batch side only), got $exchanges:\n$p")
+      assert(p.contains("SelectedBucketsCount"), s"corpus scan not bucket-aware:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS band_index")
+    }
+  }
+
   test("applyChanges: diff then apply reproduces the after snapshot exactly") {
     import spark.implicits._
     val before = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
