@@ -260,6 +260,34 @@ object Corpus {
       .toDF(stratumCol, idCol, scoreCol, "rank")
   }
 
+  /** Deterministic WEIGHTED exact-size sample — Efraimidis–Spirakis
+    * (2006) A-ES with the RNG replaced by the row's hash: each row
+    * draws u = (bucket+1)/(buckets+1) ∈ (0,1) from `md5(salt || id)`
+    * and the k rows minimizing key = −ln(u)/w are kept, so inclusion
+    * probability scales with weight `w` (e.g. quality score, length) —
+    * the "sample 1M docs, favoring high quality" corpus op, exactly
+    * reproducible across runs, engines, and partitionings.
+    *
+    * Determinism: one ln per row, 6-dp-rounded BEFORE ranking (the
+    * TF-IDF/idf discipline — cross-engine libm ulps cannot flip an
+    * order decided on rounded keys), id as the final tiebreak. Plans as
+    * TakeOrdered (per-partition heaps), like [[sampleK]].
+    */
+  def sampleWeighted(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      k: Int,
+      salt: String = "wsample",
+      buckets: Int = 1 << 20): DataFrame = {
+    val u = (hashBucket(col(idCol), salt, buckets) + lit(1.0)) / (buckets + 1.0)
+    val key = graft.queries.Det.r6(-log(u) / col(weightCol).cast("double"))
+    df.withColumn("_wk", key)
+      .orderBy(col("_wk"), col(idCol))
+      .limit(k)
+      .drop("_wk")
+  }
+
   /** Deterministic exact-size sample: the `k` rows with the smallest
     * `md5(salt || id)` — a uniform "random" sample with an exact row
     * count, reproducible across runs/engines/partitionings (neither

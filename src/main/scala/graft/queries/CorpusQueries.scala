@@ -109,6 +109,15 @@ object CorpusQueries {
         "vec_id", "embedding")
       .orderBy("vec_id")
 
+  /** Weighted deterministic sample ([[Corpus.sampleWeighted]]): 100
+    * docs drawn with probability scaling in n_chars — longer documents
+    * preferentially kept, assignment hash-reproducible.
+    */
+  def qSampleWeighted(s: SparkSession, dir: String): DataFrame =
+    Corpus.sampleWeighted(docs(s, dir), "doc_id", "n_chars", k = 100)
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+
   def qProfile(s: SparkSession, dir: String): DataFrame =
     Profile.numeric(Tables.table(s, dir, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
@@ -129,6 +138,7 @@ object CorpusQueries {
     "q_sample_k" -> (qSampleK _),
     "q_profile" -> (qProfile _),
     "q_source_quota" -> (qSourceQuota _),
+    "q_sample_weighted" -> (qSampleWeighted _),
     "q_split_group" -> (qSplitGroup _),
     "q_embed_quant" -> (qEmbedQuant _),
   )
@@ -192,6 +202,13 @@ object CorpusQueries {
       ("SELECT doc_id, lang, source, n_chars FROM " +
         "(SELECT * FROM documents ORDER BY md5('samplek' || doc_id::VARCHAR) " +
         "LIMIT 100) ORDER BY doc_id"),
+    "q_sample_weighted" ->
+      (s"WITH b AS (SELECT *, ${bucketSql("wsample", "doc_id", 1 << 20)} AS b " +
+        "FROM documents), " +
+        "k AS (SELECT *, floor((-ln((b + 1.0) / 1048577.0) / n_chars::DOUBLE) " +
+        "* 1e6 + 0.5) / 1e6 AS wk FROM b) " +
+        "SELECT doc_id, lang, source, n_chars FROM " +
+        "(SELECT * FROM k ORDER BY wk, doc_id LIMIT 100) ORDER BY doc_id"),
     "q_profile" ->
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map { c =>
         s"SELECT '$c' AS \"column\", count($c) AS n_nonnull, " +

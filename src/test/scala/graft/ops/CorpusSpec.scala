@@ -241,6 +241,18 @@ class CorpusSpec extends SparkTestBase {
     assert(q.getShort(0) == 0 && q.getShort(1) == 255)
   }
 
+  test("sampleWeighted: partition-invariant, biased toward heavy weights") {
+    val df = (1L to 2000L).map(i => (i, if (i % 10 == 0) 100.0 else 1.0))
+      .toDF("doc_id", "w")
+    val a = Corpus.sampleWeighted(df.repartition(13), "doc_id", "w", k = 200)
+    val b = Corpus.sampleWeighted(df.coalesce(1), "doc_id", "w", k = 200)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // 10% of rows carry 100x weight; an unweighted 200-sample would
+    // include ~20 of them, the weighted one should include far more
+    val heavy = a.filter(col("w") === 100.0).count()
+    assert(heavy > 100, s"heavy rows undersampled: $heavy of 200")
+  }
+
   test("hashSplit keyed on a group column: no group straddles two splits") {
     val df = (1L to 500L).map(i => (i, s"site${i % 23}")).toDF("doc_id", "source")
     val out = Corpus.hashSplit(df, "source",
