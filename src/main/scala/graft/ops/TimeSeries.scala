@@ -70,4 +70,40 @@ object TimeSeries {
       .select(col(keyCol), col(attrCol).as("state"),
         col("valid_from"), col("valid_to"), col("is_current"))
   }
+
+  /** Exponentially time-decayed per-key value sums — the recency-
+    * weighted feature ("a purchase last week counts double one from two
+    * weeks ago"): each event contributes `value × 0.5^(age/halfLife)`
+    * with age in WHOLE half-life units against the corpus's last day,
+    * plus the undecayed sum and the decayed/undecayed ratio as the
+    * recency score.
+    *
+    * Cross-engine exactness WITHOUT the 6-dp rounding discipline:
+    * integer ages make every weight 0.5^k — a dyadic rational both
+    * engines' `pow` return exactly — so each product is one correctly-
+    * rounded double multiply, and the sum rides DECIMAL. One narrow
+    * projection + one aggregate; the 1-row max-day frame broadcasts.
+    */
+  def decayedSum(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      halfLifeDays: Int): DataFrame = {
+    val maxDay = events.agg(
+      date_trunc("day", max(col(tsCol))).as("_max_day"))
+    events
+      .crossJoin(broadcast(maxDay))
+      .withColumn("_age",
+        floor(datediff(col("_max_day"), date_trunc("day", col(tsCol)))
+          / halfLifeDays).cast("int"))
+      .withColumn("_w", pow(lit(0.5), col("_age")))
+      .groupBy(keyCol)
+      .agg(
+        count(lit(1)).as("n_events"),
+        dsum(col(valueCol)).as("sum_value"),
+        dsum(col(valueCol) * col("_w")).as("decayed_value"))
+      .withColumn("recency",
+        graft.queries.Det.r6(col("decayed_value") / col("sum_value")))
+  }
 }

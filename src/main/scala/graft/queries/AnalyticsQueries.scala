@@ -53,6 +53,16 @@ object AnalyticsQueries {
         "event_type")
       .orderBy("user_id", "valid_from")
 
+  /** Recency-weighted per-user value: half-life-decayed sums against
+    * the corpus's last day ([[TimeSeries.decayedSum]]); weights are
+    * exact dyadic rationals (0.5^k), so no rounding discipline is
+    * needed before the decimal sums.
+    */
+  def qDecay(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.decayedSum(Tables.events(s, dir), "user_id", "ts", "value",
+        halfLifeDays = 7)
+      .orderBy("user_id")
+
   /** 20-bin fixed-width histogram of event values. */
   def qHistogram(s: SparkSession, dir: String): DataFrame =
     Stats.fixedWidthHistogram(Tables.events(s, dir), "value", nBins = 20)
@@ -93,6 +103,7 @@ object AnalyticsQueries {
     "q_histogram" -> (qHistogram _),
     "q_anomaly" -> (qAnomaly _),
     "q_triangles" -> (qTriangles _),
+    "q_decay" -> (qDecay _),
     "q_pagerank" -> (qPageRank _),
   )
 
@@ -102,6 +113,16 @@ object AnalyticsQueries {
       "AND a.l_partkey < b.l_partkey"
 
   val oracleSql: Map[String, String] = Map(
+    "q_decay" ->
+      ("WITH m AS (SELECT date_trunc('day', max(ts)) AS max_day FROM events), " +
+        "e AS (SELECT user_id, value, pow(0.5, (date_diff('day', " +
+        "date_trunc('day', ts), max_day) // 7)::INT) AS w FROM events, m), " +
+        "g AS (SELECT user_id, count(*) AS n_events, " +
+        Oracle.dsum("value") + " AS sum_value, " +
+        Oracle.dsum("value * w") + " AS decayed_value FROM e GROUP BY 1) " +
+        "SELECT user_id, n_events, sum_value, decayed_value, " +
+        Oracle.r6("decayed_value / sum_value") + " AS recency " +
+        "FROM g ORDER BY user_id"),
     // date_trunc returns DATE in DuckDB, TIMESTAMP in Spark → ::TIMESTAMP;
     // int division spelled // (DuckDB / on ints is float division)
     "q_retention" ->
