@@ -251,6 +251,9 @@ class CorpusSpec extends SparkTestBase {
     // include ~20 of them, the weighted one should include far more
     val heavy = a.filter(col("w") === 100.0).count()
     assert(heavy > 100, s"heavy rows undersampled: $heavy of 200")
+    // top-k by key, not a global sort: per-partition heaps + driver merge
+    val p = a.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrdered plan:\n$p")
   }
 
   test("hashSplit keyed on a group column: no group straddles two splits") {
