@@ -311,6 +311,37 @@ object EventStreams {
         col("purchase_ts"), col("click_value"), col("purchase_value"))
   }
 
+  /** LEFT OUTER interval join: every click eventually emits — matched
+    * rows as soon as the purchase arrives, UNMATCHED clicks with null
+    * purchase columns once the watermark proves no in-window purchase
+    * can still arrive. The "did this click convert?" stream where
+    * non-conversions are data, not absence. The null-side emission is
+    * watermark-GATED state eviction: a click cannot be declared
+    * unconverted until event time has moved `within` past it — which is
+    * why the join interval and watermark delay must agree here too.
+    */
+  def clickPurchaseAttributionOuter(
+      clicks: DataFrame,
+      purchases: DataFrame,
+      within: String = "1 hour",
+  ): DataFrame = {
+    val c = clicks
+      .withWatermark("ts", within)
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("value").as("click_value"))
+    val p = purchases
+      .withWatermark("ts", within)
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+    c.join(p,
+      col("c_user") === col("p_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $within"),
+      "left_outer")
+      .select(col("c_user").as("user_id"), col("click_ts"),
+        col("purchase_ts"), col("click_value"), col("purchase_value"))
+  }
+
   /** foreachBatch sink: per-micro-batch handler receiving (batchDf,
     * batchId) — the production shape for idempotent upserts/merges into
     * stores the native sinks can't address. Exactly-once comes from the

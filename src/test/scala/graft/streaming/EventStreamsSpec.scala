@@ -264,6 +264,41 @@ class EventStreamsSpec extends SparkTestBase {
     assert(got.toSeq == Seq((1L, 1.0, 100.0)))
   }
 
+  test("left-outer interval join: unconverted clicks emit nulls once the watermark passes") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = EventStreams.runToMemoryQuery(
+      EventStreams.clickPurchaseAttributionOuter(clicks.toDF(), purchases.toDF()),
+      "attribution_outer", OutputMode.Append())
+    try {
+      clicks.addData(
+        Event(ts(0, 30), 1, "click", 1.0), // converts (u1 purchase 01:00)
+        Event(ts(0, 40), 2, "click", 3.0)) // never converts
+      purchases.addData(Event(ts(1, 0), 1, "purchase", 100.0))
+      q.processAllAvailable()
+      val matched = spark.table("attribution_outer")
+        .select("user_id", "click_value", "purchase_value").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.get(2)))
+      assert(matched.toSeq == Seq((1L, 1.0, 100.0)))
+      // u2's null row is watermark-gated: nothing yet at event time 01:00
+      // advance BOTH inputs to 04:00 → watermark 03:00 > click+interval
+      clicks.addData(Event(ts(4, 0), 9, "click", 0.0))
+      purchases.addData(Event(ts(4, 0), 9, "purchase", 0.0))
+      q.processAllAvailable()
+      // one more trigger so the new watermark evicts and emits nulls
+      clicks.addData(Event(ts(4, 1), 9, "click", 0.0))
+      q.processAllAvailable()
+      val all = spark.table("attribution_outer")
+        .filter(col("user_id") === 2L)
+        .select("user_id", "click_value", "purchase_value").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), Option(r.get(2))))
+      assert(all.toSeq == Seq((2L, 3.0, None)),
+        s"expected u2's unconverted click with null purchase, got ${all.toSeq}")
+    } finally q.stop()
+  }
+
   test("foreachBatch sink writes batchId-keyed partitions (idempotent shape)") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
