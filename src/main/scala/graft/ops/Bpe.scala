@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE (byte-pair encoding) vocabulary learning — the
+  * tokenizer-training half of an LLM data pipeline (Sennrich et al.
+  * 2016): start from characters, repeatedly count adjacent symbol pairs
+  * over the word vocabulary and merge the most frequent one.
+  *
+  * Scale shape: classic BPE operates on the WORD VOCABULARY with
+  * occurrence counts, not the corpus — one corpus-sized aggregate up
+  * front (uniform word keys), then every iteration touches only the
+  * vocabulary frame: a narrow pair-explode, one vocabulary-bounded
+  * aggregate, a 1-row TakeOrdered for the winner (broadcast back), and
+  * a narrow `replace` projection. Nothing after the first group-by is
+  * proportional to corpus bytes, which is what makes learning a vocab
+  * on 100 TB feasible.
+  *
+  * Determinism & the cross-engine oracle: words are encoded as
+  * separator-wrapped symbol strings (`tok` → `_t__o__k_`), so applying
+  * a merge is ONE plain-string `replace("_a__b_" → "_ab_")` — string
+  * replace scans left-to-right non-overlapping in both Spark and
+  * DuckDB, which IS greedy BPE application, with no regex (and no
+  * RE2-vs-Java lookahead differences) involved. Pair counts are exact
+  * integer sums; the winner tie-breaks lexicographically. The gate
+  * oracle is a GENERATED unrolled-CTE DuckDB program for the same
+  * nMerges (the k-means/PageRank pattern).
+  *
+  * Tokens are restricted to `^[a-z0-9]+$` so the `_` separator cannot
+  * collide with token content (documented gate contract; a production
+  * caller picks any separator outside its alphabet).
+  */
+object Bpe {
+
+  /** Learn `nMerges` merges; returns (step, sym_a, sym_b, merged,
+    * pair_count) — the ordered merge table, i.e. the tokenizer
+    * artifact itself.
+    */
+  def learnMerges(
+      docs: DataFrame,
+      textCol: String,
+      nMerges: Int): DataFrame = {
+    var vocab = docs
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z0-9]+$"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(
+        concat(lit("_"),
+          concat_ws("__", regexp_extract_all(col("w"), lit("."), lit(0))),
+          lit("_")).as("enc"),
+        col("cnt"))
+    val steps = (1 to nMerges).map { step =>
+      val syms = split(expr("substring(enc, 2, length(enc) - 2)"), "__")
+      val pairs = vocab
+        .select(col("cnt"),
+          explode(zip_with(
+            slice(syms, lit(1), greatest(size(syms) - 1, lit(0))),
+            slice(syms, lit(2), greatest(size(syms) - 1, lit(0))),
+            (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("cnt").as("pc"))
+      val best = pairs
+        .orderBy(col("pc").desc, col("a"), col("b"))
+        .limit(1)
+      vocab = vocab.crossJoin(broadcast(best))
+        .select(
+          replace(col("enc"),
+            concat(lit("_"), col("a"), lit("__"), col("b"), lit("_")),
+            concat(lit("_"), col("a"), col("b"), lit("_"))).as("enc"),
+          col("cnt"))
+        // truncate the per-iteration lineage: each round's plan would
+        // otherwise embed all previous rounds' aggregates twice (once
+        // via pairs, once via the applied vocab)
+        .localCheckpoint(eager = false)
+      best.select(lit(step).as("step"), col("a").as("sym_a"),
+        col("b").as("sym_b"), concat(col("a"), col("b")).as("merged"),
+        col("pc").as("pair_count"))
+    }
+    steps.reduce(_ unionByName _)
+  }
+
+  /** Generated DuckDB oracle for [[learnMerges]] over `documents.text`
+    * — same init, same per-step pair counts / tie-break / replace,
+    * unrolled as CTEs.
+    */
+  def oracleSql(nMerges: Int): String = {
+    val init =
+      "v0 AS (SELECT '_' || array_to_string(regexp_extract_all(w, '.'), '__') || '_' AS enc, cnt " +
+        "FROM (SELECT w, count(*) AS cnt FROM " +
+        "(SELECT unnest(string_split(text, ' ')) AS w FROM documents) " +
+        "WHERE regexp_matches(w, '^[a-z0-9]+$') GROUP BY w))"
+    val steps = (1 to nMerges).map { i =>
+      val prev = s"v${i - 1}"
+      s"s$i AS (SELECT string_split(substr(enc, 2, length(enc) - 2), '__') AS s, cnt FROM $prev), " +
+        s"p$i AS (SELECT s[CAST(t.i AS INT)] AS a, s[CAST(t.i + 1 AS INT)] AS b, sum(cnt)::BIGINT AS pc " +
+        s"FROM s$i, unnest(range(1, len(s))) AS t(i) GROUP BY 1, 2), " +
+        s"b$i AS (SELECT a, b, pc FROM p$i ORDER BY pc DESC, a, b LIMIT 1), " +
+        s"v$i AS (SELECT replace(enc, '_' || a || '__' || b || '_', " +
+        s"'_' || a || b || '_') AS enc, cnt FROM $prev, b$i)"
+    }
+    val out = (1 to nMerges).map { i =>
+      s"SELECT $i AS step, a AS sym_a, b AS sym_b, a || b AS merged, pc AS pair_count FROM b$i"
+    }.mkString(" UNION ALL ")
+    s"WITH $init, ${steps.mkString(", ")} $out ORDER BY step"
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.TextPrep
+import graft.ops.{Bpe, TextPrep}
 import graft.queries.{Oracle => O}
 import graft.sources.Tables
 
@@ -32,6 +32,14 @@ object PrepQueries {
     TextPrep.bigramSurprisal(docs(s, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Distributed BPE vocabulary learning ([[graft.ops.Bpe]]): six
+    * merges learned from the corpus word vocabulary, hash-checked
+    * against a GENERATED unrolled-CTE DuckDB program (same init, pair
+    * counts, tie-breaks, and greedy string-replace application).
+    */
+  def qBpe(s: SparkSession, dir: String): DataFrame =
+    Bpe.learnMerges(docs(s, dir), "text", nMerges = 6).orderBy("step")
+
   def qRepetition(s: SparkSession, dir: String): DataFrame =
     graft.ops.TextAnalysis.repetitionMetrics(docs(s, dir), "doc_id", "text")
       .orderBy("doc_id")
@@ -41,6 +49,7 @@ object PrepQueries {
     "q_redact" -> (qRedact _),
     "q_surprisal" -> (qSurprisal _),
     "q_repetition" -> (qRepetition _),
+    "q_bpe" -> (qBpe _),
   )
 
   private def redactSql: String =
@@ -77,6 +86,7 @@ object PrepQueries {
         O.r6("CAST(sum(CAST(nlp AS DECIMAL(25,6))) AS DOUBLE) / count(*)") +
         " AS mean_surprisal " +
         "FROM p JOIN sc USING (w1, w2) GROUP BY doc_id ORDER BY doc_id"),
+    "q_bpe" -> Bpe.oracleSql(6),
     // Relational mirror of the engine's per-row fold: n-gram counts via
     // unnest+group-by; every fraction is one IEEE division of exact
     // integers, so values (and the keep comparisons) match bit-exactly.

@@ -53,6 +53,23 @@ class TextPrepSpec extends SparkTestBase {
     assert(out(1L)._2 == 1 && out(2L)._2 == 2 && out(3L)._2 == 1)
   }
 
+  test("BPE: merges learned by frequency with lexicographic ties, greedy overlap handling") {
+    import spark.implicits._
+    // "abab" x3, "aab" x2: pairs round 1 -> (a,b):8, (b,a):3, (a,a):2
+    val docs = Seq("abab abab abab aab aab").toDF("text")
+    val merges = Bpe.learnMerges(docs, "text", nMerges = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4)))
+    assert(merges(0) == (1, "a", "b", 8L), s"got ${merges(0)}")
+    // after merging (a,b): abab -> [ab, ab], aab -> [a, ab]
+    // round 2 pairs: (ab,ab):3, (a,ab):2 -> winner (ab,ab)
+    assert(merges(1) == (2, "ab", "ab", 3L), s"got ${merges(1)}")
+    // overlapping-run counting: [a,a,a] contributes (a,a) twice
+    val runs = Seq("aaa aaa ba").toDF("text")
+    val m2 = Bpe.learnMerges(runs, "text", nMerges = 1).collect()
+    assert(m2(0).getString(1) == "a" && m2(0).getString(2) == "a")
+    assert(m2(0).getLong(4) == 4L) // 2 pairs x 2 occurrences of "aaa"
+  }
+
   test("bigram surprisal: repetitive text scores lower than shuffled vocab") {
     // one doc repeats a single bigram; the other cycles many rare ones —
     // under the corpus LM the repetitive doc must be less surprising
