@@ -40,12 +40,48 @@ object Bpe {
   def learnMerges(
       docs: DataFrame,
       textCol: String,
+      nMerges: Int): DataFrame =
+    run(docs, textCol, nMerges)._1
+
+  /** Tokenize with the learned vocabulary: per-document whitespace-word
+    * count, character count, and the REAL post-merge BPE token count
+    * (each word contributes its final symbol count), plus chars/token
+    * as the compression ratio — the fertility statistic every
+    * tokenizer evaluation reports. Scale shape: the learned per-word
+    * symbol counts are vocabulary-sized; the doc-side join is one
+    * hash equi-join on the word (broadcast when the vocab allows).
+    */
+  def encodedCounts(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
       nMerges: Int): DataFrame = {
+    val vocab = run(docs, textCol, nMerges)._2
+    val wordSyms = vocab.select(col("w"),
+      size(split(expr("substring(enc, 2, length(enc) - 2)"), "__")).as("nsym"))
+    docs.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z0-9]+$"))
+      .join(wordSyms, "w")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w"))).as("n_chars"),
+        sum("nsym").as("n_bpe"))
+      .withColumn("chars_per_token",
+        graft.queries.Det.r6(col("n_chars") / col("n_bpe")))
+  }
+
+  /** The shared iteration: returns (merge table, final vocab state
+    * (w, enc, cnt)).
+    */
+  private def run(
+      docs: DataFrame,
+      textCol: String,
+      nMerges: Int): (DataFrame, DataFrame) = {
     var vocab = docs
       .select(explode(split(col(textCol), " ")).as("w"))
       .filter(col("w").rlike("^[a-z0-9]+$"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .select(
+      .select(col("w"),
         concat(lit("_"),
           concat_ws("__", regexp_extract_all(col("w"), lit("."), lit(0))),
           lit("_")).as("enc"),
@@ -64,7 +100,7 @@ object Bpe {
         .orderBy(col("pc").desc, col("a"), col("b"))
         .limit(1)
       vocab = vocab.crossJoin(broadcast(best))
-        .select(
+        .select(col("w"),
           replace(col("enc"),
             concat(lit("_"), col("a"), lit("__"), col("b"), lit("_")),
             concat(lit("_"), col("a"), col("b"), lit("_"))).as("enc"),
@@ -77,16 +113,17 @@ object Bpe {
         col("b").as("sym_b"), concat(col("a"), col("b")).as("merged"),
         col("pc").as("pair_count"))
     }
-    steps.reduce(_ unionByName _)
+    (steps.reduce(_ unionByName _), vocab)
   }
 
   /** Generated DuckDB oracle for [[learnMerges]] over `documents.text`
     * — same init, same per-step pair counts / tie-break / replace,
     * unrolled as CTEs.
     */
-  def oracleSql(nMerges: Int): String = {
+  /** Shared CTE chain v0..vN (w carried through for the encode oracle). */
+  private def chainSql(nMerges: Int): String = {
     val init =
-      "v0 AS (SELECT '_' || array_to_string(regexp_extract_all(w, '.'), '__') || '_' AS enc, cnt " +
+      "v0 AS (SELECT w, '_' || array_to_string(regexp_extract_all(w, '.'), '__') || '_' AS enc, cnt " +
         "FROM (SELECT w, count(*) AS cnt FROM " +
         "(SELECT unnest(string_split(text, ' ')) AS w FROM documents) " +
         "WHERE regexp_matches(w, '^[a-z0-9]+$') GROUP BY w))"
@@ -96,12 +133,29 @@ object Bpe {
         s"p$i AS (SELECT s[CAST(t.i AS INT)] AS a, s[CAST(t.i + 1 AS INT)] AS b, sum(cnt)::BIGINT AS pc " +
         s"FROM s$i, unnest(range(1, len(s))) AS t(i) GROUP BY 1, 2), " +
         s"b$i AS (SELECT a, b, pc FROM p$i ORDER BY pc DESC, a, b LIMIT 1), " +
-        s"v$i AS (SELECT replace(enc, '_' || a || '__' || b || '_', " +
+        s"v$i AS (SELECT w, replace(enc, '_' || a || '__' || b || '_', " +
         s"'_' || a || b || '_') AS enc, cnt FROM $prev, b$i)"
     }
+    s"$init, ${steps.mkString(", ")}"
+  }
+
+  def oracleSql(nMerges: Int): String = {
     val out = (1 to nMerges).map { i =>
       s"SELECT $i AS step, a AS sym_a, b AS sym_b, a || b AS merged, pc AS pair_count FROM b$i"
     }.mkString(" UNION ALL ")
-    s"WITH $init, ${steps.mkString(", ")} $out ORDER BY step"
+    s"WITH ${chainSql(nMerges)} $out ORDER BY step"
   }
+
+  /** Generated DuckDB oracle for [[encodedCounts]]. */
+  def encodeOracleSql(nMerges: Int): String =
+    s"WITH ${chainSql(nMerges)}, " +
+      s"ws AS (SELECT w, len(string_split(substr(enc, 2, length(enc) - 2), '__'))::INT AS nsym FROM v$nMerges), " +
+      "dw AS (SELECT doc_id, u.w AS w FROM " +
+      "(SELECT doc_id, string_split(text, ' ') AS ww FROM documents) d, " +
+      "unnest(d.ww) AS u(w) WHERE regexp_matches(u.w, '^[a-z0-9]+$')) " +
+      "SELECT doc_id, count(*) AS n_words, sum(length(w))::BIGINT AS n_chars, " +
+      "sum(nsym)::BIGINT AS n_bpe, " +
+      graft.queries.Oracle.r6("sum(length(w))::DOUBLE / sum(nsym)") +
+      " AS chars_per_token " +
+      "FROM dw JOIN ws USING (w) GROUP BY doc_id ORDER BY doc_id"
 }

@@ -40,6 +40,14 @@ object PrepQueries {
   def qBpe(s: SparkSession, dir: String): DataFrame =
     Bpe.learnMerges(docs(s, dir), "text", nMerges = 6).orderBy("step")
 
+  /** Tokenize with the learned BPE vocab ([[Bpe.encodedCounts]]):
+    * per-doc word/char/BPE-token counts and the chars-per-token
+    * fertility ratio.
+    */
+  def qBpeEncode(s: SparkSession, dir: String): DataFrame =
+    Bpe.encodedCounts(docs(s, dir), "doc_id", "text", nMerges = 6)
+      .orderBy("doc_id")
+
   def qRepetition(s: SparkSession, dir: String): DataFrame =
     graft.ops.TextAnalysis.repetitionMetrics(docs(s, dir), "doc_id", "text")
       .orderBy("doc_id")
@@ -50,6 +58,7 @@ object PrepQueries {
     "q_surprisal" -> (qSurprisal _),
     "q_repetition" -> (qRepetition _),
     "q_bpe" -> (qBpe _),
+    "q_bpe_encode" -> (qBpeEncode _),
   )
 
   private def redactSql: String =
@@ -87,6 +96,7 @@ object PrepQueries {
         " AS mean_surprisal " +
         "FROM p JOIN sc USING (w1, w2) GROUP BY doc_id ORDER BY doc_id"),
     "q_bpe" -> Bpe.oracleSql(6),
+    "q_bpe_encode" -> Bpe.encodeOracleSql(6),
     // Relational mirror of the engine's per-row fold: n-gram counts via
     // unnest+group-by; every fraction is one IEEE division of exact
     // integers, so values (and the keep comparisons) match bit-exactly.
