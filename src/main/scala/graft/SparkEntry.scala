@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalyticsQueries, CorpusQueries, ExtQueries, PrepQueries, RefQueries, SqlSurfaceQueries}
+import graft.queries.{AnalyticsQueries, CorpusQueries, ExtQueries, PrepQueries, RefQueries, ScaleQueries, SqlSurfaceQueries}
 import graft.util.Sessions
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -25,7 +25,8 @@ object SparkEntry {
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     (RefQueries.queries ++ ExtQueries.queries ++ SqlSurfaceQueries.queries ++
-      PrepQueries.queries ++ CorpusQueries.queries ++ AnalyticsQueries.queries)
+      PrepQueries.queries ++ CorpusQueries.queries ++ AnalyticsQueries.queries ++
+      ScaleQueries.queries)
       .map { case (k, f) =>
       k -> { (s: SparkSession, dir: String) => f(Sessions.tune(s), dir) }
     }
@@ -36,5 +37,6 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     RefQueries.oracleSql ++ ExtQueries.oracleSql ++ SqlSurfaceQueries.oracleSql ++
-      PrepQueries.oracleSql ++ CorpusQueries.oracleSql ++ AnalyticsQueries.oracleSql
+      PrepQueries.oracleSql ++ CorpusQueries.oracleSql ++ AnalyticsQueries.oracleSql ++
+      ScaleQueries.oracleSql
 }

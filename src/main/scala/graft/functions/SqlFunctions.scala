@@ -56,5 +56,9 @@ object SqlFunctions {
       arity(args, 2, "rolling_minhash")
       RollingMinHashExpr(args.head, litInt(args(1), "rolling_minhash", "window"))
     })
+    GraftShims.registerFunction(spark, "deflate_size", { args =>
+      arity(args, 1, "deflate_size")
+      DeflateSizeExpr(args.head)
+    })
   }
 }

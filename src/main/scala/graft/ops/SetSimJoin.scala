@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact set-similarity self-join via prefix filtering (the
+  * AllPairs/PPJoin family — Bayardo et al., WWW'07; Xiao et al.,
+  * WWW'08): every pair of documents whose element-set Jaccard meets the
+  * threshold, with EXACT recall — the deterministic complement to the
+  * MinHash-LSH path ([[Dedup.nearDuplicatePairs]]), which trades recall
+  * for fewer candidates.
+  *
+  * The filter: order all elements by ascending document frequency
+  * (rarest first, ties by value — any consistent total order works);
+  * each document emits only its first `|d| − ⌈t·|d|⌉ + 1` ordered
+  * elements as index keys. Two sets with Jaccard ≥ t must share at
+  * least one element inside BOTH prefixes (their smallest common
+  * element, by a pigeonhole on the ⌈t·|d|⌉-element suffix), so the
+  * equi-join on prefix elements produces a complete candidate set —
+  * and prefixes built from RARE elements produce few collisions, which
+  * is the whole economy of the algorithm.
+  *
+  * Scale shape: two vocabulary-bounded shuffles (the df count and the
+  * prefix equi-join) plus one per-doc sort of its own elements — never
+  * all-pairs. The candidate join keys are document frequencies' rarest
+  * elements, so bucket sizes are small by construction (a key shared by
+  * many docs is frequent, hence ranked late, hence outside most
+  * prefixes); the degenerate all-same-document corpus degrades to the
+  * LSH path's behavior and can reuse its cap-and-star strategy if
+  * profiling demands.
+  */
+object SetSimJoin {
+
+  /** All (id_a < id_b, jac) pairs with exact Jaccard ≥ `threshold`
+    * between per-row element sets (`setCol`: array column; duplicates
+    * removed here, empties dropped — an empty set has Jaccard 0 with
+    * everything).
+    *
+    * The prefix length carries one element of slack over the textbook
+    * `|d| − ⌈t·|d|⌉ + 1`: the ceiling is evaluated in IEEE doubles on
+    * both engines, and a product landing one ulp above an integer would
+    * otherwise shorten the prefix below the completeness bound. The
+    * slack only ADDS candidates — recall is load-bearing here because
+    * the correctness oracle is a brute-force all-pairs join.
+    */
+  def jaccardSelfJoin(
+      df: DataFrame,
+      idCol: String,
+      setCol: Column,
+      threshold: Double,
+  ): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
+    val sets = df
+      .select(col(idCol).as("_id"), array_distinct(setCol).as("elems"))
+      .filter(size(col("elems")) > 0)
+    val elems = sets.select(col("_id"), explode(col("elems")).as("elem"))
+    val dfreq = elems.groupBy("elem").agg(count(lit(1)).as("df"))
+    // per-doc global ordering: sort each doc's elements by (df, elem).
+    // sort_array on (df, elem) structs gives the lexicographic order
+    // both engines agree on; the groupBy re-assembles the doc from the
+    // df-joined element table (one vocabulary-bounded shuffle).
+    val ordered = elems.join(dfreq, "elem")
+      .groupBy("_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("elem")))).as("ranked"))
+      .withColumn("sz", size(col("ranked")))
+      .withColumn("plen",
+        (col("sz") - ceil(lit(threshold) * col("sz")) + lit(2)).cast("int"))
+    val prefix = ordered
+      .select(col("_id"),
+        explode(expr("transform(slice(ranked, 1, plen), x -> x.elem)")).as("elem"))
+    val cand = prefix.toDF("id_a", "elem")
+      .join(prefix.toDF("id_b", "elem"), Seq("elem"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    cand
+      .join(sets.toDF("id_a", "elems_a"), "id_a")
+      .join(sets.toDF("id_b", "elems_b"), "id_b")
+      .withColumn("jac", Dedup.jaccard(col("elems_a"), col("elems_b")))
+      .filter(col("jac") >= threshold)
+      .select("id_a", "id_b", "jac")
+  }
+}

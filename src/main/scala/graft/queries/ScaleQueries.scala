@@ -1,0 +1,169 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{DataQuality, ProductQuantization, RuntimeFilters, SetSimJoin, TextAnalysis}
+import graft.queries.Det._
+import graft.queries.{Oracle => O}
+import graft.sources.Tables
+
+/** Gate queries for the round-3 scale operators: Bloom-filter runtime
+  * join pruning, exact prefix-filter set-similarity join, and the
+  * declarative data-quality audit. All hash-checked against DuckDB.
+  */
+object ScaleQueries {
+
+  /** Bloom-pruned fact⋈dim join ([[RuntimeFilters.bloomJoin]]):
+    * lineitem pruned by a sketch of the selectively-filtered part side,
+    * then joined and aggregated. The oracle spells the PLAIN join — a
+    * hash match proves the no-false-negative contract (pruning changed
+    * the plan, not the result).
+    */
+  def qBloomJoin(s: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.table(s, dir, "part")
+      .filter(col("p_size") <= 3)
+      .select("p_partkey", "p_brand")
+    RuntimeFilters.bloomJoin(
+        Tables.table(s, dir, "lineitem"), dim, "l_partkey", "p_partkey",
+        expectedItems = 100000L, numBits = 1L << 20)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+      .orderBy("p_brand")
+  }
+
+  /** Exact prefix-filtered Jaccard self-join
+    * ([[SetSimJoin.jaccardSelfJoin]]) over 3-shingle sets. The oracle
+    * is the BRUTE-FORCE all-pairs join, so a hash match proves exact
+    * recall — the property the LSH family (q_dedup_near) explicitly
+    * trades away.
+    */
+  def qSimPrefix(s: SparkSession, dir: String): DataFrame =
+    SetSimJoin.jaccardSelfJoin(
+        Tables.table(s, dir, "documents"), "doc_id",
+        TextAnalysis.shingles(TextAnalysis.tokens(col("text"))),
+        threshold = 0.5)
+      .withColumn("jac", r6(col("jac")))
+      .orderBy("id_a", "id_b")
+
+  /** Data-quality audit ([[DataQuality.audit]]) over lineitem: five
+    * one-pass scalar constraints plus two referential (anti-join)
+    * constraints. Two checks FAIL by design (l_orderkey is not unique
+    * across lines; l_quantity exceeds 40) — the report's job is stating
+    * violations, and the oracle hash-checks the failure rows too.
+    */
+  def qDq(s: SparkSession, dir: String): DataFrame = {
+    import DataQuality._
+    audit(Tables.table(s, dir, "lineitem"), Seq(
+        Complete("l_quantity"),
+        Unique("l_orderkey"),
+        Bounds("l_discount", 0.0, 0.1),
+        Bounds("l_quantity", 1.0, 40.0),
+        Accepted("l_returnflag", Seq("A", "N", "R")),
+        Referential("l_partkey", Tables.table(s, dir, "part"), "p_partkey"),
+        Referential("l_suppkey", Tables.table(s, dir, "supplier"), "s_suppkey")))
+      .select(col("check"), r6(col("metric")).as("metric"),
+        col("pass").cast("int").as("pass"))
+      .orderBy("check")
+  }
+
+  /** Product-quantization ANN ([[ProductQuantization]]): codebooks
+    * trained by subspace-keyed distributed Lloyd (m=8, k=16, 2
+    * iterations), corpus encoded to 8 codes/vector, queries answered by
+    * ADC — hash-checked against the generated unrolled-CTE oracle
+    * replaying the identical computation (the k-means gate's discipline,
+    * extended per subspace).
+    */
+  def qSimPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.table(s, dir, "embeddings")
+    val cb = ProductQuantization.train(emb, "vec_id", "embedding",
+      m = 8, k = 16, iters = 2)
+    val codes = ProductQuantization.encode(emb, "vec_id", "embedding", cb, m = 8)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    ProductQuantization.topK(codes, cb, queries, m = 8, topK = 10)
+      .withColumn("ad2", r6(col("ad2")))
+      .orderBy("qid", "rank")
+  }
+
+  /** Compression-ratio quality signal ([[graft.functions.DeflateSize]]):
+    * per-doc raw bytes, deflate bytes, and ratio — rows-only (the byte
+    * count is the JVM zlib's encoding choice, not portable SQL; exact
+    * per-fixture values are pinned in ScaleOpsSpec instead, per the
+    * SURVEY §5.3 engine-specific policy).
+    */
+  def qCompress(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.DeflateSize
+    Tables.table(s, dir, "documents")
+      .select(col("doc_id"),
+        octet_length(col("text")).as("raw_bytes"),
+        DeflateSize.deflateSize(col("text")).as("deflate_bytes"),
+        r6(DeflateSize.compressionRatio(col("text"))).as("ratio"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bloom_join" -> (qBloomJoin _),
+    "q_sim_prefix" -> (qSimPrefix _),
+    "q_dq" -> (qDq _),
+    "q_sim_pq" -> (qSimPq _),
+    "q_compress" -> (qCompress _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_sim_pq" -> ProductQuantization.pqOracleSql(
+      m = 8, k = 16, iters = 2, nq = 5, topK = 10,
+      "SELECT qid, cid, " + O.r6("ad2") + " AS ad2, rank FROM r " +
+        "WHERE rank <= 10 ORDER BY qid, rank"),
+    "q_bloom_join" ->
+      ("SELECT p_brand, count(*) AS n, " + O.dsum("l_quantity") + " AS sum_qty, " +
+        O.dsum("l_extendedprice * (1.0 - l_discount)") + " AS revenue " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE p_size <= 3 GROUP BY 1 ORDER BY 1"),
+    "q_sim_prefix" ->
+      ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "s AS (SELECT doc_id, list_distinct(list_transform(" +
+        "range(greatest(len(w) - 2, 0)), " +
+        "j -> w[j+1] || ' ' || w[j+2] || ' ' || w[j+3])) AS sh " +
+        "FROM w WHERE len(w) >= 3 AND len(list_distinct(list_transform(" +
+        "range(greatest(len(w) - 2, 0)), " +
+        "j -> w[j+1] || ' ' || w[j+2] || ' ' || w[j+3]))) > 0) " +
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        O.r6("len(list_intersect(a.sh, b.sh))::DOUBLE / " +
+          "len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE") + " AS jac " +
+        "FROM s a JOIN s b ON a.doc_id < b.doc_id " +
+        "WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / " +
+        "len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= 0.5 " +
+        "ORDER BY id_a, id_b"),
+    "q_dq" ->
+      ("WITH m AS (" +
+        "SELECT 'accepted:l_returnflag' AS \"check\", " +
+        "sum(CASE WHEN l_returnflag IS NOT NULL AND " +
+        "l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END)::DOUBLE AS metric " +
+        "FROM lineitem " +
+        "UNION ALL SELECT 'bounds:l_discount', " +
+        "sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.1 THEN 1 ELSE 0 END)" +
+        "::DOUBLE FROM lineitem " +
+        "UNION ALL SELECT 'bounds:l_quantity', " +
+        "sum(CASE WHEN l_quantity < 1.0 OR l_quantity > 40.0 THEN 1 ELSE 0 END)" +
+        "::DOUBLE FROM lineitem " +
+        "UNION ALL SELECT 'complete:l_quantity', " +
+        "(count(*) - count(l_quantity))::DOUBLE / count(*)::DOUBLE FROM lineitem " +
+        "UNION ALL SELECT 'ref:l_partkey', count(*)::DOUBLE FROM lineitem " +
+        "WHERE l_partkey IS NOT NULL AND l_partkey NOT IN " +
+        "(SELECT p_partkey FROM part) " +
+        "UNION ALL SELECT 'ref:l_suppkey', count(*)::DOUBLE FROM lineitem " +
+        "WHERE l_suppkey IS NOT NULL AND l_suppkey NOT IN " +
+        "(SELECT s_suppkey FROM supplier) " +
+        "UNION ALL SELECT 'unique:l_orderkey', " +
+        "(count(l_orderkey) - count(DISTINCT l_orderkey))::DOUBLE FROM lineitem) " +
+        "SELECT \"check\", " + O.r6("metric") + " AS metric, " +
+        "CASE WHEN \"check\" = 'complete:l_quantity' THEN " +
+        "(CASE WHEN metric <= 0.0 THEN 1 ELSE 0 END) " +
+        "ELSE (CASE WHEN metric = 0.0 THEN 1 ELSE 0 END) END AS pass " +
+        "FROM m ORDER BY \"check\""),
+  )
+}

@@ -1,0 +1,249 @@
+package graft.ops
+
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.sources.Tables
+
+/** Round-3 scale operators: Bloom-filter runtime join pruning, exact
+  * prefix-filter set-similarity join, declarative data-quality audit.
+  */
+class ScaleOpsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  lazy val docs = Tables.table(spark, Sf0001, "documents").cache()
+
+  // ---- RuntimeFilters -------------------------------------------------
+
+  test("bloomJoin returns exactly the plain join's rows") {
+    val li = Tables.table(spark, Sf0001, "lineitem")
+    val dim = Tables.table(spark, Sf0001, "part")
+      .filter(col("p_size") <= 3).select("p_partkey", "p_brand")
+    val pruned = RuntimeFilters
+      .bloomJoin(li, dim, "l_partkey", "p_partkey", 10000L, 1L << 16)
+      .select("l_orderkey", "l_linenumber", "p_brand")
+    val plain = li.join(dim, col("l_partkey") === col("p_partkey"))
+      .select("l_orderkey", "l_linenumber", "p_brand")
+    assert(pruned.exceptAll(plain).isEmpty && plain.exceptAll(pruned).isEmpty)
+  }
+
+  test("bloomPruned never drops a matching row and prunes non-matching ones") {
+    val li = Tables.table(spark, Sf0001, "lineitem")
+    val dim = Tables.table(spark, Sf0001, "part").filter(col("p_size") <= 3)
+    val pruned = RuntimeFilters.bloomPruned(
+      li, col("l_partkey"), dim, col("p_partkey"), 10000L, 1L << 16).cache()
+    val matching = li.join(dim.select(col("p_partkey").as("l_partkey")),
+      Seq("l_partkey"), "left_semi")
+      .select(li.columns.map(col).toIndexedSeq: _*) // undo USING's key-first reorder
+    // no false negatives: every genuinely-matching row survives pruning
+    assert(matching.exceptAll(pruned).isEmpty)
+    // effectiveness: the sketch rejects most of the non-matching fact
+    // side (~6% of parts pass the dim filter; 1% FP budget at 64 Kib)
+    val n = li.count().toDouble
+    val kept = pruned.count().toDouble
+    val m = matching.count().toDouble
+    assert(kept < n * 0.5, s"pruning kept $kept of $n rows")
+    assert(kept >= m)
+    pruned.unpersist()
+  }
+
+  test("bloom pruning evaluates as a might_contain predicate on the fact side") {
+    val li = Tables.table(spark, Sf0001, "lineitem")
+    val dim = Tables.table(spark, Sf0001, "part").filter(col("p_size") <= 3)
+    val p = RuntimeFilters
+      .bloomPruned(li, col("l_partkey"), dim, col("p_partkey"))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("might_contain"), s"no might_contain in plan:\n$p")
+    assert(p.contains("bloom_filter_agg"), s"no bloom_filter_agg subquery:\n$p")
+  }
+
+  // ---- SetSimJoin -----------------------------------------------------
+
+  private def shingleSets =
+    TextAnalysis.shingles(TextAnalysis.tokens(col("text")))
+
+  test("prefix-filter join matches brute force exactly (recall AND precision)") {
+    val fast = SetSimJoin
+      .jaccardSelfJoin(docs, "doc_id", shingleSets, threshold = 0.5)
+    val sets = docs
+      .select(col("doc_id"), array_distinct(shingleSets).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val brute = sets.toDF("id_a", "sa")
+      .crossJoin(sets.toDF("id_b", "sb"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jac", Dedup.jaccard(col("sa"), col("sb")))
+      .filter(col("jac") >= 0.5)
+      .select("id_a", "id_b", "jac")
+    assert(fast.exceptAll(brute).isEmpty && brute.exceptAll(fast).isEmpty)
+    assert(fast.count() > 0, "fixture should contain near-dup pairs")
+  }
+
+  test("prefix-filter join edge cases: identical, disjoint, sub-threshold") {
+    val df = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g h"), // identical to 1
+      (3L, "p q r s t u v w"), // disjoint from all
+      (4L, "a b c d x y z w"), // shares half of 1's shingles' tokens
+      (5L, "a b"), // too short for 3-shingles: drops out entirely
+    ).toDF("doc_id", "text")
+    val pairs = SetSimJoin
+      .jaccardSelfJoin(df, "doc_id", shingleSets, threshold = 0.9)
+      .collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L)
+    assert(pairs.head.getDouble(2) == 1.0)
+  }
+
+  test("prefix-filter join generates far fewer candidates than all-pairs") {
+    // the candidate economy: rare-element prefixes collide seldom. On
+    // the sf0.001 corpus (500 docs → 124750 possible pairs) the verify
+    // stage should see orders of magnitude fewer candidates.
+    val sets = docs.select(col("doc_id").as("_id"),
+      array_distinct(shingleSets).as("elems")).filter(size(col("elems")) > 0)
+    val n = sets.count()
+    val allPairs = n * (n - 1) / 2
+    // reproduce the operator's candidate stage only
+    val elems = sets.select(col("_id"), explode(col("elems")).as("elem"))
+    val dfreq = elems.groupBy("elem").agg(count(lit(1)).as("df"))
+    val ordered = elems.join(dfreq, "elem").groupBy("_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("elem")))).as("ranked"))
+      .withColumn("sz", size(col("ranked")))
+      .withColumn("plen", (col("sz") - ceil(lit(0.5) * col("sz")) + lit(2)).cast("int"))
+    val prefix = ordered.select(col("_id"),
+      explode(expr("transform(slice(ranked, 1, plen), x -> x.elem)")).as("elem"))
+    val cand = prefix.toDF("id_a", "elem")
+      .join(prefix.toDF("id_b", "elem"), Seq("elem"))
+      .filter(col("id_a") < col("id_b")).select("id_a", "id_b").distinct().count()
+    assert(cand < allPairs / 10,
+      s"prefix filter produced $cand candidates of $allPairs possible")
+  }
+
+  // ---- ProductQuantization --------------------------------------------
+
+  lazy val emb = Tables.table(spark, Sf0001, "embeddings").cache()
+
+  test("PQ codebooks: m subspaces × k centroids of the subspace dimension") {
+    val cb = ProductQuantization.train(emb, "vec_id", "embedding",
+      m = 8, k = 16, iters = 1).cache()
+    assert(cb.select("subspace").distinct().count() == 8)
+    assert(cb.groupBy("subspace").count().filter(col("count") > 16).isEmpty)
+    assert(cb.filter(size(col("c")) =!= 8).isEmpty) // 64 dims / 8 subspaces
+    cb.unpersist()
+  }
+
+  test("PQ encode assigns every vector a code per subspace, within range") {
+    val cb = ProductQuantization.train(emb, "vec_id", "embedding",
+      m = 8, k = 16, iters = 1)
+    val codes = ProductQuantization.encode(emb, "vec_id", "embedding", cb, m = 8)
+      .cache()
+    assert(codes.count() == emb.count() * 8)
+    assert(codes.filter(col("code") < 0 || col("code") >= 16).isEmpty)
+    codes.unpersist()
+  }
+
+  test("PQ ADC shortlist captures the exact top-10 (shortlist recall over 0.5)") {
+    // PQ's production role is SHORTLIST generation (ADC scan → exact
+    // rerank of the survivors), so the meaningful metric is how much of
+    // the exact top-10 the ADC top-50 shortlist retains. Uniform random
+    // 64-dim embeddings are PQ's worst case (distance concentration, no
+    // cluster structure), which makes this a conservative floor.
+    val cb = ProductQuantization.train(emb, "vec_id", "embedding",
+      m = 8, k = 16, iters = 2)
+    val codes = ProductQuantization.encode(emb, "vec_id", "embedding", cb, m = 8)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val shortlist = ProductQuantization.topK(codes, cb, queries, m = 8, topK = 50)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val qd = queries.withColumn("qv", transform(col("qv"), _.cast("double")))
+    val exact = qd.crossJoin(
+        emb.select(col("vec_id").as("cid"),
+          transform(col("embedding"), _.cast("double")).as("cv")))
+      .withColumn("d2", Clustering.sqDist(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("d2"), col("cid"))))
+      .filter(col("rank") <= 10)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (shortlist & exact).size.toDouble / exact.size
+    assert(recall > 0.5, s"ADC shortlist recall = $recall")
+    // the query vector itself must make the shortlist: its ADC distance
+    // is just its own quantization error
+    assert((0L until 5L).forall(q => shortlist.contains((q, q))))
+  }
+
+  // ---- DeflateSize ----------------------------------------------------
+
+  test("compression ratio separates repetition from diverse text") {
+    import graft.functions.DeflateSize._
+    val df = Seq(
+      (1L, "spam " * 200), // degenerate repetition
+      (2L, (1 to 200).map(i => s"w${i * 2654435761L % 9973}").mkString(" ")),
+      (3L, ""),
+    ).toDF("id", "text")
+      .select(col("id"), compressionRatio(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(df(1L) < 0.05, s"repetitive text ratio ${df(1L)}")
+    assert(df(2L) > 0.3, s"diverse text ratio ${df(2L)}")
+    assert(df(3L) == 1.0)
+  }
+
+  test("deflate size is deterministic and reachable from the SQL surface") {
+    val one = spark.sql("SELECT deflate_size('abcabcabcabc') AS n").head().getInt(0)
+    val two = spark.sql("SELECT deflate_size('abcabcabcabc') AS n").head().getInt(0)
+    assert(one == two && one > 0 && one < 12)
+    // repeated invocations over the corpus agree row-for-row
+    import graft.functions.DeflateSize._
+    val a = docs.select(col("doc_id"), deflateSize(col("text")).as("n"))
+    assert(a.exceptAll(docs.select(col("doc_id"), deflateSize(col("text")).as("n")))
+      .isEmpty)
+  }
+
+  // ---- DataQuality ----------------------------------------------------
+
+  test("audit computes exact metrics and verdicts per constraint") {
+    import DataQuality._
+    val t = Seq(
+      (1L, Some("x"), 5.0, "ok"),
+      (2L, None, 15.0, "ok"), // null name; value out of [0,10]
+      (3L, Some("y"), 7.0, "bad"), // category outside accepted set
+      (3L, Some("z"), 9.0, "ok"), // duplicate id
+    ).toDF("id", "name", "value", "cat")
+    val dim = Seq(1L, 2L, 3L).toDF("k") // all ids resolve
+    val report = audit(t, Seq(
+      Complete("name", minRatio = 1.0),
+      Unique("id"),
+      Bounds("value", 0.0, 10.0),
+      Accepted("cat", Seq("ok")),
+      Referential("id", dim, "k"),
+    )).collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    assert(report("complete:name") == ((0.25, false)))
+    assert(report("unique:id") == ((1.0, false)))
+    assert(report("bounds:value") == ((1.0, false)))
+    assert(report("accepted:cat") == ((1.0, false)))
+    assert(report("ref:id") == ((0.0, true)))
+  }
+
+  test("audit referential check counts orphans, ignoring null keys") {
+    import DataQuality._
+    val t = Seq(Some(1L), Some(4L), None, Some(5L)).toDF("fk")
+    val dim = Seq(1L, 2L).toDF("k")
+    val row = audit(t, Seq(Referential("fk", dim, "k"))).head()
+    assert(row.getDouble(1) == 2.0 && !row.getBoolean(2)) // 4 and 5 orphaned
+  }
+
+  test("audit runs all scalar constraints in one aggregate pass") {
+    import DataQuality._
+    val li = Tables.table(spark, Sf0001, "lineitem")
+    val p = audit(li, Seq(
+      Complete("l_quantity"), Unique("l_orderkey"),
+      Bounds("l_discount", 0.0, 0.1), Accepted("l_returnflag", Seq("A", "N", "R"))))
+      // simple mode: each operator appears once (formatted repeats them
+      // in the per-node detail section, double-counting scans)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    // one scan of lineitem — four constraints share the single aggregate
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected one lineitem scan, got $scans:\n$p")
+  }
+}
