@@ -36,15 +36,22 @@ object ScaleQueries {
   }
 
   /** Exact prefix-filtered Jaccard self-join
-    * ([[SetSimJoin.jaccardSelfJoin]]) over 3-shingle sets. The oracle
+    * ([[SetSimJoin.jaccardSelfJoin]]) over 4-shingle sets. The oracle
     * is the BRUTE-FORCE all-pairs join, so a hash match proves exact
     * recall — the property the LSH family (q_dedup_near) explicitly
     * trades away.
+    *
+    * 4-shingles, not 3: prefix filtering's economy comes from RARE
+    * index elements, and the synthetic corpus's 3-shingle space is
+    * dense enough (avg df ≈ 10 at sf0.1) that prefixes collide into
+    * ~1M candidates; 4-shingles (avg df ≈ 1.2) restore the sparsity a
+    * real web corpus's shingles have, with the identical matched-pair
+    * set at this threshold.
     */
   def qSimPrefix(s: SparkSession, dir: String): DataFrame =
     SetSimJoin.jaccardSelfJoin(
         Tables.table(s, dir, "documents"), "doc_id",
-        TextAnalysis.shingles(TextAnalysis.tokens(col("text"))),
+        TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 4),
         threshold = 0.5)
       .withColumn("jac", r6(col("jac")))
       .orderBy("id_a", "id_b")
@@ -126,11 +133,11 @@ object ScaleQueries {
     "q_sim_prefix" ->
       ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
         "s AS (SELECT doc_id, list_distinct(list_transform(" +
-        "range(greatest(len(w) - 2, 0)), " +
-        "j -> w[j+1] || ' ' || w[j+2] || ' ' || w[j+3])) AS sh " +
-        "FROM w WHERE len(w) >= 3 AND len(list_distinct(list_transform(" +
-        "range(greatest(len(w) - 2, 0)), " +
-        "j -> w[j+1] || ' ' || w[j+2] || ' ' || w[j+3]))) > 0) " +
+        "range(greatest(len(w) - 3, 0)), " +
+        "j -> w[j+1] || ' ' || w[j+2] || ' ' || w[j+3] || ' ' || w[j+4])) AS sh " +
+        "FROM w WHERE len(w) >= 4 AND len(list_distinct(list_transform(" +
+        "range(greatest(len(w) - 3, 0)), " +
+        "j -> w[j+1] || ' ' || w[j+2] || ' ' || w[j+3] || ' ' || w[j+4]))) > 0) " +
         "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
         O.r6("len(list_intersect(a.sh, b.sh))::DOUBLE / " +
           "len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE") + " AS jac " +

@@ -301,6 +301,27 @@ object SqlSurfaceQueries {
         |FROM events_v GROUP BY event_type ORDER BY event_type""".stripMargin)
   }
 
+  /** Recursive CTE (Spark 4's UnionLoop operator): every part key walks
+    * the implicit binary tree `parent = key DIV 2` up to the root,
+    * aggregating its path — iterative fixpoint execution through the
+    * SQL front end, the surface that covers hierarchy/BOM traversals.
+    * Depth is log₂(maxKey) (~15 at sf0.1), far under Spark's
+    * 100-level recursion guard. DuckDB spells the identical recursion.
+    */
+  def qRecursive(s: SparkSession, dir: String): DataFrame = {
+    Tables.table(s, dir, "part").createOrReplaceTempView("part_v")
+    s.sql(
+      """WITH RECURSIVE walk AS (
+        |  SELECT p_partkey AS node, p_partkey AS cur, 0 AS depth FROM part_v
+        |  UNION ALL
+        |  SELECT node, cur DIV 2 AS cur, depth + 1 AS depth
+        |  FROM walk WHERE cur > 1
+        |)
+        |SELECT node, max(depth) AS depth, count(*) AS n_steps,
+        |       sum(cur) AS path_sum
+        |FROM walk GROUP BY node ORDER BY node""".stripMargin)
+  }
+
   /** Correlated subqueries — Catalyst's decorrelation path (scalar
     * subquery → left outer aggregate join; EXISTS → left semi join),
     * a planner surface the DSL queries never touch. The SQL text runs
@@ -347,6 +368,7 @@ object SqlSurfaceQueries {
     "q_dates" -> (qDates _),
     "q_json" -> (qJson _),
     "q_sql" -> (qSql _),
+    "q_recursive" -> (qRecursive _),
     "q_percentile_approx" -> (qPercentileApprox _), // rows-only (sketch)
     "q_variant" -> (qVariant _),
   )
@@ -477,5 +499,14 @@ object SqlSurfaceQueries {
       ("SELECT event_type, count(*) AS n, min(event_id) AS min_id, " +
         "max(event_id) AS max_id FROM events GROUP BY event_type " +
         "ORDER BY event_type"),
+    "q_recursive" ->
+      ("WITH RECURSIVE walk AS (" +
+        "SELECT p_partkey AS node, p_partkey AS cur, 0 AS depth FROM part " +
+        "UNION ALL " +
+        "SELECT node, cur // 2 AS cur, depth + 1 AS depth " +
+        "FROM walk WHERE cur > 1) " +
+        "SELECT node, max(depth) AS depth, count(*) AS n_steps, " +
+        "sum(cur)::BIGINT AS path_sum " +
+        "FROM walk GROUP BY node ORDER BY node"),
   )
 }
