@@ -34,31 +34,40 @@ object SqlFunctions {
     if (args.length != n) throw new IllegalArgumentException(
       s"$fn expects $n arguments, got ${args.length}")
 
-  /** Register every custom expression on `spark` (idempotent). */
-  def register(spark: SparkSession): Unit = {
-    GraftShims.registerFunction(spark, "simhash64", { args =>
+  /** (name, builder) for every custom expression — the single source the
+    * runtime registration ([[register]]) and the builder-time
+    * installation path ([[graft.GraftExtensions]]) both consume.
+    */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "simhash64" -> { args =>
       arity(args, 1, "simhash64")
       SimHash64Expr(args.head)
-    })
-    GraftShims.registerFunction(spark, "minhash_sigs", { args =>
+    },
+    "minhash_sigs" -> { args =>
       arity(args, 2, "minhash_sigs")
       MinHashSigsExpr(args.head, litInt(args(1), "minhash_sigs", "k"))
-    })
-    GraftShims.registerFunction(spark, "cosine_sim", { args =>
+    },
+    "cosine_sim" -> { args =>
       arity(args, 2, "cosine_sim")
       CosineSimExpr(args.head, args(1))
-    })
-    GraftShims.registerFunction(spark, "cosine_lsh_bucket", { args =>
+    },
+    "cosine_lsh_bucket" -> { args =>
       arity(args, 2, "cosine_lsh_bucket")
       CosineLshBucketExpr(args.head, litInt(args(1), "cosine_lsh_bucket", "nBits"))
-    })
-    GraftShims.registerFunction(spark, "rolling_minhash", { args =>
+    },
+    "rolling_minhash" -> { args =>
       arity(args, 2, "rolling_minhash")
       RollingMinHashExpr(args.head, litInt(args(1), "rolling_minhash", "window"))
-    })
-    GraftShims.registerFunction(spark, "deflate_size", { args =>
+    },
+    "deflate_size" -> { args =>
       arity(args, 1, "deflate_size")
       DeflateSizeExpr(args.head)
-    })
-  }
+    },
+  )
+
+  /** Register every custom expression on `spark` (idempotent). */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, b) =>
+      GraftShims.registerFunction(spark, name, b)
+    }
 }

@@ -20,6 +20,22 @@ object GraftShims {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** What a `SparkSessionExtensions` instance would install — the
+    * planner strategies and function names — exposed so specs can
+    * verify `graft.GraftExtensions` without tearing down the shared
+    * test session (extensions bind only at session instantiation; the
+    * build methods are `private[sql]`).
+    */
+  def extensionStrategies(
+      ext: SparkSessionExtensions,
+      spark: SparkSession): Seq[org.apache.spark.sql.execution.SparkStrategy] =
+    ext.buildPlannerStrategies(spark)
+
+  def extensionFunctionNames(ext: SparkSessionExtensions): Seq[String] = {
+    val reg = new org.apache.spark.sql.catalyst.analysis.SimpleFunctionRegistry
+    ext.registerFunctions(reg).listFunction().map(_.funcName)
+  }
+
   /** Register a custom expression as a SQL function on an existing
     * session (idempotent — re-registration overwrites with the same
     * builder). The builder-time equivalent is
