@@ -424,6 +424,46 @@ object Dedup {
       .select("id_a", "id_b", "cos")
   }
 
+  /** Semantic dedup (the SemDeDup recipe — Abbas et al., 2023: cluster
+    * the embedding space, then drop within-cluster semantic redundancy):
+    * k-means partitions the corpus into semantically coherent cells, and
+    * only WITHIN a cell are pairwise cosines computed — the step that
+    * makes semantic dedup tractable, since the pair scan is bounded by
+    * cluster size, never corpus². A vector is dropped iff some
+    * smaller-id vector in its cluster is cosine-similar above the
+    * threshold (min-id dominance — the deterministic keep-one rule,
+    * matching [[exactDuplicates]]' representative choice).
+    *
+    * Scale shape: the assignment inherits [[Clustering.kmeans]]'s
+    * broadcast-Lloyd plan; the pair stage is an equi-join on `cluster`
+    * whose fan-in is the cell size — k scales WITH the corpus (SemDeDup
+    * uses ~100k clusters at web scale) precisely to keep cells bounded;
+    * the removal is a broadcast anti join of the (small) loser set.
+    *
+    * Returns the SURVIVORS: (vec_id, cluster).
+    */
+  def semanticDupSurvivors(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 8,
+      iters: Int = 2,
+      threshold: Double = 0.35,
+  ): DataFrame = {
+    val assign = Clustering.kmeans(emb, idCol, vecCol, k, iters)
+      .select("vec_id", "cluster")
+    val vecs = emb.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+    val av = assign.join(vecs, "vec_id")
+    val a = av.toDF("id_a", "cluster", "va")
+    val b = av.toDF("id_b", "cluster", "vb")
+    val losers = a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(Similarity.cosine(col("va"), col("vb")) >= threshold)
+      .select(col("id_b").as("vec_id"))
+      .distinct()
+    assign.join(losers, Seq("vec_id"), "left_anti")
+  }
+
   /** SimHash fingerprint per document (custom Catalyst expression,
     * codegen'd); near-dups have small Hamming distance.
     */

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{DataQuality, ProductQuantization, RuntimeFilters, SetSimJoin, TextAnalysis}
+import graft.ops.{Clustering, DataQuality, Dedup, ProductQuantization, RuntimeFilters, SetSimJoin, TextAnalysis}
 import graft.queries.Det._
 import graft.queries.{Oracle => O}
 import graft.sources.Tables
@@ -112,15 +112,45 @@ object ScaleQueries {
       .orderBy("doc_id")
   }
 
+  /** Semantic dedup ([[Dedup.semanticDupSurvivors]], the SemDeDup
+    * recipe): k-means cells → within-cell cosine pairs → min-id
+    * dominance survivors. The oracle replays the kmeans unrolled-CTE
+    * chain and the same pair/anti logic, so cluster assignment, pair
+    * generation, AND the keep rule are all hash-checked end to end.
+    */
+  def qSemDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.semanticDupSurvivors(
+        Tables.table(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, iters = 2, threshold = 0.35)
+      .orderBy("vec_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bloom_join" -> (qBloomJoin _),
     "q_sim_prefix" -> (qSimPrefix _),
     "q_dq" -> (qDq _),
     "q_sim_pq" -> (qSimPq _),
     "q_compress" -> (qCompress _),
+    "q_semdedup" -> (qSemDedup _),
   )
 
+  /** DuckDB cosine over double lists — the [[graft.functions.CosineSim]]
+    * fold's spelling (sequential dot and norms, one final division).
+    */
+  private def cosSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(len($a)), i -> $a[i+1]::DOUBLE * $b[i+1]::DOUBLE)) / " +
+      s"(sqrt(list_sum(list_transform($a, x -> x::DOUBLE * x::DOUBLE))) * " +
+      s"sqrt(list_sum(list_transform($b, x -> x::DOUBLE * x::DOUBLE))))"
+
   val oracleSql: Map[String, String] = Map(
+    // the kmeans CTE chain (assignment CTE `a`, double vectors `vecs`)
+    // extends with the within-cluster pair scan and min-id dominance
+    "q_semdedup" -> Clustering.kmeansOracleSql(8, 2,
+      ", av AS (SELECT a.vec_id, a.cluster, v FROM a JOIN vecs USING (vec_id)), " +
+        "p AS (SELECT x.vec_id AS ia, y.vec_id AS ib FROM av x JOIN av y " +
+        "ON x.cluster = y.cluster AND x.vec_id < y.vec_id " +
+        s"WHERE ${cosSql("x.v", "y.v")} >= 0.35) " +
+        "SELECT vec_id, cluster FROM a " +
+        "WHERE vec_id NOT IN (SELECT ib FROM p) ORDER BY vec_id"),
     "q_sim_pq" -> ProductQuantization.pqOracleSql(
       m = 8, k = 16, iters = 2, nq = 5, topK = 10,
       "SELECT qid, cid, " + O.r6("ad2") + " AS ad2, rank FROM r " +

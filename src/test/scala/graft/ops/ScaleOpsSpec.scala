@@ -173,6 +173,31 @@ class ScaleOpsSpec extends SparkTestBase {
     assert((0L until 5L).forall(q => shortlist.contains((q, q))))
   }
 
+  // ---- Semantic dedup --------------------------------------------------
+
+  test("semantic dedup: min-id dominance against a brute-force recompute") {
+    val surv = Dedup.semanticDupSurvivors(emb, "vec_id", "embedding",
+      k = 8, iters = 1, threshold = 0.35).cache()
+    val assign = Clustering.kmeans(emb, "vec_id", "embedding", 8, 1)
+      .select("vec_id", "cluster").cache()
+    // brute-force loser set under the same assignment
+    val av = assign.join(
+      emb.select(col("vec_id"), col("embedding").as("v")), "vec_id")
+    val losers = av.toDF("id_a", "cluster", "va")
+      .join(av.toDF("id_b", "cluster", "vb"), Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(Similarity.cosine(col("va"), col("vb")) >= 0.35)
+      .select("id_b").distinct().collect().map(_.getLong(0)).toSet
+    val survIds = surv.select("vec_id").collect().map(_.getLong(0)).toSet
+    val allIds = assign.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(survIds == (allIds -- losers))
+    // the smallest id of every cluster can never be dominated
+    val minIds = assign.groupBy("cluster").agg(min("vec_id").as("m"))
+      .collect().map(_.getLong(1)).toSet
+    assert(minIds.subsetOf(survIds))
+    surv.unpersist(); assign.unpersist()
+  }
+
   // ---- DeflateSize ----------------------------------------------------
 
   test("compression ratio separates repetition from diverse text") {
