@@ -124,6 +124,28 @@ object ScaleQueries {
         k = 8, iters = 2, threshold = 0.35)
       .orderBy("vec_id")
 
+  /** Higher-order-function surface: the lambda family (`transform`,
+    * `filter`, `exists`, `forall`, `aggregate`, `zip_with`) as a
+    * first-class checked gate — integer-valued throughout, so the
+    * cross-engine hash needs no float discipline. DuckDB spells the
+    * same values through its list_* family.
+    */
+  def qHof(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val lens = transform(toks, t => length(t))
+    Tables.table(s, dir, "documents").select(
+      col("doc_id"),
+      size(filter(toks, t => length(t) > 4)).cast("long").as("n_long"),
+      aggregate(lens, lit(0L), (a, x) => a + x).as("total_chars"),
+      exists(toks, _ === "spark").cast("int").as("has_spark"),
+      forall(toks, t => length(t) > 0).cast("int").as("all_nonempty"),
+      // palindromic length sum: zip each token length with its mirror —
+      // exercises zip_with + reverse over the same lambda-bound array
+      aggregate(zip_with(lens, reverse(lens), (a, b) => a + b),
+        lit(0L), (a, x) => a + x).as("sym_sum"),
+    ).orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bloom_join" -> (qBloomJoin _),
     "q_sim_prefix" -> (qSimPrefix _),
@@ -131,6 +153,7 @@ object ScaleQueries {
     "q_sim_pq" -> (qSimPq _),
     "q_compress" -> (qCompress _),
     "q_semdedup" -> (qSemDedup _),
+    "q_hof" -> (qHof _),
   )
 
   /** DuckDB cosine over double lists — the [[graft.functions.CosineSim]]
@@ -151,6 +174,18 @@ object ScaleQueries {
         s"WHERE ${cosSql("x.v", "y.v")} >= 0.35) " +
         "SELECT vec_id, cluster FROM a " +
         "WHERE vec_id NOT IN (SELECT ib FROM p) ORDER BY vec_id"),
+    "q_hof" ->
+      ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "l AS (SELECT doc_id, w, list_transform(w, t -> length(t)) AS lens FROM w) " +
+        "SELECT doc_id, " +
+        "len(list_filter(w, t -> length(t) > 4))::BIGINT AS n_long, " +
+        "coalesce(list_sum(lens), 0)::BIGINT AS total_chars, " +
+        "(CASE WHEN list_contains(w, 'spark') THEN 1 ELSE 0 END) AS has_spark, " +
+        "(CASE WHEN len(list_filter(w, t -> length(t) = 0)) = 0 THEN 1 ELSE 0 END) " +
+        "AS all_nonempty, " +
+        "coalesce(list_sum(list_transform(range(len(lens)), " +
+        "i -> lens[i+1] + lens[len(lens)-i])), 0)::BIGINT AS sym_sum " +
+        "FROM l ORDER BY doc_id"),
     "q_sim_pq" -> ProductQuantization.pqOracleSql(
       m = 8, k = 16, iters = 2, nq = 5, topK = 10,
       "SELECT qid, cid, " + O.r6("ad2") + " AS ad2, rank FROM r " +
