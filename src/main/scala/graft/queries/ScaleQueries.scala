@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Clustering, DataQuality, Dedup, ProductQuantization, RuntimeFilters, SetSimJoin, TextAnalysis}
+import graft.ops.{Clustering, DataQuality, Dedup, Incremental, ProductQuantization, RuntimeFilters, SetSimJoin, TextAnalysis}
 import graft.queries.Det._
 import graft.queries.{Oracle => O}
 import graft.sources.Tables
@@ -146,6 +146,23 @@ object ScaleQueries {
     ).orderBy("doc_id")
   }
 
+  /** Incremental aggregation ([[Incremental]]): the events table split
+    * into three "daily batches" (event_id mod 3), each reduced to
+    * per-event-type partial state, states merged and finalized — the
+    * oracle computes the DIRECT aggregate over everything, so a hash
+    * match proves state decomposition + merge + finalize lose nothing
+    * (incl. avg = merged-sum/merged-n, not an average of averages).
+    */
+  def qAggInc(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val batches = (0 to 2).map(i =>
+      Incremental.partialState(
+        ev.filter(col("event_id") % 3 === i), Seq("event_type"), "value"))
+    Incremental.finalize(
+        Incremental.mergeStates(batches, Seq("event_type")), Seq("event_type"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bloom_join" -> (qBloomJoin _),
     "q_sim_prefix" -> (qSimPrefix _),
@@ -154,6 +171,7 @@ object ScaleQueries {
     "q_compress" -> (qCompress _),
     "q_semdedup" -> (qSemDedup _),
     "q_hof" -> (qHof _),
+    "q_agg_inc" -> (qAggInc _),
   )
 
   /** DuckDB cosine over double lists — the [[graft.functions.CosineSim]]
@@ -186,6 +204,12 @@ object ScaleQueries {
         "coalesce(list_sum(list_transform(range(len(lens)), " +
         "i -> lens[i+1] + lens[len(lens)-i])), 0)::BIGINT AS sym_sum " +
         "FROM l ORDER BY doc_id"),
+    "q_agg_inc" ->
+      ("SELECT event_type, count(value) AS n, " +
+        "CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_v, " +
+        "min(value) AS min_v, max(value) AS max_v, " +
+        O.r6("CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / count(value)") +
+        " AS avg_v FROM events GROUP BY 1 ORDER BY 1"),
     "q_sim_pq" -> ProductQuantization.pqOracleSql(
       m = 8, k = 16, iters = 2, nq = 5, topK = 10,
       "SELECT qid, cid, " + O.r6("ad2") + " AS ad2, rank FROM r " +

@@ -225,6 +225,63 @@ class ScaleOpsSpec extends SparkTestBase {
       .isEmpty)
   }
 
+  // ---- Incremental ----------------------------------------------------
+
+  test("incremental state merge equals the direct aggregate in any batch order") {
+    val ev = Tables.events(spark, Sf0001)
+    val b = (0 to 2).map(i =>
+      Incremental.partialState(
+        ev.filter(col("event_id") % 3 === i), Seq("event_type"), "value"))
+    val direct = Incremental.finalize(
+      Incremental.partialState(ev, Seq("event_type"), "value"), Seq("event_type"))
+    for (perm <- Seq(b, b.reverse, Seq(b(1), b(2), b(0)))) {
+      val merged = Incremental.finalize(
+        Incremental.mergeStates(perm, Seq("event_type")), Seq("event_type"))
+      assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty)
+    }
+  }
+
+  test("incremental state stays state-sized: one batch's state merges with history") {
+    val ev = Tables.events(spark, Sf0001)
+    val history = Incremental.partialState(
+      ev.filter(col("event_id") % 3 =!= 0), Seq("event_type"), "value")
+    val today = Incremental.partialState(
+      ev.filter(col("event_id") % 3 === 0), Seq("event_type"), "value")
+    val merged = Incremental.mergeStates(Seq(history, today), Seq("event_type"))
+    // the merged STATE is still one row per key — the invariant that
+    // keeps the daily job O(day), not O(history)
+    assert(merged.count() == ev.select("event_type").distinct().count())
+  }
+
+  // ---- spark.ml LSH interop -------------------------------------------
+
+  test("spark.ml MinHashLSH recovers the exact near-dup pairs (interop)") {
+    // SURVEY §7.4 named spark.ml's MinHashLSH as the stock near-dup
+    // path; the engine uses seed-free md5 MinHash for cross-engine
+    // determinism. This asserts the two agree: the stock estimator
+    // (seeded, binary-hashed features) finds every pair the exact
+    // verified path emits at Jaccard >= 0.8.
+    import org.apache.spark.ml.feature.{HashingTF, MinHashLSH, Tokenizer}
+    val tok = new Tokenizer().setInputCol("text").setOutputCol("toks")
+    val tf = new HashingTF().setInputCol("toks").setOutputCol("features")
+      .setNumFeatures(1 << 18).setBinary(true)
+    val feat = tf.transform(tok.transform(docs))
+      .filter(size(col("toks")) > 0)
+    val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(8).setSeed(42L)
+    val model = lsh.fit(feat)
+    val approx = model.approxSimilarityJoin(feat, feat, 0.45, "dist")
+      .select(col("datasetA.doc_id").as("a"), col("datasetB.doc_id").as("b"))
+      .filter(col("a") < col("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.nearDuplicatePairs(docs, "doc_id", "text", 0.8)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(exact.subsetOf(approx),
+      s"stock LSH missed ${exact -- approx} of ${exact.size} exact pairs")
+  }
+
   // ---- DataQuality ----------------------------------------------------
 
   test("audit computes exact metrics and verdicts per constraint") {
