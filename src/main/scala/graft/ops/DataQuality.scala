@@ -61,6 +61,15 @@ object DataQuality {
     val name = s"ref:$column"
   }
 
+  /** Arbitrary row predicate — rows violating `predicate` count as the
+    * metric. The escape hatch for table-specific invariants
+    * (cross-column relations, conditional rules) that still folds into
+    * the single scalar aggregate pass.
+    */
+  final case class Custom(label: String, predicate: Column) extends Check {
+    val name = s"custom:$label"
+  }
+
   /** Run the audit: one report row per check —
     * (check, metric double, pass boolean) ordered by check name.
     */
@@ -93,6 +102,13 @@ object DataQuality {
             !col(columnName).isin(allowed: _*), 1L).otherwise(0L)).cast("double")
         struct(lit(c.name).as("check"), outside.as("metric"),
           (outside === 0.0).as("pass"))
+      case c @ Custom(_, predicate) =>
+        // null predicate results (SQL three-valued logic) count as
+        // violations: a constraint that can't evaluate didn't hold
+        val violations = sum(
+          when(coalesce(predicate, lit(false)), 0L).otherwise(1L)).cast("double")
+        struct(lit(c.name).as("check"), violations.as("metric"),
+          (violations === 0.0).as("pass"))
     }
     val scalarReport =
       if (scalarStructs.isEmpty) None

@@ -70,6 +70,8 @@ object ScaleQueries {
         Bounds("l_discount", 0.0, 0.1),
         Bounds("l_quantity", 1.0, 40.0),
         Accepted("l_returnflag", Seq("A", "N", "R")),
+        Custom("tax_le_discount_bound",
+          col("l_tax") <= lit(0.08) || col("l_discount") <= lit(0.1)),
         Referential("l_partkey", Tables.table(s, dir, "part"), "p_partkey"),
         Referential("l_suppkey", Tables.table(s, dir, "supplier"), "s_suppkey")))
       .select(col("check"), r6(col("metric")).as("metric"),
@@ -248,6 +250,9 @@ object ScaleQueries {
         "::DOUBLE FROM lineitem " +
         "UNION ALL SELECT 'complete:l_quantity', " +
         "(count(*) - count(l_quantity))::DOUBLE / count(*)::DOUBLE FROM lineitem " +
+        "UNION ALL SELECT 'custom:tax_le_discount_bound', " +
+        "sum(CASE WHEN coalesce(l_tax <= 0.08 OR l_discount <= 0.1, false) " +
+        "THEN 0 ELSE 1 END)::DOUBLE FROM lineitem " +
         "UNION ALL SELECT 'ref:l_partkey', count(*)::DOUBLE FROM lineitem " +
         "WHERE l_partkey IS NOT NULL AND l_partkey NOT IN " +
         "(SELECT p_partkey FROM part) " +

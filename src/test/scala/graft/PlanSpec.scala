@@ -147,6 +147,28 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("DQ referential checks plan as broadcast anti joins (dim side small)") {
+    import graft.ops.DataQuality._
+    val li = Tables.table(spark, Sf0001, "lineitem")
+    val p = plan(audit(li, Seq(
+      Referential("l_partkey", Tables.table(spark, Sf0001, "part"), "p_partkey"))))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"referential check should broadcast-anti, got:\n$p")
+  }
+
+  test("incremental merge is one state-sized exchange (partial+final agg)") {
+    import graft.ops.Incremental
+    val ev = Tables.events(spark, Sf0001)
+    val states = (0 to 1).map(i =>
+      Incremental.partialState(
+        ev.filter(col("event_id") % 2 === i), Seq("event_type"), "value"))
+    val p = plan(Incremental.mergeStates(states, Seq("event_type")))
+    // merge input is the union of two already-aggregated states; the
+    // merge group-by itself gets partial+final around ONE exchange
+    assert("HashAggregate".r.findAllIn(p).length >= 4, s"no partial agg:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("runtime bloom-filter join pruning injects on a selective join") {
     // thresholds floored so the tiny fixture qualifies; at real scale
     // the defaults (10M creation side) gate the same rewrite

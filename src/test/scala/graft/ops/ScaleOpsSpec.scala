@@ -307,6 +307,18 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(report("ref:id") == ((0.0, true)))
   }
 
+  test("custom predicate check counts violations; null predicates violate") {
+    import DataQuality._
+    val t = Seq(
+      (1L, Some(5.0)), // 5 < 10: holds
+      (2L, Some(15.0)), // violates
+      (3L, None), // predicate is NULL → counts as violation
+    ).toDF("id", "v")
+    val row = audit(t, Seq(Custom("v_small", col("v") < 10.0))).head()
+    assert(row.getString(0) == "custom:v_small")
+    assert(row.getDouble(1) == 2.0 && !row.getBoolean(2))
+  }
+
   test("audit referential check counts orphans, ignoring null keys") {
     import DataQuality._
     val t = Seq(Some(1L), Some(4L), None, Some(5L)).toDF("fk")
