@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Clustering, DataQuality, Dedup, Incremental, ProductQuantization, RuntimeFilters, SetSimJoin, TextAnalysis}
+import graft.ops.{Clustering, DataQuality, Dedup, Incremental, ProductQuantization, Profile, RuntimeFilters, SetSimJoin, TextAnalysis}
 import graft.queries.Det._
 import graft.queries.{Oracle => O}
 import graft.sources.Tables
@@ -165,6 +165,20 @@ object ScaleQueries {
       .orderBy("event_type")
   }
 
+  /** Order-independent table checksum ([[Profile.tableChecksum]]) over
+    * the events table's engine-stable columns (ids, strings, epoch
+    * millis — no raw doubles, whose string forms differ by engine).
+    * The oracle computes the identical md5-term sum in DuckDB: a match
+    * proves the multiset fingerprint is engine- and order-independent —
+    * the cross-environment equality primitive.
+    */
+  def qChecksum(s: SparkSession, dir: String): DataFrame =
+    Profile.tableChecksum(
+      Tables.events(s, dir).select(
+        col("event_id"), col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("ts_ms"), col("props")),
+      Seq("event_id", "user_id", "event_type", "ts_ms", "props"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bloom_join" -> (qBloomJoin _),
     "q_sim_prefix" -> (qSimPrefix _),
@@ -174,6 +188,7 @@ object ScaleQueries {
     "q_semdedup" -> (qSemDedup _),
     "q_hof" -> (qHof _),
     "q_agg_inc" -> (qAggInc _),
+    "q_checksum" -> (qChecksum _),
   )
 
   /** DuckDB cosine over double lists — the [[graft.functions.CosineSim]]
@@ -212,6 +227,15 @@ object ScaleQueries {
         "min(value) AS min_v, max(value) AS max_v, " +
         O.r6("CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / count(value)") +
         " AS avg_v FROM events GROUP BY 1 ORDER BY 1"),
+    "q_checksum" ->
+      ("WITH h AS (SELECT ('0x' || substr(md5(" +
+        "coalesce(event_id::VARCHAR, ' null') || '|' || " +
+        "coalesce(user_id::VARCHAR, ' null') || '|' || " +
+        "coalesce(event_type, ' null') || '|' || " +
+        "coalesce(epoch_ms(ts)::VARCHAR, ' null') || '|' || " +
+        "coalesce(props, ' null')), 1, 15))::BIGINT AS v FROM events) " +
+        "SELECT count(*) AS n_rows, " +
+        "coalesce(sum(v::DECIMAL(38,0)), 0::DECIMAL(38,0)) AS checksum FROM h"),
     "q_sim_pq" -> ProductQuantization.pqOracleSql(
       m = 8, k = 16, iters = 2, nq = 5, topK = 10,
       "SELECT qid, cid, " + O.r6("ad2") + " AS ad2, rank FROM r " +

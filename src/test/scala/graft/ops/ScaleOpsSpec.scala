@@ -253,6 +253,29 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(merged.count() == ev.select("event_type").distinct().count())
   }
 
+  // ---- Table checksum -------------------------------------------------
+
+  test("table checksum is partitioning-invariant and single-row-sensitive") {
+    val li = Tables.table(spark, Sf0001, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_returnflag")
+    val cols = Seq("l_orderkey", "l_linenumber", "l_returnflag")
+    val base = Profile.tableChecksum(li, cols).head()
+    // any repartitioning / ordering yields the identical fingerprint
+    val shuffled = Profile.tableChecksum(
+      li.repartition(17, col("l_returnflag")).sortWithinPartitions("l_linenumber"),
+      cols).head()
+    assert(base == shuffled)
+    // one extra row changes it
+    import spark.implicits._
+    val extra = Seq((-1L, -1, "X")).toDF(cols: _*)
+    val tweaked = Profile.tableChecksum(li.unionByName(extra), cols).head()
+    assert(tweaked.getLong(0) == base.getLong(0) + 1 &&
+      base.getDecimal(1) != tweaked.getDecimal(1))
+    // empty input: zero rows, zero checksum — not null
+    val empty = Profile.tableChecksum(li.filter(lit(false)), cols).head()
+    assert(empty.getLong(0) == 0L && empty.getDecimal(1).signum() == 0)
+  }
+
   // ---- spark.ml LSH interop -------------------------------------------
 
   test("spark.ml MinHashLSH recovers the exact near-dup pairs (interop)") {
