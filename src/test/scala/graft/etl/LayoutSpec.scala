@@ -88,6 +88,41 @@ class LayoutSpec extends SparkTestBase {
     assert(spread(zdir, "x") < 200)
   }
 
+  test("dynamic partition overwrite rewrites only the touched partitions") {
+    import spark.implicits._
+    val dir = tmpDir("dyn_overwrite")
+    val saved = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "part")
+        .write.partitionBy("part").mode("overwrite").parquet(dir)
+      // a daily rerun touching ONE partition must not wipe the others —
+      // the production overwrite semantics static mode gets wrong
+      Seq((20L, "b")).toDF("id", "part")
+        .write.partitionBy("part").mode("overwrite").parquet(dir)
+      val got = spark.read.parquet(dir).select("id", "part")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == Set((1L, "a"), (20L, "b"), (3L, "c")))
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  test("schema evolution: mergeSchema unions columns across file generations") {
+    import spark.implicits._
+    val dir = tmpDir("evolve")
+    Seq((1L, "x")).toDF("id", "a").write.parquet(s"$dir/gen=1")
+    Seq((2L, "y", 9.5)).toDF("id", "a", "score").write.parquet(s"$dir/gen=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("id", "a", "score", "gen"))
+    val rows = merged.select("id", "score").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toSet
+    // old-generation files read with the evolved schema: absent → null
+    assert(rows == Set((1L, None), (2L, Some(9.5))))
+  }
+
   test("upsert: matched keys replaced whole-row, new keys inserted, rest untouched") {
     import spark.implicits._
     val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
