@@ -131,6 +131,72 @@ object SqlSurfaceQueries {
       .limit(100)
   }
 
+  /** TPC-H Q1 shape (pricing summary): the canonical single-table scan
+    * → filter → 2-key hash aggregate with EIGHT aggregates including
+    * three chained-expression sums and three averages — the widest
+    * aggregate row in the suite, all map-side-combining into one
+    * exchange. Decimal discipline per [[graft.queries.Det]].
+    */
+  def qTpchQ1(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q10 shape (returned-item reporting): customer revenue lost to
+    * returns — a two-fact join (orders ⋈ lineitem filtered to returns)
+    * re-aggregated per customer with the nation dim broadcast, top 20.
+    */
+  def qTpchQ10(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "customer")
+      .join(Tables.table(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1998-06-01").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.table(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R"),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.table(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
+  /** The try_* error-handling family: `try_cast`, `try_divide`,
+    * `try_add` return NULL where strict evaluation would throw — the
+    * surface for ingesting dirty data without per-row exception cost.
+    * Exercised over deliberately mixed-validity strings derived from
+    * event props.
+    */
+  def qTry(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").as("raw"), // proven q_json path
+        col("value"))
+      .select(
+        col("event_id"),
+        expr("try_cast(raw AS BIGINT)").as("k_num"),
+        // 'x'-prefixed digits never cast: NULL, not an exception
+        expr("try_cast(concat('x', raw) AS BIGINT)").as("bad_cast"),
+        // k % 3 == 0 → division by zero → NULL under try semantics
+        expr("try_divide(value, try_cast(raw AS BIGINT) % 3)").as("div_mod"),
+        // MaxLong + k overflows for every k > 0 → NULL; k = 0 passes
+        expr("try_add(9223372036854775807, try_cast(raw AS BIGINT))").as("ov_add"))
+      .withColumn("div_mod", r6(col("div_mod")))
+      .orderBy("event_id")
+
   /** Wide-to-long reshape (UNPIVOT/melt) + re-aggregation: four lineitem
     * measure columns melt into (metric, value) rows, then per-metric
     * count/mean/min/max. The unpivot itself is a zero-shuffle per-row
@@ -358,8 +424,11 @@ object SqlSurfaceQueries {
     "q_lateral" -> (qLateral _),
     "q_tpch_q3" -> (qTpchQ3 _),
     "q_tpch_q5" -> (qTpchQ5 _),
+    "q_tpch_q1" -> (qTpchQ1 _),
     "q_tpch_q7" -> (qTpchQ7 _),
+    "q_tpch_q10" -> (qTpchQ10 _),
     "q_tpch_q18" -> (qTpchQ18 _),
+    "q_try" -> (qTry _),
     "q_unpivot" -> (qUnpivot _),
     "q_join_outer" -> (qJoinOuter _),
     "q_sort_nulls" -> (qSortNulls _),
@@ -425,6 +494,37 @@ object SqlSurfaceQueries {
         "AND TIMESTAMP '1997-12-31') " +
         "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
     // sum(l_quantity) is integer-valued doubles → exact, order-free
+    "q_tpch_q1" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        O.dsum("l_quantity") + " AS sum_qty, " +
+        O.dsum("l_extendedprice") + " AS sum_base_price, " +
+        O.dsum("l_extendedprice * (1.0 - l_discount)") + " AS sum_disc_price, " +
+        O.dsum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)") +
+        " AS sum_charge, " +
+        O.davg("l_quantity") + " AS avg_qty, " +
+        O.davg("l_extendedprice") + " AS avg_price, " +
+        O.davg("l_discount") + " AS avg_disc, " +
+        "count(*) AS count_order " +
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
+    "q_tpch_q10" ->
+      ("SELECT c_custkey, c_name, c_acctbal, n_name, " +
+        O.dsum("l_extendedprice * (1.0 - l_discount)") + " AS revenue " +
+        "FROM customer, orders, lineitem, nation " +
+        "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey " +
+        "AND o_orderdate >= TIMESTAMP '1998-06-01 00:00:00' " +
+        "AND l_returnflag = 'R' AND c_nationkey = n_nationkey " +
+        "GROUP BY 1, 2, 3, 4 ORDER BY revenue DESC, c_custkey LIMIT 20"),
+    "q_try" ->
+      ("WITH x AS (SELECT event_id, json_extract_string(props, '$.k') AS raw, " +
+        "value FROM events), " +
+        "t AS (SELECT event_id, TRY_CAST(raw AS BIGINT) AS k_num, " +
+        "TRY_CAST('x' || raw AS BIGINT) AS bad_cast, " +
+        "value / nullif(TRY_CAST(raw AS BIGINT) % 3, 0) AS dv, " +
+        "CASE WHEN TRY_CAST(raw AS BIGINT) = 0 THEN 9223372036854775807 " +
+        "ELSE NULL END AS ov_add FROM x) " +
+        "SELECT event_id, k_num, bad_cast, " + O.r6("dv") + " AS div_mod, " +
+        "ov_add FROM t ORDER BY event_id"),
     "q_tpch_q18" ->
       ("SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, " +
         "sum(l_quantity) AS sum_qty " +
