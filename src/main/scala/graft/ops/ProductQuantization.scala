@@ -138,19 +138,22 @@ object ProductQuantization {
       .select(col("qid"), col("vec_id").as("cid"), col("ad2"), col("rank"))
   }
 
-  /** DuckDB spelling of train→encode→ADC for the same (m, k, iters,
-    * nq, topK), over the `embeddings` table with queries = vec_id < nq —
-    * the generated unrolled-CTE oracle, mirroring
-    * [[Clustering.kmeansOracleSql]]'s structure with every stage keyed
-    * by subspace. `finalSelect` wraps the ranked CTE (named `r`:
-    * qid, cid, ad2, rank).
+  /** Index-order squared-distance fold between two DuckDB double lists
+    * — the SQL twin of [[Clustering.sqDist]], parameterized by operand
+    * names so the cell- and subspace-level folds share one spelling.
     */
-  def pqOracleSql(
-      m: Int, k: Int, iters: Int, nq: Int, topK: Int, finalSelect: String): String = {
-    val d2 =
-      "list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(sv) + 1), " +
-        "i -> (sv[CAST(i AS INT)] - c[CAST(i AS INT)]) * " +
-        "(sv[CAST(i AS INT)] - c[CAST(i AS INT)]))), (acc, x) -> acc + x)"
+  private def d2of(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len($a) + 1), " +
+      s"i -> ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]) * " +
+      s"($a[CAST(i AS INT)] - $b[CAST(i AS INT)]))), (acc, x) -> acc + x)"
+
+  /** The shared train→encode→LUT CTE chain (through `codes`, `qsubs`,
+    * `lut`), generated for (m, k, iters, nq) — consumed by both the
+    * full-scan ADC oracle ([[pqOracleSql]]) and the IVF-restricted one
+    * ([[ivfPqOracleSql]]).
+    */
+  private def pqChain(m: Int, k: Int, iters: Int, nq: Int): Seq[String] = {
+    val d2 = d2of("sv", "c")
     def assignCte(name: String, src: String, cent: String): String =
       s"$name AS (SELECT vec_id, subspace, best.c2 AS cluster, best.d AS d2 FROM (" +
         s"SELECT vec_id, $src.subspace, min({'d': $d2, 'c2': cluster}) AS best " +
@@ -183,13 +186,114 @@ object ProductQuantization {
         s"qsubs AS (SELECT vec_id AS qid, subspace, sv FROM subs WHERE vec_id < $nq), " +
         "lut AS (SELECT qid, qsubs.subspace, cluster AS code, " +
         // the LUT distance reuses the fold with qsubs.sv as sv
-        s"$d2 AS pd2 FROM qsubs JOIN cent$iters USING (subspace)), " +
-        "ad AS (SELECT qid, vec_id, CAST(sum(CAST(pd2 AS DECIMAL(38,20))) " +
+        s"$d2 AS pd2 FROM qsubs JOIN cent$iters USING (subspace))"
+    (Seq(base) ++ steps :+ assignCte("pqasg", "subs", s"cent$iters")) :+ tail
+  }
+
+  /** DuckDB spelling of train→encode→ADC for the same (m, k, iters,
+    * nq, topK), over the `embeddings` table with queries = vec_id < nq —
+    * the generated unrolled-CTE oracle, mirroring
+    * [[Clustering.kmeansOracleSql]]'s structure with every stage keyed
+    * by subspace. `finalSelect` wraps the ranked CTE (named `r`:
+    * qid, cid, ad2, rank).
+    */
+  def pqOracleSql(
+      m: Int, k: Int, iters: Int, nq: Int, topK: Int, finalSelect: String): String = {
+    val tail =
+      "ad AS (SELECT qid, vec_id, CAST(sum(CAST(pd2 AS DECIMAL(38,20))) " +
         "AS DOUBLE) AS ad2 FROM codes JOIN lut USING (subspace, code) " +
         "GROUP BY 1, 2), " +
         "r AS (SELECT qid, vec_id AS cid, ad2, row_number() OVER (" +
         "PARTITION BY qid ORDER BY ad2, vec_id) AS rank FROM ad)"
-    (Seq(base) ++ steps :+ assignCte("pqasg", "subs", s"cent$iters") :+ tail)
+    (pqChain(m, k, iters, nq) :+ tail)
       .mkString("WITH ", ", ", s" $finalSelect")
+  }
+
+  /** IVF-PQ oracle: the [[pqChain]] plus stride-sampled cells, exact
+    * full-vector cell assignment for corpus and queries, candidate
+    * restriction to the probed cells, and the same ADC ranking over
+    * candidates only.
+    */
+  def ivfPqOracleSql(
+      m: Int, k: Int, iters: Int, nq: Int, topK: Int,
+      stride: Int, nProbe: Int, finalSelect: String): String = {
+    val tail =
+      s"cen AS (SELECT vec_id AS cell_id, v AS cv FROM vecs " +
+        s"WHERE vec_id % $stride = 0), " +
+        "ccell AS (SELECT vec_id, best.c2 AS cell_id FROM (" +
+        s"SELECT vec_id, min({'d': ${d2of("v", "cv")}, 'c2': cell_id}) AS best " +
+        "FROM vecs, cen GROUP BY vec_id)), " +
+        "qcell AS (SELECT qid, cell_id FROM (" +
+        s"SELECT q.vec_id AS qid, cen.cell_id, row_number() OVER (" +
+        s"PARTITION BY q.vec_id ORDER BY ${d2of("q.v", "cv")}, cell_id) AS rn " +
+        s"FROM (SELECT vec_id, v FROM vecs WHERE vec_id < $nq) q, cen) " +
+        s"WHERE rn <= $nProbe), " +
+        "cand AS (SELECT qid, vec_id FROM ccell JOIN qcell USING (cell_id)), " +
+        "ad AS (SELECT cand.qid, cand.vec_id, " +
+        "CAST(sum(CAST(pd2 AS DECIMAL(38,20))) AS DOUBLE) AS ad2 " +
+        "FROM cand JOIN codes USING (vec_id) " +
+        "JOIN lut ON lut.qid = cand.qid AND lut.subspace = codes.subspace " +
+        "AND lut.code = codes.code GROUP BY 1, 2), " +
+        "r AS (SELECT qid, vec_id AS cid, ad2, row_number() OVER (" +
+        "PARTITION BY qid ORDER BY ad2, vec_id) AS rank FROM ad)"
+    (pqChain(m, k, iters, nq) :+ tail)
+      .mkString("WITH ", ", ", s" $finalSelect")
+  }
+
+  /** IVF-PQ top-k — the production ANN architecture (faiss IVFPQ):
+    * a stride-sampled coarse quantizer prunes the corpus to the
+    * queries' `nProbe` nearest cells (exact full-vector distances, so
+    * cell choice is deterministic), then ADC scores ONLY the surviving
+    * candidates from their m-code representation. Scan work drops by
+    * ~|cells|/nProbe on top of PQ's per-candidate byte economy.
+    *
+    * Scale shape: centroids broadcast (stride keeps them bounded for
+    * any corpus); corpus cell assignment is one broadcast join +
+    * per-row argmin, storable alongside the codes; the probe join
+    * broadcasts (nq × nProbe) cell picks; ADC inherits [[topK]]'s
+    * bounded-triple shuffle, now over candidates only.
+    */
+  def ivfPqTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codes: DataFrame, // (vec_id, subspace, code)
+      codebooks: DataFrame, // (subspace, cluster, c)
+      queries: DataFrame, // (qid, qv)
+      m: Int,
+      topK: Int,
+      stride: Int = 64,
+      nProbe: Int = 2,
+  ): DataFrame = {
+    val vecs = emb.select(col(idCol).as("vec_id"),
+      transform(col(vecCol), _.cast("double")).as("v"))
+    val cen = vecs.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("cell_id"), col("v").as("cv"))
+    val cCells = vecs.crossJoin(broadcast(cen))
+      .withColumn("d2", Clustering.sqDist(col("v"), col("cv")))
+      .groupBy("vec_id")
+      .agg(min(struct(col("d2"), col("cell_id"))).as("_best"))
+      .select(col("vec_id"), col("_best.cell_id").as("cell_id"))
+    val qvecs = queries.select(col("qid"),
+      transform(col("qv"), _.cast("double")).as("v"))
+    val qCells = qvecs.crossJoin(broadcast(cen))
+      .withColumn("d2", Clustering.sqDist(col("v"), col("cv")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("d2"), col("cell_id"))))
+      .filter(col("rn") <= nProbe)
+      .select("qid", "cell_id")
+    val cand = cCells.join(broadcast(qCells), "cell_id").select("qid", "vec_id")
+    val qsubs = subvectors(queries, "qid", "qv", m).toDF("qid", "subspace", "qsv")
+    val lut = qsubs.join(broadcast(codebooks), "subspace")
+      .select(col("qid"), col("subspace"), col("cluster").as("code"),
+        Clustering.sqDist(col("qsv"), col("c")).as("pd2"))
+    cand.join(codes, "vec_id")
+      .join(broadcast(lut), Seq("qid", "subspace", "code"))
+      .groupBy("qid", "vec_id")
+      .agg(sum(col("pd2").cast("decimal(38,20)")).cast("double").as("ad2"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("ad2"), col("vec_id"))))
+      .filter(col("rank") <= topK)
+      .select(col("qid"), col("vec_id").as("cid"), col("ad2"), col("rank"))
   }
 }

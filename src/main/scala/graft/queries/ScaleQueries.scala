@@ -179,6 +179,25 @@ object ScaleQueries {
         unix_millis(col("ts")).as("ts_ms"), col("props")),
       Seq("event_id", "user_id", "event_type", "ts_ms", "props"))
 
+  /** IVF-PQ ANN ([[ProductQuantization.ivfPqTopK]]): coarse stride
+    * cells prune to the queries' 2 nearest cells, PQ-ADC ranks the
+    * survivors — the faiss-IVFPQ architecture, hash-checked end to end
+    * via the composed generated oracle (kmeans-per-subspace chain +
+    * cell restriction).
+    */
+  def qSimIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.table(s, dir, "embeddings")
+    val cb = ProductQuantization.train(emb, "vec_id", "embedding",
+      m = 8, k = 16, iters = 2)
+    val codes = ProductQuantization.encode(emb, "vec_id", "embedding", cb, m = 8)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    ProductQuantization.ivfPqTopK(emb, "vec_id", "embedding", codes, cb,
+        queries, m = 8, topK = 10, stride = 64, nProbe = 2)
+      .withColumn("ad2", r6(col("ad2")))
+      .orderBy("qid", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bloom_join" -> (qBloomJoin _),
     "q_sim_prefix" -> (qSimPrefix _),
@@ -189,6 +208,7 @@ object ScaleQueries {
     "q_hof" -> (qHof _),
     "q_agg_inc" -> (qAggInc _),
     "q_checksum" -> (qChecksum _),
+    "q_sim_ivfpq" -> (qSimIvfPq _),
   )
 
   /** DuckDB cosine over double lists — the [[graft.functions.CosineSim]]
@@ -236,6 +256,10 @@ object ScaleQueries {
         "coalesce(props, ' null')), 1, 15))::BIGINT AS v FROM events) " +
         "SELECT count(*) AS n_rows, " +
         "coalesce(sum(v::DECIMAL(38,0)), 0::DECIMAL(38,0)) AS checksum FROM h"),
+    "q_sim_ivfpq" -> ProductQuantization.ivfPqOracleSql(
+      m = 8, k = 16, iters = 2, nq = 5, topK = 10, stride = 64, nProbe = 2,
+      "SELECT qid, cid, " + O.r6("ad2") + " AS ad2, rank FROM r " +
+        "WHERE rank <= 10 ORDER BY qid, rank"),
     "q_sim_pq" -> ProductQuantization.pqOracleSql(
       m = 8, k = 16, iters = 2, nq = 5, topK = 10,
       "SELECT qid, cid, " + O.r6("ad2") + " AS ad2, rank FROM r " +

@@ -173,6 +173,25 @@ class ScaleOpsSpec extends SparkTestBase {
     assert((0L until 5L).forall(q => shortlist.contains((q, q))))
   }
 
+  test("IVF-PQ: pruned ADC agrees with full-scan ADC on shared candidates") {
+    val cb = ProductQuantization.train(emb, "vec_id", "embedding",
+      m = 8, k = 16, iters = 1)
+    val codes = ProductQuantization.encode(emb, "vec_id", "embedding", cb, m = 8)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val ivf = ProductQuantization.ivfPqTopK(emb, "vec_id", "embedding",
+        codes, cb, queries, m = 8, topK = 10, stride = 64, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(ivf.size == 50) // 5 queries × top-10 (cells hold enough candidates)
+    // the full-scan ADC ranks every corpus vector; the IVF path must
+    // report the IDENTICAL ad2 for every pair it returns — pruning
+    // changes the candidate set, never a surviving pair's distance
+    val full = ProductQuantization.topK(codes, cb, queries, m = 8,
+        topK = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    ivf.foreach { case (pair, d) => assert(full(pair) == d, s"ad2 drift at $pair") }
+  }
+
   // ---- Semantic dedup --------------------------------------------------
 
   test("semantic dedup: min-id dominance against a brute-force recompute") {
