@@ -142,4 +142,30 @@ object Tables {
 
   def orc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
+
+  /** XML sink/source pair — Spark 4 ships the XML data source natively
+    * (the spark-xml integration absorbed into core). Row-per-`rowTag`
+    * layout; the reader takes an explicit schema (one pass, the same
+    * production discipline as [[csvTyped]]/[[jsonTyped]]) — feed-shaped
+    * upstream data (sitemaps, product feeds, legacy exports) lands
+    * without a preprocessing hop.
+    */
+  def exportXml(df: DataFrame, path: String, rowTag: String = "row"): String = {
+    df.write.mode("overwrite")
+      .option("rowTag", rowTag)
+      .option("timestampFormat", CsvTimestampFormat)
+      .xml(path)
+    path
+  }
+
+  def xmlTyped(
+      spark: SparkSession,
+      path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      rowTag: String = "row"): DataFrame =
+    spark.read
+      .option("rowTag", rowTag)
+      .option("timestampFormat", CsvTimestampReadFormat)
+      .schema(schema)
+      .xml(path)
 }

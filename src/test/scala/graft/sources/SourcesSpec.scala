@@ -45,6 +45,16 @@ class SourcesSpec extends SparkTestBase {
     assert(back.exceptAll(ev).isEmpty && ev.exceptAll(back).isEmpty)
   }
 
+  test("XML round-trip is lossless under an explicit schema") {
+    val ev = Tables.events(spark, Sf0001)
+    val dir = tmpDir("xml_rt")
+    Tables.exportXml(ev, dir, rowTag = "event")
+    val back = Tables.xmlTyped(spark, dir, ev.schema, rowTag = "event")
+    assert(back.schema == ev.schema)
+    assert(back.count() == ev.count())
+    assert(back.exceptAll(ev).isEmpty && ev.exceptAll(back).isEmpty)
+  }
+
   test("ORC round-trip is lossless and prunes/pushes down like parquet") {
     val ev = Tables.events(spark, Sf0001)
     val dir = tmpDir("orc_rt")
