@@ -135,10 +135,11 @@ class PlanSpec extends SparkTestBase {
     // init and the per-iteration teleport term)
     // (q_decay: 1-row corpus max-day frame broadcast for the age term)
     // (q_semdedup: inherits q_kmeans' broadcast-Lloyd cross join)
+    // (q_sim_ivfpq: broadcast-centroid cell assignment, like q_sim_ivf)
     val bnljByDesign = Set("q_sim_topk", "q_sim_topk_agg", "q_top_tokens",
       "q_tfidf", "q_asof", "q_sim_ivf", "q_surprisal", "q_kmeans",
       "q_text_knn", // brute-force top-k: broadcast query side, like q_sim_topk
-      "q_histogram", "q_pagerank", "q_decay", "q_semdedup")
+      "q_histogram", "q_pagerank", "q_decay", "q_semdedup", "q_sim_ivfpq")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = plan(fn(spark, Sf0001))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
