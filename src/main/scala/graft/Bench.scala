@@ -153,9 +153,20 @@ object Bench {
       .map(m => s""""gbt_rmse":${graft.serve.Json.format(m.rmse)},""" +
         s""""gbt_mae":${graft.serve.Json.format(m.mae)},""")
       .getOrElse("")
-    println(
+    val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""errors":${jmap(errors)},"slice_rows":$sliceRows,$gbtStats"sf":"$sfDir"}""")
+        s""""errors":${jmap(errors)},"slice_rows":$sliceRows,$gbtStats"sf":"$sfDir"}"""
+    println(line)
+    // the driver's BENCH_r{N}.json keeps only a stdout tail, which has
+    // truncated the alphabetically-early stage metrics in past rounds —
+    // persist the whole line so every stage/query is comparable across
+    // rounds (SPARK_GRAFT_BENCH_OUT overrides; empty disables)
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
+    if (out.nonEmpty)
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] could not write $out: ${e.getMessage}")
+      }
     spark.stop()
     // the staged CSV + write sinks are ~1.6 GB per run; don't leak them
     // across rounds

@@ -99,11 +99,18 @@ object Bpe {
       val best = pairs
         .orderBy(col("pc").desc, col("a"), col("b"))
         .limit(1)
-      vocab = vocab.crossJoin(broadcast(best))
+      // LEFT join (1-row broadcast side), not crossJoin: when nMerges
+      // exceeds the available merges the pair table is EMPTY, and a
+      // cross join would silently wipe the vocabulary — every later
+      // step and encodedCounts would return empty/wrong results. With
+      // the left join an exhausted step keeps the vocab unchanged and
+      // contributes no merge row, i.e. "return the merges learned so
+      // far".
+      vocab = vocab.join(broadcast(best), lit(true), "left")
         .select(col("w"),
-          replace(col("enc"),
+          when(col("a").isNull, col("enc")).otherwise(replace(col("enc"),
             concat(lit("_"), col("a"), lit("__"), col("b"), lit("_")),
-            concat(lit("_"), col("a"), col("b"), lit("_"))).as("enc"),
+            concat(lit("_"), col("a"), col("b"), lit("_")))).as("enc"),
           col("cnt"))
         // truncate the per-iteration lineage: each round's plan would
         // otherwise embed all previous rounds' aggregates twice (once

@@ -39,6 +39,12 @@ object Clustering {
 
   /** Fixed-iteration Lloyd k-means.
     *
+    * @param checkpointEvery lineage guard for high iteration counts:
+    *        every N rounds the k-row centroid frame is lazily
+    *        local-checkpointed, truncating the otherwise
+    *        linearly-growing plan (each round embeds all previous
+    *        rounds' aggregates twice — a plan-size bomb at iters=25).
+    *        0 disables; results are identical either way.
     * @return (vec_id, cluster, d2) — the assignment under the FINAL
     *         centroids, d2 = exact squared distance (callers round for
     *         cross-engine hashing).
@@ -49,6 +55,7 @@ object Clustering {
       vecCol: String,
       k: Int,
       iters: Int = 2,
+      checkpointEvery: Int = 5,
   ): DataFrame = {
     // exact float→double widening once, up front
     val vecs = emb.select(
@@ -80,7 +87,7 @@ object Clustering {
         .select(col("vec_id"), col("_best.cluster").as("cluster"),
           col("_best.d2").as("d2"))
 
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       // update: exact decimal component sums (order-independent), one
       // double division per component, array rebuilt in index order
       val assigned = assign(centroids)
@@ -93,6 +100,8 @@ object Clustering {
         .groupBy("cluster")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s("m")).as("c"))
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
+        centroids = centroids.localCheckpoint(eager = false)
     }
     assign(centroids)
   }

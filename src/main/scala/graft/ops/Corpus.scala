@@ -272,6 +272,14 @@ object Corpus {
     * TF-IDF/idf discipline — cross-engine libm ulps cannot flip an
     * order decided on rounded keys), id as the final tiebreak. Plans as
     * TakeOrdered (per-partition heaps), like [[sampleK]].
+    *
+    * Weight contract: only rows with a strictly positive, non-null
+    * weight participate — enforced by filter, since a zero weight makes
+    * the key −ln(u)/0 = +Inf (engine-dependent NULL/Inf handling) and a
+    * NEGATIVE weight yields a negative key that always wins, both of
+    * which silently corrupt the weighted semantics. A-ES assigns
+    * weight-0 rows inclusion probability 0 anyway, so the filter IS the
+    * algorithm's own semantics, not a data loss.
     */
   def sampleWeighted(
       df: DataFrame,
@@ -282,7 +290,8 @@ object Corpus {
       buckets: Int = 1 << 20): DataFrame = {
     val u = (hashBucket(col(idCol), salt, buckets) + lit(1.0)) / (buckets + 1.0)
     val key = graft.queries.Det.r6(-log(u) / col(weightCol).cast("double"))
-    df.withColumn("_wk", key)
+    df.filter(col(weightCol).cast("double") > 0.0)
+      .withColumn("_wk", key)
       .orderBy(col("_wk"), col(idCol))
       .limit(k)
       .drop("_wk")

@@ -32,8 +32,9 @@ object DataQuality {
     val name = s"complete:$column"
   }
 
-  /** `column` must have no duplicate non-null values (metric: number of
-    * rows carrying a duplicated value).
+  /** `column` must have no duplicate non-null values (metric: excess
+    * rows beyond one per distinct value — count minus count-distinct,
+    * so a value occurring twice contributes 1, not 2).
     */
   final case class Unique(column: String) extends Check {
     val name = s"unique:$column"

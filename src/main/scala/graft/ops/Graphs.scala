@@ -97,7 +97,8 @@ object Graphs {
   def pageRank(
       edges: DataFrame,
       damping: Double = 0.85,
-      iters: Int = 3): DataFrame = {
+      iters: Int = 3,
+      checkpointEvery: Int = 5): DataFrame = {
     val directed = edges.select(col("u"), col("v"))
       .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
     val deg = directed.groupBy("u").agg(count(lit(1)).as("od"))
@@ -106,7 +107,7 @@ object Graphs {
     val n = verts.agg(count(lit(1)).as("n"))
     var ranks = verts.crossJoin(broadcast(n))
       .select(col("x"), (lit(1.0) / col("n")).as("r"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val sums = ranks
         .join(outgoing, col("x") === col("u"))
         .select(col("v").as("x"), (col("r") / col("od")).as("cr"))
@@ -119,6 +120,9 @@ object Graphs {
         .select(col("x"),
           (lit(1 - damping) / col("n") +
             lit(damping) * coalesce(col("m"), lit(0.0))).as("r"))
+      // lineage guard for high iteration counts (see Clustering.kmeans)
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
+        ranks = ranks.localCheckpoint(eager = false)
     }
     ranks
   }

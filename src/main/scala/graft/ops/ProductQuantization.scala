@@ -45,6 +45,9 @@ object ProductQuantization {
   /** Train the m codebooks: fixed-iteration Lloyd keyed by subspace —
     * one distributed computation for all m subspaces, not m jobs.
     * Returns (subspace, cluster, c: array<double>).
+    * `checkpointEvery`: lazy localCheckpoint of the codebook frame
+    * every N rounds so the plan stays bounded at high iteration counts
+    * (see [[Clustering.kmeans]]); 0 disables, results identical.
     */
   def train(
       emb: DataFrame,
@@ -53,6 +56,7 @@ object ProductQuantization {
       m: Int = 8,
       k: Int = 16,
       iters: Int = 2,
+      checkpointEvery: Int = 5,
   ): DataFrame = {
     val subs = subvectors(emb, idCol, vecCol, m)
     // per-subspace deterministic hash-sample init (same k vec_ids win in
@@ -72,7 +76,7 @@ object ProductQuantization {
         .select(col("vec_id"), col("subspace"),
           col("_best.cluster").as("cluster"), col("_best.d2").as("d2"))
 
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val assigned = assign(centroids)
         .join(subs, Seq("vec_id", "subspace"))
         .select(col("subspace"), col("cluster"),
@@ -84,6 +88,8 @@ object ProductQuantization {
         .groupBy("subspace", "cluster")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s("m")).as("c"))
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
+        centroids = centroids.localCheckpoint(eager = false)
     }
     centroids
   }

@@ -123,9 +123,16 @@ object CorpusQueries {
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
       .orderBy("column")
 
+  /** The postings array is emitted as a comma-joined string: the
+    * driver's comparator can't hash array cells, and integer doc-ids
+    * stringify identically on both engines.
+    */
   def qInverted(s: SparkSession, dir: String): DataFrame =
     Corpus.invertedIndex(docs(s, dir), "doc_id", "text",
         minDf = 200, maxPostings = 15)
+      .select(col("token"), col("df"),
+        concat_ws(",", transform(col("postings"), _.cast("string")))
+          .as("postings"))
       .orderBy("token")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -206,7 +213,7 @@ object CorpusQueries {
       (s"WITH b AS (SELECT *, ${bucketSql("wsample", "doc_id", 1 << 20)} AS b " +
         "FROM documents), " +
         "k AS (SELECT *, floor((-ln((b + 1.0) / 1048577.0) / n_chars::DOUBLE) " +
-        "* 1e6 + 0.5) / 1e6 AS wk FROM b) " +
+        "* 1e6 + 0.5) / 1e6 AS wk FROM b WHERE n_chars::DOUBLE > 0) " +
         "SELECT doc_id, lang, source, n_chars FROM " +
         "(SELECT * FROM k ORDER BY wk, doc_id LIMIT 100) ORDER BY doc_id"),
     "q_profile" ->
@@ -250,6 +257,8 @@ object CorpusQueries {
         "WHERE length(u.t) > 0), " +
         "g AS (SELECT token, count(*) AS df, " +
         "(list(doc_id ORDER BY doc_id))[1:15] AS postings FROM t GROUP BY 1) " +
-        "SELECT token, df, postings FROM g WHERE df >= 200 ORDER BY token"),
+        "SELECT token, df, array_to_string(list_transform(postings, " +
+        "x -> x::VARCHAR), ',') AS postings " +
+        "FROM g WHERE df >= 200 ORDER BY token"),
   )
 }

@@ -272,10 +272,18 @@ object ExtQueries {
       .orderBy(col("freq").desc, col("token"))
 
   /** Hashing-trick document embeddings ([[TextAnalysis.hashEmbedding]])
-    * — text → vector with no model, hash-checked component-exact.
+    * — text → vector with no model, hash-checked component-exact. The
+    * gate projects the vector to a comma-joined scaled-integer string
+    * (each component ×1e6, round-half-up): the driver's comparator can't
+    * hash array cells, and raw double formatting differs across engines,
+    * while the scaled-int encoding stays component-exact.
     */
   def qTextEmbed(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.hashEmbedding(docs(s, dir), "doc_id", "text", dim = 64)
+      .select(col("doc_id"),
+        concat_ws(",", transform(col("embedding"),
+          x => floor(x * 1e6 + 0.5).cast("long").cast("string")))
+          .as("embedding"))
       .orderBy("doc_id")
 
   /** The full text→vector→ANN chain: hashed embeddings feed the same
@@ -564,11 +572,20 @@ object ExtQueries {
       .withColumn("z", Layout.zValue(col("xb"), col("yb"), bits = 10))
       .orderBy("event_id")
 
-  /** HLL sketch profile — rows-only entry (Spark's HLL++ registers are
-    * engine-specific; the exact/approx tolerance is spec-asserted).
+  /** HLL sketch profile, made hash-checkable despite the registers
+    * being engine-specific: emit the EXACT counts (cross-engine
+    * agreeable, the q_vocab_exact contract) plus booleans asserting the
+    * sketch landed within ±3·rsd of them — the oracle states the exact
+    * counts and literal `true`, so a drifting sketch fails the hash
+    * gate instead of hiding behind a rows-only check.
     */
   def qVocabSketch(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.vocabProfile(docs(s, dir), "doc_id", "text")
+      .select(col("vocab_exact"), col("docs_exact"), col("n_tokens"),
+        (abs(col("vocab_approx") - col("vocab_exact"))
+          .cast("double") / col("vocab_exact") <= 0.06).as("vocab_in_band"),
+        (abs(col("docs_approx") - col("docs_exact"))
+          .cast("double") / col("docs_exact") <= 0.06).as("docs_in_band"))
 
   /** The exact-count half of the vocab profile, split out so it gets a
     * full DuckDB hash check (the HLL registers stay rows-only above).
@@ -1247,6 +1264,13 @@ object ExtQueries {
       ("WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) " +
         "SELECT count(DISTINCT token) AS vocab_exact, count(DISTINCT doc_id) AS docs_exact, " +
         "count(*) AS n_tokens FROM toks"),
+    // exact halves hash-check as in q_vocab_exact; the in-band booleans
+    // are literal true — the gate fails iff Spark's HLL drifts past
+    // ±3·rsd of the exact counts
+    "q_vocab_sketch" ->
+      ("WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) " +
+        "SELECT count(DISTINCT token) AS vocab_exact, count(DISTINCT doc_id) AS docs_exact, " +
+        "count(*) AS n_tokens, true AS vocab_in_band, true AS docs_in_band FROM toks"),
     "q_stats" ->
       // moment sums in DECIMAL (exact, order-independent), final formula
       // spelled as the same double-op sequence as the Spark side
@@ -1536,8 +1560,15 @@ object ExtQueries {
         "FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) " +
         "GROUP BY token ORDER BY freq DESC, token LIMIT 20"),
     // feature hashing: bucket/sign from md5, exact integer sums, one
-    // sqrt + one division per component — bit-exact cross-engine
-    "q_text_embed" -> (textEmbedSelect + " ORDER BY doc_id"),
+    // sqrt + one division per component — bit-exact cross-engine; the
+    // gate emits the vector as a comma-joined ×1e6 scaled-int string
+    // (array cells crash the driver's comparator, double formatting
+    // differs across engines)
+    "q_text_embed" ->
+      (s"WITH e AS ($textEmbedSelect) " +
+        "SELECT doc_id, array_to_string(list_transform(embedding, " +
+        "x -> floor(x * 1000000 + 0.5)::BIGINT::VARCHAR), ',') AS embedding " +
+        "FROM e ORDER BY doc_id"),
     // the full text→vector→ANN chain: hashed embeddings (cast to float
     // like the engine's CosineSim input) ranked by the same cosine
     // window as q_sim_topk

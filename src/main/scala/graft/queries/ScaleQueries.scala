@@ -249,11 +249,11 @@ object ScaleQueries {
         " AS avg_v FROM events GROUP BY 1 ORDER BY 1"),
     "q_checksum" ->
       ("WITH h AS (SELECT ('0x' || substr(md5(" +
-        "coalesce(event_id::VARCHAR, ' null') || '|' || " +
-        "coalesce(user_id::VARCHAR, ' null') || '|' || " +
-        "coalesce(event_type, ' null') || '|' || " +
-        "coalesce(epoch_ms(ts)::VARCHAR, ' null') || '|' || " +
-        "coalesce(props, ' null')), 1, 15))::BIGINT AS v FROM events) " +
+        "coalesce(event_id::VARCHAR, '<null>') || '|' || " +
+        "coalesce(user_id::VARCHAR, '<null>') || '|' || " +
+        "coalesce(event_type, '<null>') || '|' || " +
+        "coalesce(epoch_ms(ts)::VARCHAR, '<null>') || '|' || " +
+        "coalesce(props, '<null>')), 1, 15))::BIGINT AS v FROM events) " +
         "SELECT count(*) AS n_rows, " +
         "coalesce(sum(v::DECIMAL(38,0)), 0::DECIMAL(38,0)) AS checksum FROM h"),
     "q_sim_ivfpq" -> ProductQuantization.ivfPqOracleSql(

@@ -311,18 +311,30 @@ object SqlSurfaceQueries {
 
   /** The at-scale percentile path: `approx_percentile` (t-digest-style
     * mergeable sketch, map-side partials) next to the group count.
-    * Rows-only gate entry — the sketch is engine-specific — with the
-    * exact-vs-approx error bound asserted in PropertySpec against
-    * [[qPercentile]]'s exact values.
+    * The sketch itself is engine-specific, so the gate emits the EXACT
+    * medians (hash-checked, the q_percentile contract) plus booleans
+    * asserting the sketch landed within a 5% relative band of them —
+    * the oracle states literal `true`, so sketch drift fails the hash
+    * gate instead of hiding behind a rows-only check. (The tighter
+    * exact-vs-approx bound is additionally spec-asserted in
+    * PropertySpec.)
     */
   def qPercentileApprox(s: SparkSession, dir: String): DataFrame =
     Tables.table(s, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(
-        percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("median_approx"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
-          .as("median_price_approx"),
+        percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("_ma"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("_mpa"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)")
+          .as("median"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)")
+          .as("median_price"),
         count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("median"), col("median_price"), col("n"),
+        (abs(col("_ma") - col("median")) / col("median") <= 0.05)
+          .as("qty_in_band"),
+        (abs(col("_mpa") - col("median_price")) / col("median_price") <= 0.05)
+          .as("price_in_band"))
       .orderBy("l_returnflag")
 
   /** JSON extraction over the events `props` column (a JSON string):
@@ -438,11 +450,19 @@ object SqlSurfaceQueries {
     "q_json" -> (qJson _),
     "q_sql" -> (qSql _),
     "q_recursive" -> (qRecursive _),
-    "q_percentile_approx" -> (qPercentileApprox _), // rows-only (sketch)
+    "q_percentile_approx" -> (qPercentileApprox _),
     "q_variant" -> (qVariant _),
   )
 
   val oracleSql: Map[String, String] = Map(
+    // exact medians hash-check as in q_percentile; the in-band booleans
+    // are literal true — the gate fails iff Spark's t-digest drifts
+    // past 5% of the exact median
+    "q_percentile_approx" ->
+      ("SELECT l_returnflag, quantile_disc(l_quantity, 0.5) AS median, " +
+        "quantile_disc(l_extendedprice, 0.5) AS median_price, count(*) AS n, " +
+        "true AS qty_in_band, true AS price_in_band " +
+        "FROM lineitem GROUP BY 1 ORDER BY l_returnflag"),
     "q_subquery" ->
       ("SELECT c_custkey, c_mktsegment, " +
         "(SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders " +

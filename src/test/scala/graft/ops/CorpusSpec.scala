@@ -256,6 +256,19 @@ class CorpusSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrdered plan:\n$p")
   }
 
+  test("sampleWeighted: non-positive and null weights never selected") {
+    // weight 0 would key to -ln(u)/0 = +Inf and a NEGATIVE weight to a
+    // key that always wins — both are excluded by the documented
+    // strictly-positive contract (A-ES gives weight<=0 inclusion
+    // probability 0 anyway)
+    val df = Seq((1L, 1.0), (2L, -5.0), (3L, 0.0), (5L, 2.0))
+      .toDF("doc_id", "w")
+      .unionByName(Seq((4L, Option.empty[Double])).toDF("doc_id", "w"))
+    val got = Corpus.sampleWeighted(df, "doc_id", "w", k = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 5L), s"got $got")
+  }
+
   test("hashSplit keyed on a group column: no group straddles two splits") {
     val df = (1L to 500L).map(i => (i, s"site${i % 23}")).toDF("doc_id", "source")
     val out = Corpus.hashSplit(df, "source",

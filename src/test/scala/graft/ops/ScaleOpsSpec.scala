@@ -192,6 +192,27 @@ class ScaleOpsSpec extends SparkTestBase {
     ivf.foreach { case (pair, d) => assert(full(pair) == d, s"ad2 drift at $pair") }
   }
 
+  test("kmeans checkpointEvery bounds plan size without changing results") {
+    // 12 Lloyd rounds: without the lineage guard each round embeds all
+    // previous rounds' aggregates twice, so the optimized plan grows
+    // super-linearly; with checkpointEvery=5 the centroid lineage is
+    // truncated twice and the final plan stays near the 2-round shape
+    def nNodes(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect { case p => p }.size
+    val guarded = Clustering.kmeans(emb, "vec_id", "embedding",
+      k = 4, iters = 12, checkpointEvery = 5)
+    val unguarded = Clustering.kmeans(emb, "vec_id", "embedding",
+      k = 4, iters = 12, checkpointEvery = 0)
+    assert(nNodes(guarded) < nNodes(unguarded) / 2,
+      s"plan not truncated: ${nNodes(guarded)} vs ${nNodes(unguarded)}")
+    // identical assignments either way — the guard is pure plumbing
+    val a = guarded.orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    val b = unguarded.orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(a.sameElements(b))
+  }
+
   // ---- Semantic dedup --------------------------------------------------
 
   test("semantic dedup: min-id dominance against a brute-force recompute") {
@@ -293,6 +314,30 @@ class ScaleOpsSpec extends SparkTestBase {
     // empty input: zero rows, zero checksum — not null
     val empty = Profile.tableChecksum(li.filter(lit(false)), cols).head()
     assert(empty.getLong(0) == 0L && empty.getDecimal(1).signum() == 0)
+  }
+
+  test("table checksum NULL sentinel matches the cross-engine formula") {
+    import spark.implicits._
+    // a NULL cell must hash exactly like the documented printable
+    // sentinel '<null>' — the contract the DuckDB oracle (q_checksum)
+    // spells on its side. Compute the expected term out-of-band with
+    // MessageDigest over the same '|'-joined string.
+    val df = Seq((1L, Option("a")), (2L, Option.empty[String]))
+      .toDF("id", "s")
+    def term(joined: String): BigInt = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(joined.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      BigInt(hex.take(15), 16)
+    }
+    val expected = term("1|a") + term("2|<null>")
+    val got = Profile.tableChecksum(df, Seq("id", "s")).head()
+    assert(got.getLong(0) == 2L &&
+      BigInt(got.getDecimal(1).toBigInteger) == expected)
+    // and a NULL is NOT the same as the empty string
+    val emptyStr = Profile.tableChecksum(
+      Seq((2L, "")).toDF("id", "s"), Seq("id", "s")).head()
+    assert(BigInt(emptyStr.getDecimal(1).toBigInteger) != term("2|<null>"))
   }
 
   // ---- spark.ml LSH interop -------------------------------------------

@@ -70,6 +70,23 @@ class TextPrepSpec extends SparkTestBase {
     assert(m2(0).getLong(4) == 4L) // 2 pairs x 2 occurrences of "aaa"
   }
 
+  test("BPE: nMerges beyond exhaustion returns learned merges, vocab intact") {
+    import spark.implicits._
+    // "ab" has exactly one mergeable pair; ask for 4 merges. The
+    // exhausted rounds must be no-ops — NOT wipe the vocabulary (the
+    // old crossJoin against an empty winner frame returned zero rows
+    // everywhere downstream with no error).
+    val docs = Seq("ab ab c").toDF("text")
+    val merges = Bpe.learnMerges(docs, "text", nMerges = 4).collect()
+    assert(merges.length == 1 &&
+      merges(0).getString(1) == "a" && merges(0).getString(2) == "b")
+    val enc = Bpe.encodedCounts(docs, "text", "text", nMerges = 4).collect()
+    assert(enc.nonEmpty)
+    // 3 words, 5 chars, post-merge tokens: [ab], [ab], [c] -> 3
+    assert(enc(0).getLong(1) == 3L && enc(0).getLong(2) == 5L &&
+      enc(0).getLong(3) == 3L)
+  }
+
   test("bigram surprisal: repetitive text scores lower than shuffled vocab") {
     // one doc repeats a single bigram; the other cycles many rare ones —
     // under the corpus LM the repetitive doc must be less surprising

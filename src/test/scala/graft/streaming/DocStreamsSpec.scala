@@ -15,8 +15,6 @@ import graft.sources.Tables
   */
 class DocStreamsSpec extends SparkTestBase {
 
-  private case class Doc(doc_id: Long, text: String)
-
   // corpus = sf0.001 docs with even ids; "stream" = odd ids (so the
   // stream contains both near-dups of corpus docs and fresh docs)
   private lazy val corpus =
@@ -98,3 +96,10 @@ class DocStreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 }
+
+/** Top level, not spec-nested: an inner case class forces its encoder's
+  * generated code to reference the outer spec instance, which fails
+  * codegen and falls back to interpreted mode — masking real codegen
+  * regressions behind an "expected" warning in the suite output.
+  */
+case class Doc(doc_id: Long, text: String)
