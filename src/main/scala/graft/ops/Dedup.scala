@@ -513,4 +513,89 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
       .select("doc_a", "doc_b", "hamming")
   }
+
+  /** Cross-document duplicated-SPAN detection — the span-level member
+    * of the dedup family. Doc-level near-dup ops miss the dominant
+    * duplication mode in web corpora: long verbatim substrings
+    * (boilerplate, quotes, licenses) embedded in otherwise-distinct
+    * documents (Lee et al. 2021, "Deduplicating Training Data Makes
+    * Language Models Better"). Exact suffix arrays don't distribute;
+    * the relational equivalent is winnowed w-gram fingerprinting
+    * (Schleimer et al. 2003, the MOSS scheme): hash every w-token
+    * window, KEEP a position iff its hash is the minimum of the
+    * `winnow` trailing hashes. Selection is content-local — two copies
+    * of a span select the same interior positions — so grams shared
+    * verbatim by ≥ `minDocs` distinct docs mark duplicated regions,
+    * and overlapping marks merge into islands (the q_islands shape).
+    *
+    * Output per input doc (all docs, zeros where nothing matched):
+    * `(doc_id, n_grams, n_sel, n_dup, n_spans, dup_tokens)` — w-gram
+    * count, winnow-selected count, selected grams shared cross-doc,
+    * merged duplicated islands, and tokens covered by those islands.
+    * Spans of ≥ ~w+2·winnow tokens are detected with near-certainty;
+    * matching joins on the verbatim gram text, so after the join there
+    * are NO hash-collision false positives to verify away.
+    *
+    * 100 TB shape: the gram table is a per-doc array transform (no
+    * join, no shuffle); winnowing is a bounded trailing-window
+    * function partitioned by doc; the ONLY corpus-wide shuffle keys on
+    * the selected gram string — md5-uniform selection at ~1/winnow
+    * density, so the exchanged volume is tokens/winnow, not tokens —
+    * and the island merge is again per-doc. Nothing is ever all-pairs.
+    */
+  def duplicatedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int = 8,
+      winnow: Int = 4,
+      minDocs: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = filter(split(col(textCol), " "), t => t =!= "")
+    val base = df.select(col(idCol).as("doc_id"), toks.as("toks"))
+      .withColumn("n", size(col("toks")))
+    // guard: sequence(0, n-w) DESCENDS when n < w — short docs must
+    // yield an empty gram array, not phantom negative positions
+    val gramArr = when(col("n") >= w,
+      transform(sequence(lit(0), col("n") - w),
+        p => concat_ws(" ", slice(col("toks"), p + 1, lit(w)))))
+      .otherwise(array().cast("array<string>"))
+    val grams = base
+      .select(col("doc_id"), posexplode(gramArr).as(Seq("p", "gram")))
+      .withColumn("h", md5(col("gram")))
+    val trailing = Window.partitionBy("doc_id").orderBy("p")
+      .rowsBetween(-(winnow - 1), Window.currentRow)
+    val sel = grams
+      .withColumn("_m", min("h").over(trailing))
+      .filter(col("h") === col("_m"))
+      .select("doc_id", "p", "gram")
+    val dupGrams = sel.groupBy("gram")
+      .agg(countDistinct("doc_id").as("_nd"))
+      .filter(col("_nd") >= minDocs)
+      .select("gram")
+    val dup = sel.join(dupGrams, "gram")
+    // merge overlapping marks: covered interval [p, p+w-1]; a gap
+    // opens when the next mark starts past the previous cover
+    val byPos = Window.partitionBy("doc_id").orderBy("p")
+    val isl = dup
+      .withColumn("_new",
+        when(lag("p", 1).over(byPos).isNull ||
+          col("p") > lag("p", 1).over(byPos) + (w - 1), 1).otherwise(0))
+      .withColumn("_sid", sum("_new").over(byPos))
+      .groupBy("doc_id", "_sid")
+      .agg(min("p").as("p0"), (max("p") + w).as("p1"))
+    val perDocSel = sel.groupBy("doc_id").agg(count(lit(1)).as("n_sel"))
+    val perDocDup = dup.groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+    val perDocSpan = isl.groupBy("doc_id").agg(
+      count(lit(1)).as("n_spans"),
+      sum(col("p1") - col("p0")).as("dup_tokens"))
+    base
+      .select(col("doc_id"),
+        when(col("n") >= w, (col("n") - w + 1).cast("long")).otherwise(0L)
+          .as("n_grams"))
+      .join(perDocSel, Seq("doc_id"), "left")
+      .join(perDocDup, Seq("doc_id"), "left")
+      .join(perDocSpan, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_sel", "n_dup", "n_spans", "dup_tokens"))
+  }
 }

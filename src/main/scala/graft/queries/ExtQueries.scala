@@ -42,6 +42,17 @@ object ExtQueries {
         Dedup.wordSetKey(TextAnalysis.tokens(col("text"))))
       .orderBy("keep_id")
 
+  /** Span-level dedup ([[Dedup.duplicatedSpans]]): winnowed w-gram
+    * fingerprints mark cross-doc verbatim substrings; per-doc island
+    * stats. Only docs with ≥1 duplicated span are emitted (the report
+    * shape; zeros carry no information and bloat the gate).
+    */
+  def qDupSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicatedSpans(docs(s, dir), "doc_id", "text",
+        w = 8, winnow = 4, minDocs = 2)
+      .filter(col("n_dup") > 0)
+      .orderBy("doc_id")
+
   def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashSignatures(docs(s, dir), "doc_id", "text", 8)
       .select(col("doc_id"),
@@ -906,6 +917,7 @@ object ExtQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (qDedupExact _),
+    "q_dup_spans" -> (qDupSpans _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_lsh" -> (qDedupLsh _),
     "q_dedup_near" -> (qDedupNear _),
@@ -1112,6 +1124,34 @@ object ExtQueries {
       (s"WITH $wCte, $shCte, $sigCte " +
         "SELECT doc_id, list_aggregate(sig, 'string_agg', ',') AS sig " +
         "FROM g ORDER BY doc_id"),
+    // winnowed w-gram span dedup: same trailing-min selection, verbatim
+    // gram join, and island merge as Dedup.duplicatedSpans (w=8, s=4)
+    "q_dup_spans" ->
+      ("WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS toks FROM documents), " +
+        "g0 AS (SELECT doc_id, len(toks) AS n, toks FROM d WHERE len(toks) >= 8), " +
+        "g AS (SELECT doc_id, CAST(u.i AS INT) AS p, " +
+        "array_to_string(toks[CAST(u.i + 1 AS INT):CAST(u.i + 8 AS INT)], ' ') AS gram " +
+        "FROM g0, unnest(range(0, n - 7)) AS u(i)), " +
+        "h AS (SELECT doc_id, p, gram, md5(gram) AS h FROM g), " +
+        "sel AS (SELECT doc_id, p, gram FROM (SELECT *, min(h) OVER " +
+        "(PARTITION BY doc_id ORDER BY p ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS m " +
+        "FROM h) WHERE h = m), " +
+        "dg AS (SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) AS nd " +
+        "FROM sel GROUP BY 1) WHERE nd >= 2), " +
+        "dup AS (SELECT sel.doc_id, sel.p FROM sel JOIN dg USING (gram)), " +
+        "mark AS (SELECT doc_id, p, CASE WHEN lag(p) OVER " +
+        "(PARTITION BY doc_id ORDER BY p) IS NULL OR p > lag(p) OVER " +
+        "(PARTITION BY doc_id ORDER BY p) + 7 THEN 1 ELSE 0 END AS new_span FROM dup), " +
+        "isl AS (SELECT doc_id, sid, min(p) AS p0, max(p) + 8 AS p1 FROM " +
+        "(SELECT doc_id, p, sum(new_span) OVER (PARTITION BY doc_id ORDER BY p) AS sid " +
+        "FROM mark) GROUP BY doc_id, sid), " +
+        "s1 AS (SELECT doc_id, count(*)::BIGINT AS n_sel FROM sel GROUP BY 1), " +
+        "s2 AS (SELECT doc_id, count(*)::BIGINT AS n_dup FROM dup GROUP BY 1), " +
+        "s3 AS (SELECT doc_id, count(*)::BIGINT AS n_spans, " +
+        "sum(p1 - p0)::BIGINT AS dup_tokens FROM isl GROUP BY 1) " +
+        "SELECT g0.doc_id, (n - 7)::BIGINT AS n_grams, n_sel, n_dup, n_spans, dup_tokens " +
+        "FROM g0 JOIN s1 USING (doc_id) JOIN s2 USING (doc_id) JOIN s3 USING (doc_id) " +
+        "ORDER BY doc_id"),
     "q_dedup_lsh" ->
       (s"WITH $wCte, $shCte, $sigCte, $bandsCte, $pairsCte " +
         "SELECT doc_a, doc_b FROM p ORDER BY doc_a, doc_b"),

@@ -553,4 +553,37 @@ class OpsSpec extends SparkTestBase {
     assert(resized.filter(size(col("pixels")) =!= 64).count() == 0)
     assert(resized.filter(exists(col("pixels"), p => p < 0 || p > 255)).count() == 0)
   }
+
+  test("duplicatedSpans: shared verbatim span detected in both docs, others zero") {
+    import spark.implicits._
+    // docs 1 and 2 embed the SAME 24-token run inside distinct prefixes/
+    // suffixes; doc 3 is unrelated; doc 4 is shorter than w (no grams)
+    val shared = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta gamma delta $shared tail1 tail2"),
+      (2L, s"one two three $shared enda endb endc endd"),
+      (3L, (1 to 40).map(i => s"other$i").mkString(" ")),
+      (4L, "too short"),
+    ).toDF("doc_id", "text")
+    val r = Dedup.duplicatedSpans(docs, "doc_id", "text",
+        w = 8, winnow = 4, minDocs = 2)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5))).toMap
+    // both carriers flag ≥1 duplicated span; a 40-token shared run
+    // (33 shared grams ≫ w + 2·winnow) must select ≥1 common gram
+    val (_, dup1, spans1, cov1) = r(1L)
+    val (_, dup2, spans2, cov2) = r(2L)
+    assert(dup1 > 0 && dup2 > 0, s"span not detected: $r")
+    assert(spans1 >= 1 && spans2 >= 1)
+    // coverage stays within the shared run plus boundary grams that
+    // can only match where context also matches — here ≤ the run itself
+    assert(cov1 <= 40 + 8 && cov2 <= 40 + 8 && cov1 >= 8 && cov2 >= 8)
+    // unrelated and short docs report zeros
+    assert(r(3L) == ((0L, 0L, 0L, 0L)) || r(3L)._2 == 0L)
+    assert(r(4L) == ((0L, 0L, 0L, 0L)))
+    // n_grams: doc 4 has none; doc 3 has 40-8+1
+    val ng = Dedup.duplicatedSpans(docs, "doc_id", "text", 8, 4, 2)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(ng(4L) == 0L && ng(3L) == 33L)
+  }
 }
