@@ -69,4 +69,72 @@ object Quantization {
           least(floor((x.cast("double") - col("mn")) / col("scale") + lit(0.5)),
             lit(255.0)).cast("short"))).as("codes"))
   }
+
+  /** Binary (sign-bit) quantization: dimension i contributes bit
+    * (i mod 32) of word i/32 iff `v[i] >= 0`. One bit per float32
+    * component — a 32× storage/scan cut, the aggressive end of the
+    * quantization ladder (int8 is 4×, PQ ~64× with a codebook; binary
+    * needs NO trained state at all). Words are 32-bit (held in longs,
+    * always non-negative) rather than 64-bit so every value stays
+    * exactly representable and sign-free in BOTH engines — the same
+    * concern the SimHash gate solves by re-keying, avoided here by
+    * construction. Packing is spelled acc·2+bit over descending bit
+    * index (no shift-by-column, which the Column DSL lacks), exactly
+    * mirrorable in the oracle.
+    *
+    * Emits (id, words: array<long>) — ceil(d/32) words per vector. A
+    * narrow per-row projection (array HOFs, codegen), no shuffle.
+    */
+  def quantizeBinary(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val d = size(col(vecCol))
+    // Column `/` is double division; floor+cast restores ceil(d/32) words
+    val nWords = floor((d + lit(31)) / lit(32)).cast("int")
+    df.select(col(idCol),
+      transform(sequence(lit(0), nWords - 1), j =>
+        aggregate(
+          sequence(lit(31), lit(0), lit(-1)),
+          lit(0L),
+          (acc, b) => {
+            val i = j * 32 + b
+            acc * 2 + when(i < d &&
+              element_at(col(vecCol), i + 1).cast("double") >= 0.0, 1L)
+              .otherwise(0L)
+          })).as("words"))
+  }
+
+  /** Hamming distance between two packed word arrays: popcount of the
+    * per-word XOR, summed. One xor+popcount per 32 dimensions — the
+    * whole point of the binary code.
+    */
+  def hamming(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    aggregate(
+      zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), _ + _)
+
+  /** Binary top-k retrieval: small query set broadcast against the
+    * packed corpus, ranked by Hamming distance (ties by candidate id).
+    * The 100 TB pattern: the packed corpus is 32× smaller than the
+    * float store, the scan is xor+popcount, and the survivors (k per
+    * query) are cheap to exact-rerank from the float store afterwards
+    * — [[hammingTopK]] is the candidate generator of that two-stage
+    * retrieval, not a replacement for exact scoring.
+    *
+    * queries: (qid, qw: array<long>), corpus: (cid, cw: array<long>).
+    * Returns (qid, cid, hd, rank), rank 1..k per qid.
+    */
+  def hammingTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = corpus.crossJoin(broadcast(queries))
+      .withColumn("hd", hamming(col("qw"), col("cw")))
+    scored
+      .withColumn("rank",
+        row_number().over(
+          Window.partitionBy("qid").orderBy(col("hd"), col("cid"))))
+      .filter(col("rank") <= k)
+      .select("qid", "cid", "hd", "rank")
+  }
 }

@@ -189,6 +189,33 @@ object ExtQueries {
       .cosineTopKAgg(queriesDf(s, dir), candsDf(s, dir), k = 10, scoreRounding = r6)
       .orderBy("qid", "rank")
 
+  /** Sign-bit packing ([[graft.ops.Quantization.quantizeBinary]]): the
+    * 64-dim float vectors become 2 packed 32-bit words; emitted
+    * comma-joined (driver comparator can't hash array cells) so every
+    * bit of every word is cross-engine verified.
+    */
+  def qEmbedBinary(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Quantization.quantizeBinary(emb(s, dir), "vec_id", "embedding")
+      .select(col("vec_id"),
+        concat_ws(",", transform(col("words"), _.cast("string"))).as("words"))
+      .orderBy("vec_id")
+
+  /** Hamming top-k over the packed sign bits
+    * ([[graft.ops.Quantization.hammingTopK]]): the oracle computes the
+    * distance straight from the floats (count of sign disagreements),
+    * so a match proves pack + xor/popcount + rank agree end to end.
+    */
+  def qSimHamming(s: SparkSession, dir: String): DataFrame = {
+    val packed = graft.ops.Quantization
+      .quantizeBinary(emb(s, dir), "vec_id", "embedding")
+    graft.ops.Quantization.hammingTopK(
+        packed.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("words").as("qw")),
+        packed.select(col("vec_id").as("cid"), col("words").as("cw")),
+        k = 10)
+      .orderBy("qid", "rank")
+  }
+
   /** Distributed Lloyd k-means over the embeddings table
     * ([[graft.ops.Clustering.kmeans]]): k=8, 2 unrolled iterations,
     * deterministic md5 hash-sample init — hash-checked against the generated
@@ -933,6 +960,8 @@ object ExtQueries {
     "q_sim_lsh" -> (qSimLsh _),
     "q_sim_ivf" -> (qSimIvf _),
     "q_sim_topk_agg" -> (qSimTopkAgg _),
+    "q_embed_binary" -> (qEmbedBinary _),
+    "q_sim_hamming" -> (qSimHamming _),
     "q_sim_lsh_multi" -> (qSimLshMulti _),
     "q_kmeans" -> (qKmeans _),
     "q_text_stats" -> (qTextStats _),
@@ -1410,6 +1439,31 @@ object ExtQueries {
         "FROM q JOIN c ON qid != cid), " +
         "r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rnk FROM s) " +
         "SELECT qid, cid, score, rnk::INT AS rank FROM r WHERE rnk <= 10 " +
+        "ORDER BY qid, rank"),
+    // independent spelling of the sign-bit pack: dimension j*32+b
+    // contributes 2^b to word j, summed straight off the raw floats —
+    // every packed bit is checked
+    "q_embed_binary" ->
+      ("WITH w AS (SELECT vec_id, embedding AS v, len(embedding) AS d " +
+        "FROM embeddings), " +
+        "p AS (SELECT vec_id, list_transform(range((d + 31) // 32), j -> " +
+        "list_sum(list_transform(range(32), b -> " +
+        "CASE WHEN j * 32 + b < d AND v[j * 32 + b + 1]::DOUBLE >= 0.0 " +
+        "THEN (1::BIGINT << b) ELSE 0 END))::BIGINT) AS words FROM w) " +
+        "SELECT vec_id, array_to_string(list_transform(words, " +
+        "x -> x::VARCHAR), ',') AS words FROM p ORDER BY vec_id"),
+    // Hamming distance from FLOATS (count of sign disagreements) — the
+    // engine's xor/popcount over packed words must agree exactly
+    "q_sim_hamming" ->
+      ("WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings " +
+        "WHERE vec_id < 5), " +
+        "s AS (SELECT qid, vec_id AS cid, " +
+        "list_sum(list_transform(range(1, len(qe) + 1), i -> " +
+        "CASE WHEN (qe[i]::DOUBLE >= 0.0) != (embedding[i]::DOUBLE >= 0.0) " +
+        "THEN 1 ELSE 0 END))::BIGINT AS hd FROM q CROSS JOIN embeddings), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY hd, cid) " +
+        "AS rnk FROM s) " +
+        "SELECT qid, cid, hd, rnk::INT AS rank FROM r WHERE rnk <= 10 " +
         "ORDER BY qid, rank"),
     "q_text_stats" ->
       ("SELECT doc_id, len(string_split(text, ' '))::INT AS n_tokens, " +

@@ -136,10 +136,13 @@ class PlanSpec extends SparkTestBase {
     // (q_decay: 1-row corpus max-day frame broadcast for the age term)
     // (q_semdedup: inherits q_kmeans' broadcast-Lloyd cross join)
     // (q_sim_ivfpq: broadcast-centroid cell assignment, like q_sim_ivf)
+    // (q_sim_hamming: broadcast query side against the packed corpus —
+    // the binary-code scan, like q_sim_topk)
     val bnljByDesign = Set("q_sim_topk", "q_sim_topk_agg", "q_top_tokens",
       "q_tfidf", "q_asof", "q_sim_ivf", "q_surprisal", "q_kmeans",
       "q_text_knn", // brute-force top-k: broadcast query side, like q_sim_topk
-      "q_histogram", "q_pagerank", "q_decay", "q_semdedup", "q_sim_ivfpq")
+      "q_histogram", "q_pagerank", "q_decay", "q_semdedup", "q_sim_ivfpq",
+      "q_sim_hamming")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = plan(fn(spark, Sf0001))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")

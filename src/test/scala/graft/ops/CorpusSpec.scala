@@ -241,6 +241,38 @@ class CorpusSpec extends SparkTestBase {
     assert(q.getShort(0) == 0 && q.getShort(1) == 255)
   }
 
+  test("quantizeBinary: bit layout, word count, hamming, topK ranking") {
+    // dims 0..3 signs +,-,+,- → bits 0 and 2 set → word 0b0101 = 5
+    val vecs = Seq(
+      (1L, Array(1.0f, -1.0f, 0.0f, -0.5f)),
+      (2L, Array.fill(4)(-1.0f)),
+      (3L, (0 until 33).map(i => if (i == 32) 1.0f else -1.0f).toArray))
+      .toDF("vec_id", "embedding")
+    val packed = Quantization.quantizeBinary(vecs, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(packed(1L) == Seq(5L)) // 0.0f counts as non-negative
+    assert(packed(2L) == Seq(0L))
+    assert(packed(3L) == Seq(0L, 1L)) // ceil(33/32)=2 words; dim 32 → word 1 bit 0
+    // hamming(5, 0) = popcount(101b) = 2; identical vectors → 0
+    val hd = Seq((Seq(5L), Seq(0L)), (Seq(5L), Seq(5L)))
+      .toDF("a", "b")
+      .select(Quantization.hamming(col("a"), col("b")).as("hd"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(hd == Seq(2L, 0L))
+    // topK: self-match ranks first at distance 0, k bounds the output
+    // (corpus restricted to the 4-dim vectors — word counts must agree)
+    val sameDim = Quantization.quantizeBinary(
+      vecs.filter(col("vec_id") < 3L), "vec_id", "embedding")
+    val q = sameDim.filter(col("vec_id") === 1L)
+      .select(col("vec_id").as("qid"), col("words").as("qw"))
+    val c = sameDim.select(col("vec_id").as("cid"), col("words").as("cw"))
+    val top = Quantization.hammingTopK(q, c, k = 2)
+      .orderBy("rank").collect()
+    assert(top.length == 2)
+    assert(top(0).getAs[Long]("cid") == 1L && top(0).getAs[Long]("hd") == 0L)
+    assert(top(0).getAs[Int]("rank") == 1)
+  }
+
   test("sampleWeighted: partition-invariant, biased toward heavy weights") {
     val df = (1L to 2000L).map(i => (i, if (i % 10 == 0) 100.0 else 1.0))
       .toDF("doc_id", "w")
