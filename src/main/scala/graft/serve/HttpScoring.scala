@@ -44,26 +44,40 @@ object HttpScoring {
   // underscore separators, decimal/exponent; inf/nan for float). Java's
   // parsers are LOOSER — they accept "3.2f", "1.5d", and hex floats,
   // which Python rejects with ValueError → must be a 400 here too.
-  private val PyFloat = ("^[+-]?((\\d(_?\\d)*(\\.(\\d(_?\\d)*)?)?" +
+  // Shared with [[WebScoring]], whose form fields arrive as strings and
+  // go through the same constructors in the reference (`webapp.py:40-43`).
+  private[serve] val PyFloat = ("^[+-]?((\\d(_?\\d)*(\\.(\\d(_?\\d)*)?)?" +
     "|\\.\\d(_?\\d)*)([eE][+-]?\\d(_?\\d)*)?|(?i:inf(inity)?|nan))$").r
-  private val PyInt = "^[+-]?\\d(_?\\d)*$".r
+  private[serve] val PyInt = "^[+-]?\\d(_?\\d)*$".r
+
+  /** Python `float(str)`: accepts the Python grammar only. */
+  private[serve] def pyFloat(s: String): Double = {
+    val t = s.trim
+    if (PyFloat.findFirstIn(t).isEmpty)
+      throw new NumberFormatException(
+        s"could not convert string to float: '$s'")
+    t.replace("_", "").toDouble
+  }
+
+  /** Python `int(str)`: digits only — `int("3.2")` raises. */
+  private[serve] def pyInt(s: String): Int = {
+    val t = s.trim
+    if (PyInt.findFirstIn(t).isEmpty)
+      throw new NumberFormatException(
+        s"invalid literal for int() with base 10: '$s'")
+    t.replace("_", "").toInt
+  }
 
   private def toFloat(v: Json.Value): Double = v match {
     case Json.JNum(d) => d
-    case Json.JStr(s) => // Python float("3.2") accepts; float("3.2f") raises
-      val t = s.trim
-      if (PyFloat.findFirstIn(t).isEmpty) throw new NumberFormatException(t)
-      t.replace("_", "").toDouble
+    case Json.JStr(s) => pyFloat(s) // float("3.2") accepts; float("3.2f") raises
     case Json.JBool(b) => if (b) 1.0 else 0.0 // float(True) == 1.0
     case _ => throw new NumberFormatException("not a float")
   }
 
   private def toInt(v: Json.Value): Int = v match {
     case Json.JNum(d) => d.toInt // int(3.9) == 3: truncation
-    case Json.JStr(s) => // int("3.2") raises in Python too
-      val t = s.trim
-      if (PyInt.findFirstIn(t).isEmpty) throw new NumberFormatException(t)
-      t.replace("_", "").toInt
+    case Json.JStr(s) => pyInt(s) // int("3.2") raises in Python too
     case Json.JBool(b) => if (b) 1 else 0
     case _ => throw new NumberFormatException("not an int")
   }

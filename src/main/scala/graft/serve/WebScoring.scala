@@ -1,0 +1,213 @@
+package graft.serve
+
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+import java.net.{InetSocketAddress, URLDecoder}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.ml.PipelineModel
+import org.apache.spark.sql.SparkSession
+
+/** HTML web front-end, flow-compatible with the reference's Flask webapp
+  * (`/root/reference/src/webapp/webapp.py:26-82`):
+  *
+  *  - `GET /` — the empty estimator form (`webapp.py:26-29`).
+  *  - `POST /predict_web` — form-urlencoded fields `trip_distance`
+  *    (float), `passenger_count`, `pickup_hour`, `payment_type` (ints);
+  *    duration is DERIVED from distance via the `AVG_SPEED_MPH = 12`
+  *    heuristic (`webapp.py:46-53` — [[Scoring.estimateDurationMin]]),
+  *    the model scores the five-feature row, and the page re-renders
+  *    with the 2-dp fare, the echoed inputs, and the 1-dp duration
+  *    (`webapp.py:70-77`). Any failure — missing field, un-coercible
+  *    value, scoring error — re-renders the form with the error message
+  *    at status 500, like the reference's catch-all (`webapp.py:79-81`).
+  *
+  * Semantics matched, skin original: the reference's Jinja template
+  * (`src/webapp/templates/index.html`) pulls Bootstrap, Chart.js and
+  * Leaflet from CDNs for a gauge and a map — presentation chrome with no
+  * analytics content. This page serves the same form fields (same
+  * names/constraints, same six payment-type options) and the same result
+  * data in plain self-contained HTML. Field coercion reuses the Python
+  * `float()`/`int()` string grammar from [[HttpScoring]] (form values
+  * always arrive as strings), and a missing field renders as Python's
+  * `str(KeyError)` — the quoted field name — matching what Flask's
+  * `request.form[...]` raises into the reference's handler.
+  *
+  * A separate server from [[HttpScoring]], as in the reference (two
+  * Flask apps on different ports: `api/app.py` JSON vs `webapp.py` HTML).
+  */
+object WebScoring {
+
+  /** Python `round(x, 1)` — HALF_EVEN, for the duration chip
+    * (`webapp.py:76`).
+    */
+  def round1(x: Double): Double =
+    new JBigDecimal(x).setScale(1, RoundingMode.HALF_EVEN).doubleValue()
+
+  /** application/x-www-form-urlencoded body → field map (last value
+    * wins, like Flask's `request.form[...]`).
+    */
+  private[serve] def parseForm(body: String): Map[String, String] =
+    body.split("&").iterator.filter(_.nonEmpty).map { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => URLDecoder.decode(k, UTF_8) -> URLDecoder.decode(v, UTF_8)
+        case Array(k) => URLDecoder.decode(k, UTF_8) -> ""
+      }
+    }.toMap
+
+  /** `request.form[name]` — absent key raises KeyError, whose str() is
+    * the quoted key; that string is what the reference renders.
+    */
+  private def formField(form: Map[String, String], name: String): String =
+    form.getOrElse(name, throw new NoSuchElementException(s"'$name'"))
+
+  private def esc(s: String): String = s.flatMap {
+    case '&' => "&amp;"
+    case '<' => "&lt;"
+    case '>' => "&gt;"
+    case '"' => "&quot;"
+    case '\'' => "&#39;"
+    case c => c.toString
+  }
+
+  /** The six payment options — the same (code, label) literals as the
+    * curated lookup (`Transformations.PaymentLookup`), which the
+    * reference's form options mirror (`index.html:144-151`).
+    */
+  private val PaymentOptions = Seq(
+    1 -> "Credit Card", 2 -> "Cash", 3 -> "No Charge",
+    4 -> "Dispute", 5 -> "Unknown", 6 -> "Voided trip")
+
+  /** Render the page. `result` carries (prediction, distance,
+    * passengers, hour, durationEst); `error` the failure message.
+    * Fidelity note: the reference's `{% if prediction %}` treats a 0.0
+    * fare as falsy and hides the block — replicated here.
+    */
+  private[serve] def page(
+      result: Option[(Double, Double, Int, Int, Double)] = None,
+      error: Option[String] = None): String = {
+    val errorBlock = error.map(e =>
+      s"""<p class="error" role="alert">Error: ${esc(e)}</p>""").getOrElse("")
+    val resultBlock = result.filter(_._1 != 0.0).map {
+      case (pred, dist, pax, hour, dur) =>
+        s"""<section class="result">
+           |  <h2>Estimated fare</h2>
+           |  <p class="fare">$$${esc(pred.toString)}</p>
+           |  <ul class="trip">
+           |    <li>Distance: ${esc(dist.toString)} mi</li>
+           |    <li>Passengers: $pax</li>
+           |    <li>Hour: $hour h</li>
+           |    <li>Estimated duration: ${esc(dur.toString)} min</li>
+           |  </ul>
+           |</section>""".stripMargin
+    }.getOrElse("")
+    val options = PaymentOptions.map { case (code, label) =>
+      s"""        <option value="$code">${esc(label)}</option>"""
+    }.mkString("\n")
+    s"""<!doctype html>
+       |<html lang="en">
+       |<head>
+       |  <meta charset="utf-8">
+       |  <meta name="viewport" content="width=device-width, initial-scale=1">
+       |  <title>NYC Taxi Fare Estimator</title>
+       |  <style>
+       |    body { font-family: system-ui, sans-serif; max-width: 34rem;
+       |           margin: 2rem auto; padding: 0 1rem; }
+       |    label { display: block; margin: .75rem 0 .25rem; }
+       |    input, select { width: 100%; padding: .4rem; }
+       |    button { margin-top: 1rem; padding: .5rem 1.5rem; }
+       |    .fare { font-size: 2rem; margin: .25rem 0; }
+       |    .trip li { margin: .15rem 0; }
+       |    .error { color: #b00020; }
+       |  </style>
+       |</head>
+       |<body>
+       |  <h1>NYC Taxi fare estimator</h1>
+       |$errorBlock
+       |  <form method="POST" action="/predict_web">
+       |    <label>Trip distance (miles)
+       |      <input type="number" step="0.1" min="0.1" name="trip_distance" required>
+       |    </label>
+       |    <label>Passengers
+       |      <input type="number" min="1" max="6" name="passenger_count" required>
+       |    </label>
+       |    <label>Pickup hour (0&ndash;23)
+       |      <input type="number" min="0" max="23" name="pickup_hour" required>
+       |    </label>
+       |    <label>Payment type
+       |      <select name="payment_type">
+       |$options
+       |      </select>
+       |    </label>
+       |    <button type="submit">Estimate fare</button>
+       |  </form>
+       |$resultBlock
+       |</body>
+       |</html>
+       |""".stripMargin
+  }
+
+  /** Handle one /predict_web form post: the reference's five steps
+    * (`webapp.py:33-77`) — read form, derive duration, build the row,
+    * score, render. Returns (status, html).
+    */
+  private[serve] def predictWeb(
+      spark: SparkSession,
+      model: PipelineModel,
+      body: String): (Int, String) =
+    try {
+      val form = parseForm(body)
+      val tripDistance = HttpScoring.pyFloat(formField(form, "trip_distance"))
+      val passengerCount = HttpScoring.pyInt(formField(form, "passenger_count"))
+      val pickupHour = HttpScoring.pyInt(formField(form, "pickup_hour"))
+      val paymentType = HttpScoring.pyInt(formField(form, "payment_type"))
+      val durationEst = Scoring.estimateDurationMin(tripDistance)
+      val pred = Scoring.predict(spark, model, Scoring.ScoringRequest(
+        trip_distance = tripDistance,
+        trip_duration_min = durationEst,
+        passenger_count = passengerCount,
+        pickup_hour = pickupHour,
+        payment_type = paymentType))
+      (200, page(result =
+        Some((pred, tripDistance, passengerCount, pickupHour, round1(durationEst)))))
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        (500, page(error = Some(Option(e.getMessage).getOrElse(e.toString))))
+    }
+
+  /** Start the web front-end on `port` (0 → ephemeral). Caller owns the
+    * lifecycle: `stop(0)` when done.
+    */
+  def start(spark: SparkSession, model: PipelineModel, port: Int): HttpServer = {
+    val server = HttpServer.create(new InetSocketAddress(port), 0)
+
+    def respond(ex: HttpExchange, code: Int, html: String): Unit = {
+      val bytes = html.getBytes(UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
+      ex.sendResponseHeaders(code, bytes.length)
+      try ex.getResponseBody.write(bytes)
+      finally ex.close()
+    }
+
+    server.createContext("/predict_web", (ex: HttpExchange) =>
+      try {
+        if (ex.getRequestMethod != "POST")
+          respond(ex, 405, page(error = Some("Method Not Allowed")))
+        else {
+          val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+          val (code, html) = predictWeb(spark, model, body)
+          respond(ex, code, html)
+        }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          respond(ex, 500, page(error = Some(Option(e.getMessage).getOrElse(e.toString))))
+      })
+
+    server.createContext("/", (ex: HttpExchange) =>
+      try respond(ex, 200, page())
+      catch { case scala.util.control.NonFatal(_) => ex.close() })
+
+    server.start()
+    server
+  }
+}
