@@ -315,6 +315,39 @@ object Corpus {
       .limit(k)
       .drop("_h")
 
+  /** Deterministic training-shard assignment — the last mile of a corpus
+    * build: dataloaders want the corpus globally shuffled and cut into
+    * `nShards` fixed sequential files, reproducibly. One md5 per row
+    * drives everything: the hash IS the shuffle order (content-derived,
+    * so identical under any partitioning or cluster size), its leading
+    * 8 hex chars pick the shard, and `pos` is the row's rank within its
+    * shard by the full hash.
+    *
+    * Scale shape: shard sizes are hash-uniform (Binomial(n, 1/nShards)
+    * — tight at any corpus size) WITHOUT a global total order; an exact
+    * round-robin over a global rank would need a single-partition
+    * window, the canonical 100 TB anti-pattern. The only wide op is one
+    * window partitioned by the shards themselves — uniform by
+    * construction, so no skewed reducer. The writer pairs this with
+    * `partitionBy("shard")` + sort on `pos`.
+    */
+  def shardForTraining(
+      df: DataFrame,
+      idCol: String,
+      nShards: Int,
+      salt: String = "shard"): DataFrame = {
+    require(nShards >= 1, s"nShards must be positive: $nShards")
+    df.withColumn("_ord", md5(concat(lit(salt), col(idCol).cast("string"))))
+      .withColumn("shard",
+        (conv(substring(col("_ord"), 1, 8), 16, 10).cast("long") % nShards)
+          .cast("int"))
+      // md5 ties are practically impossible; id tiebreak keeps the
+      // contract total anyway
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("shard").orderBy(col("_ord"), col(idCol))))
+      .drop("_ord")
+  }
+
   /** Benchmark-contamination check: n-gram shingle overlap between a
     * training corpus and an evaluation set — the data-hygiene pass every
     * LLM corpus build runs before training (is the eval set leaking into

@@ -135,7 +135,17 @@ object CorpusQueries {
           .as("postings"))
       .orderBy("token")
 
+  /** Training-shard assignment ([[Corpus.shardForTraining]]): every
+    * row's (shard, pos) hash-checked — the full deterministic global
+    * shuffle + cut, not just summary counts.
+    */
+  def qShards(s: SparkSession, dir: String): DataFrame =
+    Corpus.shardForTraining(docs(s, dir), "doc_id", nShards = 8)
+      .select("doc_id", "shard", "pos")
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_shards" -> (qShards _),
     "q_split_hash" -> (qSplitHash _),
     "q_pipeline" -> (qPipeline _),
     "q_sample_strat" -> (qSampleStrat _),
@@ -151,6 +161,14 @@ object CorpusQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_shards" ->
+      ("WITH h AS (SELECT doc_id, md5('shard' || doc_id::VARCHAR) AS ord " +
+        "FROM documents), " +
+        "s AS (SELECT doc_id, ord, " +
+        "(('0x' || substr(ord, 1, 8))::BIGINT % 8)::INT AS shard FROM h) " +
+        "SELECT doc_id, shard, row_number() OVER " +
+        "(PARTITION BY shard ORDER BY ord, doc_id)::INT AS pos " +
+        "FROM s ORDER BY doc_id"),
     // the composed pipeline: each stage reuses the fragment its
     // standalone gate query is checked with (repetition metrics,
     // lang-ID argmax, word-set dedup key, hash-split thresholds)

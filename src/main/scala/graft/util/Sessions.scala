@@ -30,6 +30,10 @@ object Sessions {
     // events.parquet stores TIMESTAMP(NANOS); read as long nanos and
     // convert explicitly (see sources.Tables.events).
     "spark.sql.legacy.parquet.nanosAsLong"   -> "true",
+    // recursive CTEs (q_recursive): the 1M-row default runaway guard
+    // trips on legitimate data growth (hit at the sf1 scale point);
+    // keep a guard, but sized for the engine's target scale
+    "spark.sql.cteRecursionRowLimit"         -> "1000000000",
   )
 
   def get(

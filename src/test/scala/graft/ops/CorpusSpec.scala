@@ -241,6 +241,25 @@ class CorpusSpec extends SparkTestBase {
     assert(q.getShort(0) == 0 && q.getShort(1) == 255)
   }
 
+  test("shardForTraining: partition-invariant, dense pos, hash-balanced") {
+    val df = (1L to 4000L).toDF("doc_id")
+    val a = Corpus.shardForTraining(df.repartition(17), "doc_id", nShards = 8)
+    val b = Corpus.shardForTraining(df.coalesce(1), "doc_id", nShards = 8)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "assignment must not depend on physical partitioning")
+    // pos is dense 1..size within every shard
+    val dense = a.groupBy("shard")
+      .agg(count(lit(1)).as("n"), min("pos").as("mn"), max("pos").as("mx"))
+      .filter(col("mn") =!= 1 || col("mx") =!= col("n"))
+    assert(dense.isEmpty, "pos must be dense per shard")
+    // hash-uniform: 4000 rows over 8 shards — each within ±4σ of 500
+    val sizes = a.groupBy("shard").count().collect().map(_.getLong(1))
+    assert(sizes.length == 8)
+    val sigma = math.sqrt(4000.0 * (1.0 / 8) * (7.0 / 8)) // ~21
+    sizes.foreach(n =>
+      assert(math.abs(n - 500.0) < 4 * sigma, s"shard size $n vs expected 500"))
+  }
+
   test("quantizeBinary: bit layout, word count, hamming, topK ranking") {
     // dims 0..3 signs +,-,+,- → bits 0 and 2 set → word 0b0101 = 5
     val vecs = Seq(
