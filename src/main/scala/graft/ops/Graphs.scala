@@ -63,13 +63,24 @@ object Graphs {
     // explicit partition count: the directed list is small (~MBs) so
     // AQE would coalesce its exchange to one partition — and with it
     // the 30×-larger join OUTPUT, serializing the quadratic step. An
-    // explicit repartition is exempt from AQE coalescing.
-    val nPart = edges.sparkSession.sessionState.conf.numShufflePartitions
+    // explicit repartition is exempt from AQE coalescing. The count
+    // scales with the measured edge count (the wedge output it feeds
+    // grows ~m^1.5): a fixed 32 at 10× the edges meant 10× the wedge
+    // volume per partition and spill-bound tasks (observed 33× runtime
+    // for 10× data at the sf1 scale point — superlinear from memory
+    // pressure, not from the algorithm).
+    val conf = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val nPart = math.max(conf, math.min(4096L, m / 100000L).toInt)
     val keyed = directed.repartition(nPart, col("s"))
     val w1 = keyed.select(col("s"), col("t").as("b"))
     val w2 = keyed.select(col("s"), col("t").as("c"))
     val wedges = w1.join(w2, "s").filter(col("b") < col("c"))
-    val closing = if (m <= broadcastCloseMaxEdges) broadcast(e) else e
+    // past the broadcast threshold, force a shuffled HASH join: the
+    // default sort-merge would SORT the wedge stream — the one
+    // intermediate that must never be materialized per-ordering; the
+    // hash table builds on the edge side, which is √(wedges) smaller
+    val closing = if (m <= broadcastCloseMaxEdges) broadcast(e)
+      else e.hint("shuffle_hash")
     val triangles = wedges.join(closing,
       col("u") === col("b") && col("v") === col("c"))
       .select(col("s").as("a"), col("b"), col("c"))
