@@ -82,19 +82,7 @@ object PrepQueries {
       (s"SELECT doc_id, $redactSql AS text_redacted, " +
         s"len(regexp_extract_all($redactSql, '<(EMAIL|SSN|PHONE|IP)>'))::INT " +
         "AS n_redactions FROM documents ORDER BY doc_id"),
-    "q_surprisal" ->
-      ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
-        "p AS (SELECT doc_id, w[CAST(t.i + 1 AS INT)] AS w1, w[CAST(t.i + 2 AS INT)] AS w2 " +
-        "FROM w, unnest(range(0, greatest(len(w.w) - 1, 0))) AS t(i)), " +
-        "bc AS (SELECT w1, w2, count(*) AS c12 FROM p GROUP BY 1, 2), " +
-        "uc AS (SELECT w1, count(*) AS c1 FROM p GROUP BY 1), " +
-        "v AS (SELECT count(DISTINCT w2) AS v FROM p), " +
-        "sc AS (SELECT w1, w2, " + O.r6("-ln((c12 + 1.0) / (c1 + v))") + " AS nlp " +
-        "FROM bc JOIN uc USING (w1) CROSS JOIN v) " +
-        "SELECT doc_id, count(*) AS n_bigrams, " +
-        O.r6("CAST(sum(CAST(nlp AS DECIMAL(25,6))) AS DOUBLE) / count(*)") +
-        " AS mean_surprisal " +
-        "FROM p JOIN sc USING (w1, w2) GROUP BY doc_id ORDER BY doc_id"),
+    "q_surprisal" -> (surprisalSelect + " ORDER BY doc_id"),
     "q_bpe" -> Bpe.oracleSql(6),
     "q_bpe_encode" -> Bpe.encodeOracleSql(6),
     // Relational mirror of the engine's per-row fold: n-gram counts via
@@ -102,6 +90,25 @@ object PrepQueries {
     // integers, so values (and the keep comparisons) match bit-exactly.
     "q_repetition" -> (PrepQueries.repetitionSelect + " ORDER BY doc_id"),
   )
+
+  /** Bigram-surprisal oracle body (no ORDER BY) — shared with the
+    * perplexity-band gate (SelectionQueries q_ppl_band), which consumes
+    * it as a nested-WITH subquery. A `def` for the same object-init
+    * reason as [[repetitionSelect]].
+    */
+  private[queries] def surprisalSelect: String =
+    "WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+      "p AS (SELECT doc_id, w[CAST(t.i + 1 AS INT)] AS w1, w[CAST(t.i + 2 AS INT)] AS w2 " +
+      "FROM w, unnest(range(0, greatest(len(w.w) - 1, 0))) AS t(i)), " +
+      "bc AS (SELECT w1, w2, count(*) AS c12 FROM p GROUP BY 1, 2), " +
+      "uc AS (SELECT w1, count(*) AS c1 FROM p GROUP BY 1), " +
+      "v AS (SELECT count(DISTINCT w2) AS v FROM p), " +
+      "sc AS (SELECT w1, w2, " + O.r6("-ln((c12 + 1.0) / (c1 + v))") + " AS nlp " +
+      "FROM bc JOIN uc USING (w1) CROSS JOIN v) " +
+      "SELECT doc_id, count(*) AS n_bigrams, " +
+      O.r6("CAST(sum(CAST(nlp AS DECIMAL(25,6))) AS DOUBLE) / count(*)") +
+      " AS mean_surprisal " +
+      "FROM p JOIN sc USING (w1, w2) GROUP BY doc_id"
 
   /** Repetition-metrics oracle body (no ORDER BY) — shared with the
     * composed curation pipeline oracle (CorpusQueries q_pipeline). A
