@@ -131,6 +131,204 @@ object SqlSurfaceQueries {
       .limit(100)
   }
 
+  /** TPC-H Q6 shape (forecast revenue change): the pure scan-aggregate
+    * — one table, three band predicates, one global sum, no join or
+    * grouping. The point at scale is the PLAN: every predicate pushes
+    * into the parquet scan (`PushedFilters` carries all three), the
+    * projection prunes to the 4 referenced columns, and aggregation is
+    * one map-side partial per split plus a scalar merge — the query
+    * that measures pure scan efficiency.
+    */
+  def qTpchQ6(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"))
+
+  /** TPC-H Q13 shape (customer order distribution): LEFT join so
+    * orderless customers count as zero, then a two-level aggregation —
+    * orders per customer, customers per order count. Scale shape: the
+    * first aggregate keys on the uniform customer key (one shuffle);
+    * the second groups the already-reduced per-customer frame on the
+    * tiny count domain. The left join preserves every customer row,
+    * which is the semantic the INNER-join spelling silently loses.
+    */
+  def qTpchQ13(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "customer")
+      .join(Tables.table(s, dir, "orders"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** TPC-H Q14 shape (promotion effect): the percentage-of-total
+    * pattern — lineitem ⋈ part for one month, promo revenue share as a
+    * conditional sum over the same decimal-summed measure. Both sums
+    * ride ONE aggregate (no second scan, no self-join); the ratio and
+    * ×100 are single IEEE ops after exact decimal sums, r6-rounded
+    * once at the end per the [[graft.queries.Det]] discipline.
+    */
+  def qTpchQ14(s: SparkSession, dir: String): DataFrame = {
+    val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    Tables.table(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+      .join(Tables.table(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .agg(r6(lit(100.0) *
+        sum(when(col("p_type") === "PROMO", disc).otherwise(lit(0.0))
+          .cast("decimal(25,6)")).cast("double") /
+        sum(disc.cast("decimal(25,6)")).cast("double")).as("promo_revenue"))
+  }
+
+  /** TPC-H Q4 shape (order priority checking): count orders per
+    * priority that have at least one LATE line — an EXISTS whose inner
+    * predicate correlates on the key AND a non-equi timestamp
+    * comparison (`l_shipdate > o_orderdate + 30 days`; the testdata has
+    * no commit/receipt dates, so lateness is relative to order date).
+    *
+    * Scale shape: the EXISTS is a LeftSemi on the order key with the
+    * timestamp residual evaluated inside the join — lineitem is never
+    * aggregated or deduplicated first, and each order emits at most
+    * once regardless of how many lines match. One shuffle on the
+    * uniform order key.
+    */
+  def qTpchQ4(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+      .join(Tables.table(s, dir, "lineitem").select("l_orderkey", "l_shipdate"),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+
+  /** TPC-H Q8 shape (national market share): the ratio-of-conditional-
+    * sums over the full seven-way star — region-restricted customers,
+    * PROMO parts, and per-year share of volume supplied from one
+    * nation. Both sums ride ONE aggregate over decimal partials; the
+    * share is a single IEEE division r6-rounded at the end.
+    *
+    * Scale shape: every dimension chain (nation⋈region, part filter,
+    * supplier-nation name) broadcasts; the orders⋈lineitem spine
+    * shuffles once on the order key — same skeleton as Q5/Q7, plus the
+    * conditional-share aggregate Q14 pins.
+    */
+  def qTpchQ8(s: SparkSession, dir: String): DataFrame = {
+    val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val custNations = Tables.table(s, dir, "nation")
+      .join(Tables.table(s, dir, "region").filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("_ck"))
+    val suppNations = Tables.table(s, dir, "nation")
+      .select(col("n_nationkey").as("_sk"), col("n_name").as("supp_nation"))
+    Tables.table(s, dir, "lineitem")
+      .join(Tables.table(s, dir, "part").filter(col("p_type") === "PROMO"),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.table(s, dir, "orders")
+        .filter(col("o_orderdate").between(
+          lit("1996-01-01").cast("timestamp"),
+          lit("1997-12-31").cast("timestamp"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.table(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(custNations), col("c_nationkey") === col("_ck"))
+      .join(Tables.table(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppNations), col("s_nationkey") === col("_sk"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(r6(
+        sum(when(col("supp_nation") === "NATION_5", vol).otherwise(lit(0.0))
+          .cast("decimal(25,6)")).cast("double") /
+        sum(vol.cast("decimal(25,6)")).cast("double")).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    * scalar subquery — lines of one brand whose quantity is below 20%
+    * of that PART's average quantity, total extended price / 7.
+    *
+    * Decorrelated by construction: lineitem semi-restricts to the
+    * brand's part keys (broadcast — the brand is ~4% of parts), the
+    * per-part average aggregates that subset once (complete per-part
+    * row sets, so the average equals the correlated spelling's), and
+    * the TINY per-part threshold table broadcasts back. The fact table
+    * shuffles zero times. Quantities are integer-valued doubles, so
+    * the average is exact in any summation order; the oracle spells
+    * the original correlated subquery, proving the decorrelation.
+    */
+  def qTpchQ17(s: SparkSession, dir: String): DataFrame = {
+    val brandKeys = Tables.table(s, dir, "part")
+      .filter(col("p_brand") === "Brand#23").select("p_partkey")
+    val brandLines = Tables.table(s, dir, "lineitem")
+      .join(broadcast(brandKeys), col("l_partkey") === col("p_partkey"))
+    val thresholds = brandLines.groupBy(col("l_partkey").as("_pk"))
+      .agg((lit(0.2) * avg(col("l_quantity"))).as("_qlim"))
+    brandLines
+      .join(broadcast(thresholds), col("l_partkey") === col("_pk"))
+      .filter(col("l_quantity") < col("_qlim"))
+      .agg(r6(sum(col("l_extendedprice").cast("decimal(25,6)"))
+        .cast("double") / lit(7.0)).as("avg_yearly"))
+  }
+
+  /** TPC-H Q19 shape (discounted revenue): the OR-of-ANDs predicate
+    * spanning both join sides — three (brand, size-range, quantity-
+    * range) disjuncts that cannot push into either scan as written.
+    *
+    * The engine hand-derives the disjunction's conjunctive ENVELOPE —
+    * brand ∈ {the three}, p_size ∈ [1,35], l_quantity ∈ [1,30] — and
+    * pushes that into the scans (part to ~11% of rows, lineitem to the
+    * quantity band), leaving the exact disjunction as a post-join
+    * residual on broadcast-carried columns. The oracle spells the raw
+    * OR, so a pass proves envelope + residual ≡ original.
+    */
+  def qTpchQ19(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.table(s, dir, "part")
+      .filter(col("p_brand").isin("Brand#12", "Brand#23", "Brand#34") &&
+        col("p_size").between(1, 35))
+      .select("p_partkey", "p_brand", "p_size")
+    Tables.table(s, dir, "lineitem")
+      .filter(col("l_quantity").between(1, 30))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("p_size") <= 15 &&
+          col("l_quantity") <= 11) ||
+        (col("p_brand") === "Brand#23" && col("p_size") <= 25 &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#34" && col("l_quantity") >= 20))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+  }
+
+  /** TPC-H Q22 shape (global market opportunity): customers with
+    * above-average positive balances and NO recent orders — a global
+    * scalar threshold plus an anti join, grouped by nation (the
+    * testdata's analog of the phone country code).
+    *
+    * Scale shape: the threshold is a 1-row broadcast (the Det.davg
+    * decimal discipline makes the strict `>` compare engine-exact on
+    * 2-dp balances); the NOT EXISTS is a LeftAnti against the
+    * date-pruned order keys, which AQE broadcasts when the recent
+    * window is small. Customer never shuffles.
+    */
+  def qTpchQ22(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.table(s, dir, "customer")
+    val threshold = cust.filter(col("c_acctbal") > 0)
+      .agg(davg(col("c_acctbal")).as("_t"))
+    val recent = Tables.table(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select("o_custkey")
+    cust.crossJoin(broadcast(threshold))
+      .filter(col("c_acctbal") > col("_t"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey").as("cntrycode"))
+      .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
+      .orderBy("cntrycode")
+  }
+
   /** TPC-H Q1 shape (pricing summary): the canonical single-table scan
     * → filter → 2-key hash aggregate with EIGHT aggregates including
     * three chained-expression sums and three averages — the widest
@@ -440,6 +638,14 @@ object SqlSurfaceQueries {
     "q_tpch_q7" -> (qTpchQ7 _),
     "q_tpch_q10" -> (qTpchQ10 _),
     "q_tpch_q18" -> (qTpchQ18 _),
+    "q_tpch_q6" -> (qTpchQ6 _),
+    "q_tpch_q13" -> (qTpchQ13 _),
+    "q_tpch_q14" -> (qTpchQ14 _),
+    "q_tpch_q4" -> (qTpchQ4 _),
+    "q_tpch_q8" -> (qTpchQ8 _),
+    "q_tpch_q17" -> (qTpchQ17 _),
+    "q_tpch_q19" -> (qTpchQ19 _),
+    "q_tpch_q22" -> (qTpchQ22 _),
     "q_try" -> (qTry _),
     "q_unpivot" -> (qUnpivot _),
     "q_join_outer" -> (qJoinOuter _),
@@ -513,6 +719,79 @@ object SqlSurfaceQueries {
         "AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' " +
         "AND TIMESTAMP '1997-12-31') " +
         "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
+    "q_tpch_q4" ->
+      ("SELECT o_orderpriority, count(*) AS order_count FROM orders " +
+        "WHERE o_orderdate >= TIMESTAMP '1997-01-01' " +
+        "AND o_orderdate < TIMESTAMP '1997-04-01' " +
+        "AND EXISTS (SELECT 1 FROM lineitem " +
+        "WHERE l_orderkey = o_orderkey " +
+        "AND l_shipdate > o_orderdate + INTERVAL 30 DAY) " +
+        "GROUP BY 1 ORDER BY 1"),
+    "q_tpch_q8" ->
+      ("SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, " +
+        O.r6("CAST(sum(CAST(CASE WHEN n2.n_name = 'NATION_5' " +
+          "THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END " +
+          "AS DECIMAL(25,6))) AS DOUBLE) / " +
+          "CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) " +
+          "AS DECIMAL(25,6))) AS DOUBLE)") + " AS mkt_share " +
+        "FROM lineitem, part, orders, customer, nation n1, region, " +
+        "supplier, nation n2 " +
+        "WHERE l_partkey = p_partkey AND p_type = 'PROMO' " +
+        "AND l_orderkey = o_orderkey " +
+        "AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' " +
+        "AND TIMESTAMP '1997-12-31' " +
+        "AND o_custkey = c_custkey AND c_nationkey = n1.n_nationkey " +
+        "AND n1.n_regionkey = r_regionkey AND r_name = 'ASIA' " +
+        "AND l_suppkey = s_suppkey AND s_nationkey = n2.n_nationkey " +
+        "GROUP BY 1 ORDER BY 1"),
+    "q_tpch_q17" ->
+      ("SELECT " +
+        O.r6("CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) " +
+          "AS DOUBLE) / 7.0") + " AS avg_yearly " +
+        "FROM lineitem, part WHERE p_partkey = l_partkey " +
+        "AND p_brand = 'Brand#23' " +
+        "AND l_quantity < 0.2 * (SELECT avg(l_quantity) FROM lineitem l2 " +
+        "WHERE l2.l_partkey = p_partkey)"),
+    "q_tpch_q19" ->
+      ("SELECT " + O.dsum("l_extendedprice * (1.0 - l_discount)") +
+        " AS revenue FROM lineitem, part WHERE l_partkey = p_partkey " +
+        "AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 " +
+        "AND l_quantity BETWEEN 1 AND 11) " +
+        "OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 " +
+        "AND l_quantity BETWEEN 10 AND 20) " +
+        "OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 " +
+        "AND l_quantity BETWEEN 20 AND 30))"),
+    "q_tpch_q22" ->
+      ("WITH t AS (SELECT " + O.davg("c_acctbal") + " AS _t " +
+        "FROM customer WHERE c_acctbal > 0) " +
+        "SELECT c_nationkey AS cntrycode, count(*) AS numcust, " +
+        O.dsum("c_acctbal") + " AS totacctbal " +
+        "FROM customer, t WHERE c_acctbal > _t " +
+        "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
+        "AND o_orderdate >= TIMESTAMP '2000-01-01') " +
+        "GROUP BY 1 ORDER BY 1"),
+    "q_tpch_q6" ->
+      ("SELECT " + O.dsum("l_extendedprice * l_discount") + " AS revenue " +
+        "FROM lineitem " +
+        "WHERE l_shipdate >= TIMESTAMP '1997-01-01' " +
+        "AND l_shipdate < TIMESTAMP '1998-01-01' " +
+        "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"),
+    "q_tpch_q13" ->
+      ("WITH c AS (SELECT c_custkey, count(o_orderkey) AS c_count " +
+        "FROM customer LEFT JOIN orders ON c_custkey = o_custkey " +
+        "GROUP BY 1) " +
+        "SELECT c_count, count(*) AS custdist FROM c GROUP BY 1 " +
+        "ORDER BY custdist DESC, c_count DESC"),
+    "q_tpch_q14" ->
+      ("SELECT " +
+        O.r6("100.0 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO' " +
+          "THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END " +
+          "AS DECIMAL(25,6))) AS DOUBLE) / " +
+          "CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) " +
+          "AS DECIMAL(25,6))) AS DOUBLE)") + " AS promo_revenue " +
+        "FROM lineitem, part WHERE l_partkey = p_partkey " +
+        "AND l_shipdate >= TIMESTAMP '1997-09-01' " +
+        "AND l_shipdate < TIMESTAMP '1997-10-01'"),
     // sum(l_quantity) is integer-valued doubles → exact, order-free
     "q_tpch_q1" ->
       ("SELECT l_returnflag, l_linestatus, " +

@@ -30,6 +30,19 @@ class PlanSpec extends SparkTestBase {
     assert(!readSchema.contains("l_extendedprice"), "scan reads unprojected columns")
   }
 
+  test("tpch q6: all three band predicates push into the scan, 4-column read") {
+    val p = plan(graft.queries.SqlSurfaceQueries.qTpchQ6(spark, Sf0001))
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+      "GreaterThanOrEqual(l_discount", "LessThanOrEqual(l_discount",
+      "LessThan(l_quantity").foreach(f =>
+      assert(pushed.contains(f), s"missing pushed filter $f in:\n$pushed"))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_tax"),
+      "scan reads columns Q6 never references")
+    assert(p.contains("HashAggregate"), "no map-side partial aggregate")
+  }
+
   test("q_join plans as a broadcast hash left-outer join, not a shuffle") {
     val p = plan(RefQueries.qJoin(spark, Sf0001))
     assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
@@ -138,11 +151,14 @@ class PlanSpec extends SparkTestBase {
     // (q_sim_ivfpq: broadcast-centroid cell assignment, like q_sim_ivf)
     // (q_sim_hamming: broadcast query side against the packed corpus —
     // the binary-code scan, like q_sim_topk)
+    // (q_dsir / q_ppl_band / q_mix_temp: Selection's 1-row or tiny-frame
+    // broadcasts — λ normalizer totals, calibration cuts, weight sums)
+    // (q_tpch_q22: the 1-row global-threshold broadcast)
     val bnljByDesign = Set("q_sim_topk", "q_sim_topk_agg", "q_top_tokens",
       "q_tfidf", "q_asof", "q_sim_ivf", "q_surprisal", "q_kmeans",
       "q_text_knn", // brute-force top-k: broadcast query side, like q_sim_topk
       "q_histogram", "q_pagerank", "q_decay", "q_semdedup", "q_sim_ivfpq",
-      "q_sim_hamming")
+      "q_sim_hamming", "q_dsir", "q_ppl_band", "q_mix_temp", "q_tpch_q22")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = plan(fn(spark, Sf0001))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
