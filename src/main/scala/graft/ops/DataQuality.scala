@@ -86,7 +86,8 @@ object DataQuality {
         struct(lit(c.name).as("check"), nullFrac.as("metric"),
           (nullFrac <= lit(1.0 - minRatio)).as("pass"))
       case c @ Unique(columnName) =>
-        // rows carrying a value seen more than once: count minus distinct
+        // excess rows beyond one per distinct value (a value seen twice
+        // contributes 1, not 2): count minus distinct
         val dupRows = (count(col(columnName)) -
           count_distinct(col(columnName))).cast("double")
         struct(lit(c.name).as("check"), dupRows.as("metric"),
