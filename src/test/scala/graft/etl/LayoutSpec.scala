@@ -88,6 +88,35 @@ class LayoutSpec extends SparkTestBase {
     assert(spread(zdir, "x") < 200)
   }
 
+  test("star join against a date-partitioned fact gets dynamic partition pruning") {
+    // The 100 TB read-path counterpart of dynamic partition OVERWRITE
+    // below: a fact laid out hive-partitioned on the date key joined
+    // against a filtered dimension must scan only the partitions the
+    // dim filter survives — decided at RUNTIME from the broadcast
+    // side's build, not statically (the quarter→month mapping is not
+    // visible to the fact scan as a literal predicate).
+    val fact = tmpDir("layout_dpp_fact")
+    val li = Tables.table(spark, Sf0001, "lineitem")
+      .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
+    li.write.mode("overwrite").partitionBy("ship_month").parquet(fact)
+
+    val dim = li.select(col("ship_month").as("m")).distinct()
+      .withColumn("qtr", concat(substring(col("m"), 1, 4), lit("-Q"),
+        // Column./ is DOUBLE division even on ints — cast back to floor
+        (((substring(col("m"), 6, 2).cast("int") - 1) / 3).cast("int") + 1)))
+    val joined = spark.read.parquet(fact)
+      .join(dim.filter(col("qtr") === "1997-Q1"), col("ship_month") === col("m"))
+
+    val p = joined.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("dynamicpruning"),
+      s"fact scan not dynamically pruned:\n$p")
+    // correctness: identical to the statically-filtered spelling
+    val expected = li.filter(col("l_shipdate") >= "1997-01-01" &&
+      col("l_shipdate") < "1997-04-01").count()
+    assert(joined.count() == expected)
+  }
+
   test("dynamic partition overwrite rewrites only the touched partitions") {
     import spark.implicits._
     val dir = tmpDir("dyn_overwrite")
