@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.SimHash64
+import graft.util.Lineage
 
 /** Deduplication operators for LLM training-data pipelines (SURVEY.md
   * §7.4): exact content-hash dedup, deterministic MinHash + LSH banding
@@ -280,15 +281,19 @@ object Dedup {
   def duplicateClusters(pairs: DataFrame): DataFrame = {
     // materialize the pair pipeline once: the union below references
     // `pairs` twice, and without this both branches would re-run the
-    // full upstream (shingle→minhash→LSH→verify) lineage in one job
-    val p = pairs.select("doc_a", "doc_b").localCheckpoint()
-    val edges = p
+    // full upstream (shingle→minhash→LSH→verify) lineage in one job.
+    // Generations ROTATE (graft.util.Lineage): the label frame is
+    // corpus-sized, and without freeing, every round's checkpoint
+    // blocks stay in executor storage until a driver GC — rounds × |V|
+    // rows of dead weight in a long-lived session.
+    val p0 = Lineage.checkpoint(pairs.select("doc_a", "doc_b"))
+    val edges = p0.df
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .union(p0.df.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
+    var labels = Lineage.checkpoint(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id")))
     // labels only ever DECREASE under min-propagation, so an unchanged
     // label sum proves the fixed point — one aggregate per round instead
     // of a join+diff; DECIMAL sum cannot overflow or lose precision
@@ -297,22 +302,24 @@ object Dedup {
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
         lit(0).cast("decimal(38,0)"))).head().getDecimal(0)
-    var prevSum = labelSum(labels)
+    var prevSum = labelSum(labels.df)
     var converged = false
     while (!converged) {
       val neighbourLabels = edges
-        .join(labels.withColumnRenamed("id", "src"), "src")
+        .join(labels.df.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("label"))
-      val next = labels.union(neighbourLabels)
-        .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint()
-      val nextSum = labelSum(next)
+      val next = Lineage.rotate(
+        labels.df.union(neighbourLabels)
+          .groupBy("id").agg(min("label").as("label")),
+        labels)
+      val nextSum = labelSum(next.df)
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       labels = next
     }
     edges.unpersist()
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    Lineage.free(p0)
+    labels.df.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
   /** Connected components in O(log diameter) rounds: min-label hooking
@@ -335,45 +342,48 @@ object Dedup {
     * diameter.
     */
   def duplicateClustersFast(pairs: DataFrame, maxRounds: Int = 48): DataFrame = {
-    val p = pairs.select("doc_a", "doc_b").localCheckpoint()
-    val edges = p
+    // generation rotation: see duplicateClusters
+    val p0 = Lineage.checkpoint(pairs.select("doc_a", "doc_b"))
+    val edges = p0.df
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .union(p0.df.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
+    var labels = Lineage.checkpoint(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id")))
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
         lit(0).cast("decimal(38,0)"))).head().getDecimal(0)
-    var prevSum = labelSum(labels)
-    var converged = labels.isEmpty
+    var prevSum = labelSum(labels.df)
+    var converged = labels.df.isEmpty
     var rounds = 0
     while (!converged) {
       rounds += 1
       require(rounds <= maxRounds,
         s"connected components did not converge in $maxRounds rounds")
       // hook: min label over the closed neighbourhood
-      val hooked = labels.union(
-        edges.join(labels.withColumnRenamed("id", "src"), "src")
+      val hooked = labels.df.union(
+        edges.join(labels.df.withColumnRenamed("id", "src"), "src")
           .select(col("dst").as("id"), col("label")))
         .groupBy("id").agg(min("label").as("label"))
       // shortcut: label ← label(label). Labels always point at node ids
       // (mins of reachable sets), so the self-join hits; coalesce guards
       // the root, whose label is itself
-      val next = hooked
-        .join(
-          hooked.select(col("id").as("label"), col("label").as("label2")),
-          Seq("label"), "left")
-        .select(col("id"), coalesce(col("label2"), col("label")).as("label"))
-        .localCheckpoint()
-      val nextSum = labelSum(next)
+      val next = Lineage.rotate(
+        hooked
+          .join(
+            hooked.select(col("id").as("label"), col("label").as("label2")),
+            Seq("label"), "left")
+          .select(col("id"), coalesce(col("label2"), col("label")).as("label")),
+        labels)
+      val nextSum = labelSum(next.df)
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       labels = next
     }
     edges.unpersist()
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    Lineage.free(p0)
+    labels.df.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
   /** The dedup pipeline's OUTPUT stage: drop every non-canonical cluster

@@ -118,6 +118,10 @@ object Graphs {
     val n = verts.agg(count(lit(1)).as("n"))
     var ranks = verts.crossJoin(broadcast(n))
       .select(col("x"), (lit(1.0) / col("n")).as("r"))
+    // rank generations at scale are |V|-sized: checkpoints ROTATE
+    // (graft.util.Lineage) so a high-iteration run holds at most one
+    // previous generation's blocks, not iters/checkpointEvery of them
+    var gen: Option[graft.util.Lineage.Gen] = None
     for (i <- 1 to iters) {
       val sums = ranks
         .join(outgoing, col("x") === col("u"))
@@ -131,9 +135,16 @@ object Graphs {
         .select(col("x"),
           (lit(1 - damping) / col("n") +
             lit(damping) * coalesce(col("m"), lit(0.0))).as("r"))
-      // lineage guard for high iteration counts (see Clustering.kmeans)
-      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
-        ranks = ranks.localCheckpoint(eager = false)
+      // lineage guard for high iteration counts (see Clustering.kmeans);
+      // eager, so the PREVIOUS generation is safely freeable now
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters) {
+        val next = gen match {
+          case Some(g) => graft.util.Lineage.rotate(ranks, g)
+          case None => graft.util.Lineage.checkpoint(ranks)
+        }
+        gen = Some(next)
+        ranks = next.df
+      }
     }
     ranks
   }

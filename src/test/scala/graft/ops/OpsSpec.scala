@@ -122,6 +122,24 @@ class OpsSpec extends SparkTestBase {
       "every chain node must label to the min id 0")
   }
 
+  test("clustering frees its checkpoint generations: bounded block-manager residue") {
+    import spark.implicits._
+    // 200-link chain → ~10 hook+shortcut rounds, each localCheckpointing
+    // a corpus-sized label frame. Rotation (graft.util.Lineage) must
+    // leave only the FINAL generation persisted — without it every
+    // round's blocks stay until a driver GC, which a long-lived session
+    // (a bench, a query service) may not run for half an hour.
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val chain = (0L until 200L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val out = Dedup.duplicateClustersFast(chain, maxRounds = 20)
+    assert(out.count() == 201)
+    val residue = spark.sparkContext.getPersistentRDDs.keySet -- before
+    // final labels generation (+ possibly its still-draining async
+    // unpersists) — the bound is "constant", not "per round"
+    assert(residue.size <= 3,
+      s"${residue.size} persisted RDDs left behind (expected ≤3: rotation broken)")
+  }
+
   test("minhash codegen expression agrees with the relational form exactly") {
     import spark.implicits._
     val fast = Dedup.minhashSignatures(docs, "doc_id", "text", 8)
