@@ -433,6 +433,30 @@ object Similarity {
     * bucket. Trades recall for a 2^nBits fan-in reduction; callers verify
     * recall against [[cosineTopK]] on a sample.
     */
+  /** ANN quality evaluation: per-query recall of an approximate top-k
+    * against the exact one — THE metric that justifies (or indicts) an
+    * LSH/IVF scale path, computed as a relational op so it runs over
+    * the full query set, not a sampled spot check.
+    *
+    * Inputs are any two frames with (qid, cid) rows (ranks/scores
+    * ignored); output is one row per qid: the exact-neighbour count,
+    * how many of them the approximate result found, and the recall
+    * fraction. The denominator is the EXACT side's row count, so
+    * queries whose exact neighbourhood is smaller than k are scored
+    * fairly. One hash join + one aggregate, both on the query key.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val a = approx.select(col("qid"), col("cid")).withColumn("_hit", lit(1L))
+    exact.select("qid", "cid")
+      .join(a, Seq("qid", "cid"), "left")
+      .groupBy("qid")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("_hit"), lit(0L))).as("n_hit"))
+      // long/long via one double cast: the same single IEEE division in
+      // any engine — no rounding discipline needed
+      .withColumn("recall", col("n_hit").cast("double") / col("n_exact"))
+  }
+
   def bucketedTopK(
       queries: DataFrame, // (qid, qe)
       candidates: DataFrame, // (cid, ce)

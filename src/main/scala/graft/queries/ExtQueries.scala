@@ -173,6 +173,22 @@ object ExtQueries {
       .select("qid", "cid", "score", "rank")
       .orderBy("qid", "rank")
 
+  /** ANN recall evaluation: the LSH top-k's per-query recall against
+    * the brute-force top-k — the number a user checks before trusting
+    * the bucketed scale path. Composes the SAME two pipelines the
+    * q_sim_topk and q_sim_lsh gates verify individually; the oracle
+    * spells both CTE chains and the overlap join, so the recall
+    * arithmetic itself is cross-engine proven.
+    */
+  def qAnnRecall(s: SparkSession, dir: String): DataFrame =
+    Similarity
+      .recallAtK(
+        Similarity.bucketedTopK(queriesDf(s, dir), candsDf(s, dir),
+          k = 10, nBits = 4, scoreRounding = r6),
+        Similarity.cosineTopK(queriesDf(s, dir), candsDf(s, dir),
+          k = 10, scoreRounding = r6))
+      .orderBy("qid")
+
   def qDedupEmbed(s: SparkSession, dir: String): DataFrame =
     Dedup
       .embeddingDupPairs(emb(s, dir).select("vec_id", "embedding"),
@@ -958,6 +974,7 @@ object ExtQueries {
     "q_dedup_canonical" -> (qDedupCanonical _),
     "q_sim_topk" -> (qSimTopk _),
     "q_sim_lsh" -> (qSimLsh _),
+    "q_ann_recall" -> (qAnnRecall _),
     "q_sim_ivf" -> (qSimIvf _),
     "q_sim_topk_agg" -> (qSimTopkAgg _),
     "q_embed_binary" -> (qEmbedBinary _),
@@ -1373,6 +1390,24 @@ object ExtQueries {
         "LEFT JOIN g ON g.doc_id = d.doc_id " +
         "JOIN roll ON roll.doc_id = d.doc_id " +
         "ORDER BY d.doc_id"),
+    "q_ann_recall" ->
+      ("WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5), " +
+        "c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings), " +
+        s"s AS (SELECT qid, cid, ${O.r6(cosSql("qe", "ce"))} AS score " +
+        "FROM q JOIN c ON qid != cid), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rnk FROM s), " +
+        "e AS (SELECT qid, cid FROM r WHERE rnk <= 10), " +
+        s"qb AS (SELECT qid, qe, ${bucketSql("qe", 4)} AS bucket FROM q), " +
+        s"cb AS (SELECT cid, ce, ${bucketSql("ce", 4)} AS bucket FROM c), " +
+        s"sa AS (SELECT qid, cid, ${O.r6(cosSql("qe", "ce"))} AS score " +
+        "FROM qb JOIN cb USING (bucket) WHERE qid != cid), " +
+        "ra AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rnk FROM sa), " +
+        "a AS (SELECT qid, cid, 1 AS _hit FROM ra WHERE rnk <= 10) " +
+        "SELECT e.qid, count(*) AS n_exact, " +
+        "CAST(sum(coalesce(a._hit, 0)) AS BIGINT) AS n_hit, " +
+        "CAST(sum(coalesce(a._hit, 0)) AS DOUBLE) / count(*) AS recall " +
+        "FROM e LEFT JOIN a ON e.qid = a.qid AND e.cid = a.cid " +
+        "GROUP BY 1 ORDER BY 1"),
     "q_sim_topk" ->
       ("WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5), " +
         "c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings), " +

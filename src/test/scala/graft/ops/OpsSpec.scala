@@ -140,6 +140,17 @@ class OpsSpec extends SparkTestBase {
       s"${residue.size} persisted RDDs left behind (expected ≤3: rotation broken)")
   }
 
+  test("recallAtK: exact-vs-itself is 1.0; disjoint result is 0.0") {
+    import spark.implicits._
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 10L)).toDF("qid", "cid")
+    val self = Similarity.recallAtK(exact, exact).orderBy("qid").collect()
+    assert(self.forall(_.getAs[Double]("recall") == 1.0))
+    val miss = Seq((1L, 99L), (2L, 99L)).toDF("qid", "cid")
+    val zero = Similarity.recallAtK(miss, exact).orderBy("qid").collect()
+    assert(zero.forall(_.getAs[Double]("recall") == 0.0))
+    assert(zero.map(_.getAs[Long]("n_exact")).toSeq == Seq(2L, 1L))
+  }
+
   test("minhash codegen expression agrees with the relational form exactly") {
     import spark.implicits._
     val fast = Dedup.minhashSignatures(docs, "doc_id", "text", 8)
