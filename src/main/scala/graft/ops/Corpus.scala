@@ -315,6 +315,45 @@ object Corpus {
       .limit(k)
       .drop("_h")
 
+  /** Deterministic negative sampling for contrastive training: for each
+    * anchor row, `k` negatives drawn from a hash-selected global pool,
+    * excluding the anchor's own group (same-source texts are too likely
+    * to be soft positives), ranked by a per-(anchor, candidate) hash —
+    * so every anchor gets its own reproducible draw, identical across
+    * runs, engines, and partitionings.
+    *
+    * Scale shape: per-anchor sampling from the FULL corpus is an
+    * anchors × corpus theta join — never viable. The standard fix is a
+    * pool: [[sampleK]] draws `poolSize` uniform candidates (exact-size,
+    * hash-deterministic), the pool BROADCASTS, and each anchor ranks
+    * only pool members (one window partitioned by the anchor key over
+    * n × poolSize rows). Pool uniformity means group exclusion costs
+    * only the anchor's own group's share of the pool, and a
+    * `poolSize ≫ k` leaves the per-anchor draw effectively uniform over
+    * other-group docs.
+    */
+  def negativeSample(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      k: Int,
+      poolSize: Int = 64,
+      salt: String = "negs"): DataFrame = {
+    require(k >= 1 && poolSize > k,
+      s"need poolSize > k >= 1: k=$k poolSize=$poolSize")
+    val pool = sampleK(df.select(col(idCol), col(groupCol)), idCol, poolSize,
+        salt + "_pool")
+      .select(col(idCol).as("neg_id"), col(groupCol).as("_ng"))
+    df.select(col(idCol), col(groupCol))
+      .join(broadcast(pool), col(groupCol) =!= col("_ng"))
+      .withColumn("_r", md5(concat(lit(salt), col(idCol).cast("string"),
+        lit("_"), col("neg_id").cast("string"))))
+      .withColumn("neg_rank", row_number().over(
+        Window.partitionBy(idCol).orderBy(col("_r"), col("neg_id"))))
+      .filter(col("neg_rank") <= k)
+      .select(col(idCol), col("neg_id"), col("neg_rank"))
+  }
+
   /** Deterministic training-shard assignment — the last mile of a corpus
     * build: dataloaders want the corpus globally shuffled and cut into
     * `nShards` fixed sequential files, reproducibly. One md5 per row

@@ -144,7 +144,17 @@ object CorpusQueries {
       .select("doc_id", "shard", "pos")
       .orderBy("doc_id")
 
+  /** Contrastive-training negatives: 5 per doc from a 64-doc pool,
+    * other-source only. The oracle spells pool draw, exclusion, and
+    * per-anchor hash ranking, so the whole draw is cross-engine exact.
+    */
+  def qNegSample(s: SparkSession, dir: String): DataFrame =
+    Corpus.negativeSample(docs(s, dir), "doc_id", "source", k = 5,
+        poolSize = 64)
+      .orderBy("doc_id", "neg_rank")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_neg_sample" -> (qNegSample _),
     "q_shards" -> (qShards _),
     "q_split_hash" -> (qSplitHash _),
     "q_pipeline" -> (qPipeline _),
@@ -161,6 +171,16 @@ object CorpusQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_neg_sample" ->
+      ("WITH pool AS (SELECT doc_id AS neg_id, source AS _ng FROM documents " +
+        "ORDER BY md5('negs_pool' || doc_id::VARCHAR) LIMIT 64), " +
+        "r AS (SELECT d.doc_id, neg_id, " +
+        "md5('negs' || d.doc_id::VARCHAR || '_' || neg_id::VARCHAR) AS _r " +
+        "FROM documents d JOIN pool ON d.source != pool._ng), " +
+        "k AS (SELECT doc_id, neg_id, row_number() OVER " +
+        "(PARTITION BY doc_id ORDER BY _r, neg_id)::INT AS neg_rank FROM r) " +
+        "SELECT doc_id, neg_id, neg_rank FROM k WHERE neg_rank <= 5 " +
+        "ORDER BY doc_id, neg_rank"),
     "q_shards" ->
       ("WITH h AS (SELECT doc_id, md5('shard' || doc_id::VARCHAR) AS ord " +
         "FROM documents), " +

@@ -32,6 +32,26 @@ class CorpusSpec extends SparkTestBase {
     (1L until 50L).foreach(i => assert(got(i) == ref(i), s"id=$i"))
   }
 
+  test("negativeSample: exactly k per anchor, never same-group, partition-invariant") {
+    val df = (1L to 300L).map(i => (i, s"src${i % 5}")).toDF("doc_id", "source")
+    val out = Corpus.negativeSample(df, "doc_id", "source", k = 5, poolSize = 32)
+    // every anchor gets exactly k: the pool is uniform over 5 groups, so
+    // each anchor sees ~4/5 × 32 ≈ 25 eligible candidates ≫ 5
+    val perAnchor = out.groupBy("doc_id").count().collect()
+    assert(perAnchor.length == 300)
+    assert(perAnchor.forall(_.getLong(1) == 5L))
+    // a negative never shares the anchor's group
+    val joined = out
+      .join(df.withColumnRenamed("doc_id", "neg_id")
+        .withColumnRenamed("source", "neg_source"), "neg_id")
+      .join(df, "doc_id")
+    assert(joined.filter(col("source") === col("neg_source")).count() == 0)
+    // identical draw under a different physical partitioning
+    val re = Corpus.negativeSample(df.repartition(7), "doc_id", "source",
+      k = 5, poolSize = 32)
+    assert(out.exceptAll(re).isEmpty && re.exceptAll(out).isEmpty)
+  }
+
   test("hashSplit: fractions approximately honored, assignment partition-invariant") {
     val df = spark.range(0, 10000).toDF("doc_id")
     val splits = Corpus.hashSplit(df, "doc_id",
