@@ -11,6 +11,56 @@ import graft.sources.Tables
   */
 class SkewSpec extends SparkTestBase {
 
+  test("AQE splits a skewed join partition at runtime (skew=true in final plan)") {
+    // The OTHER half of the skew story: salting (below) is the
+    // plan-level fix the engine controls; AQE's runtime skew split is
+    // the safety net for skew nobody predicted. This exhibit pins that
+    // the session tuning actually delivers it: a hot key whose shuffle
+    // partition dwarfs the median must come out of AQE re-planning as a
+    // skew-split sort-merge join, visible as skew=true in the final
+    // adaptive plan. Thresholds are lowered to make a test-sized
+    // fixture cross the (byte-denominated) production defaults.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      val fact = spark.range(0, 60000)
+        .select(lit(7L).as("k"), col("id").as("payload"))
+        .unionAll(spark.range(0, 32)
+          .select((col("id") + 100).as("k"), col("id").as("payload")))
+      val dim = spark.range(0, 200).select(col("id").as("k"), col("id").as("dv"))
+      val joined = fact.join(dim, "k")
+      assert(joined.collect().length == 60032)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), s"no runtime skew split in:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
+  test("AQE coalesces an over-partitioned tiny shuffle") {
+    // 32 session shuffle partitions for a 10-group aggregate: the final
+    // adaptive plan must read the exchange through a coalesced
+    // AQEShuffleRead instead of scheduling 32 near-empty reducers —
+    // at cluster scale this is what keeps small stages from paying
+    // fixed per-task cost 200×.
+    val df = spark.range(0, 1000).groupBy((col("id") % 10).as("g"))
+      .agg(count(lit(1)).as("n"))
+    assert(df.collect().length == 10)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AQEShuffleRead") && p.contains("coalesced"),
+      s"tiny shuffle not coalesced:\n$p")
+  }
+
   test("saltedAgg equals direct groupBy on a skewed key distribution") {
     val ev = Tables.events(spark, Sf0001)
       .withColumn("day", to_date(col("ts"))) // few distinct values = skewed keys
