@@ -43,6 +43,26 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("HashAggregate"), "no map-side partial aggregate")
   }
 
+  test("hot paths run inside whole-stage codegen, custom expressions included") {
+    // the `*(n)` star marks a WholeStageCodegen span in the physical
+    // plan string; a scan→filter→project chain outside one means a
+    // per-row interpreter walk on the 100 TB path
+    // execute first: AQE only materializes (and codegen-compiles) the
+    // final plan on run, and the star markers appear on the final plan
+    def stars(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    val etl = stars(RefQueries.qDerive(spark, Sf0001))
+    assert(etl.contains("*("), s"ETL derivation chain not codegen'd:\n$etl")
+    // the custom Catalyst expressions must live INSIDE a codegen span,
+    // not fall back to interpreted eval (they all implement doGenCode;
+    // this pins that the registration path keeps it)
+    val sim = stars(graft.queries.ExtQueries.queries("q_dedup_simhash")(spark, Sf0001))
+    assert("""\*\(\d+\) Project \[.*simhash""".r.findFirstIn(sim).isDefined,
+      s"simhash64 projection not inside a codegen span:\n$sim")
+  }
+
   test("q_join plans as a broadcast hash left-outer join, not a shuffle") {
     val p = plan(RefQueries.qJoin(spark, Sf0001))
     assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
