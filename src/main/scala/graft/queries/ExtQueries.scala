@@ -189,6 +189,19 @@ object ExtQueries {
           k = 10, scoreRounding = r6))
       .orderBy("qid")
 
+  /** IVF's recall against the brute-force top-k — the same metric as
+    * q_ann_recall for the cell-pruned scale path (nProbe=2 of ~8
+    * cells, so recall quantifies what the pruning trades away).
+    */
+  def qAnnRecallIvf(s: SparkSession, dir: String): DataFrame =
+    Similarity
+      .recallAtK(
+        Similarity.ivfTopK(queriesDf(s, dir), candsDf(s, dir),
+          k = 10, stride = 64, nProbe = 2, scoreRounding = r6),
+        Similarity.cosineTopK(queriesDf(s, dir), candsDf(s, dir),
+          k = 10, scoreRounding = r6))
+      .orderBy("qid")
+
   def qDedupEmbed(s: SparkSession, dir: String): DataFrame =
     Dedup
       .embeddingDupPairs(emb(s, dir).select("vec_id", "embedding"),
@@ -975,6 +988,7 @@ object ExtQueries {
     "q_sim_topk" -> (qSimTopk _),
     "q_sim_lsh" -> (qSimLsh _),
     "q_ann_recall" -> (qAnnRecall _),
+    "q_ann_recall_ivf" -> (qAnnRecallIvf _),
     "q_sim_ivf" -> (qSimIvf _),
     "q_sim_topk_agg" -> (qSimTopkAgg _),
     "q_embed_binary" -> (qEmbedBinary _),
@@ -1436,6 +1450,33 @@ object ExtQueries {
     "q_kmeans" ->
       graft.ops.Clustering.kmeansOracleSql(8, 2,
         s"SELECT vec_id, cluster, ${O.r6("d2")} AS d2 FROM a ORDER BY vec_id"),
+    "q_ann_recall_ivf" ->
+      ("WITH cen AS (SELECT vec_id AS centroid_id, embedding AS cv " +
+        "FROM embeddings WHERE vec_id % 64 = 0), " +
+        "cand AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings), " +
+        "q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5), " +
+        s"ca0 AS (SELECT cid, centroid_id, ${O.r6(cosSql("ce", "cv"))} AS cs " +
+        "FROM cand CROSS JOIN cen), " +
+        "ca AS (SELECT cid, centroid_id FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY cid ORDER BY cs DESC, centroid_id) AS rn FROM ca0) WHERE rn = 1), " +
+        s"qa0 AS (SELECT qid, centroid_id, ${O.r6(cosSql("qe", "cv"))} AS cs " +
+        "FROM q CROSS JOIN cen), " +
+        "qa AS (SELECT qid, centroid_id FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY qid ORDER BY cs DESC, centroid_id) AS rn FROM qa0) WHERE rn <= 2), " +
+        s"sa AS (SELECT qid, cid, ${O.r6(cosSql("qe", "ce"))} AS score " +
+        "FROM qa JOIN ca USING (centroid_id) JOIN q USING (qid) JOIN cand USING (cid) " +
+        "WHERE qid != cid), " +
+        "ra AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rnk FROM sa), " +
+        "a AS (SELECT qid, cid, 1 AS _hit FROM ra WHERE rnk <= 10), " +
+        s"s AS (SELECT qid, cid, ${O.r6(cosSql("qe", "ce"))} AS score " +
+        "FROM q JOIN cand ON qid != cid), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rnk FROM s), " +
+        "e AS (SELECT qid, cid FROM r WHERE rnk <= 10) " +
+        "SELECT e.qid, count(*) AS n_exact, " +
+        "CAST(sum(coalesce(a._hit, 0)) AS BIGINT) AS n_hit, " +
+        "CAST(sum(coalesce(a._hit, 0)) AS DOUBLE) / count(*) AS recall " +
+        "FROM e LEFT JOIN a ON e.qid = a.qid AND e.cid = a.cid " +
+        "GROUP BY 1 ORDER BY 1"),
     "q_sim_ivf" ->
       ("WITH cen AS (SELECT vec_id AS centroid_id, embedding AS cv " +
         "FROM embeddings WHERE vec_id % 64 = 0), " +

@@ -183,7 +183,7 @@ class PlanSpec extends SparkTestBase {
       "q_text_knn", // brute-force top-k: broadcast query side, like q_sim_topk
       "q_histogram", "q_pagerank", "q_decay", "q_semdedup", "q_sim_ivfpq",
       "q_sim_hamming", "q_dsir", "q_ppl_band", "q_mix_temp", "q_tpch_q22",
-      "q_neg_sample", "q_ann_recall")
+      "q_neg_sample", "q_ann_recall", "q_ann_recall_ivf")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = plan(fn(spark, Sf0001))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
