@@ -71,4 +71,24 @@ object Profile {
       count(lit(1)).as("n_rows"),
       coalesce(sum(rowHash), lit(0).cast("decimal(38,0)")).as("checksum"))
   }
+
+  /** Partition-level checksum manifest: [[tableChecksum]] grouped by a
+    * partition key — the change-detection primitive of an incremental
+    * pipeline. Comparing two runs' manifests names exactly WHICH
+    * partitions changed (re-process those, skip the rest), where the
+    * whole-table checksum only says that SOMETHING did. Same
+    * commutative-decimal-sum row hash, so the manifest is identical
+    * under any physical layout; one hash-partitioned aggregate on the
+    * (usually date-shaped, uniform) partition key.
+    */
+  def partitionManifest(
+      df: DataFrame, partCol: String, cols: Seq[String]): DataFrame = {
+    val parts = cols.map(c => coalesce(col(c).cast("string"), lit("<null>")))
+    val rowHash = conv(substring(md5(concat_ws("|", parts: _*)), 1, 15), 16, 10)
+      .cast("decimal(38,0)")
+    df.groupBy(col(partCol))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        coalesce(sum(rowHash), lit(0).cast("decimal(38,0)")).as("checksum"))
+  }
 }

@@ -179,6 +179,21 @@ object ScaleQueries {
         unix_millis(col("ts")).as("ts_ms"), col("props")),
       Seq("event_id", "user_id", "event_type", "ts_ms", "props"))
 
+  /** Partition-level manifest of the same fingerprint, keyed by event
+    * day ([[Profile.partitionManifest]]): comparing two runs' manifests
+    * names WHICH day partitions changed — the incremental pipeline's
+    * skip-unchanged primitive.
+    */
+  def qChecksumParts(s: SparkSession, dir: String): DataFrame =
+    Profile.partitionManifest(
+      Tables.events(s, dir).select(
+        to_date(col("ts")).cast("string").as("day"),
+        col("event_id"), col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("ts_ms"), col("props")),
+      "day",
+      Seq("event_id", "user_id", "event_type", "ts_ms", "props"))
+      .orderBy("day")
+
   /** IVF-PQ ANN ([[ProductQuantization.ivfPqTopK]]): coarse stride
     * cells prune to the queries' 2 nearest cells, PQ-ADC ranks the
     * survivors — the faiss-IVFPQ architecture, hash-checked end to end
@@ -208,6 +223,7 @@ object ScaleQueries {
     "q_hof" -> (qHof _),
     "q_agg_inc" -> (qAggInc _),
     "q_checksum" -> (qChecksum _),
+    "q_checksum_parts" -> (qChecksumParts _),
     "q_sim_ivfpq" -> (qSimIvfPq _),
   )
 
@@ -247,6 +263,17 @@ object ScaleQueries {
         "min(value) AS min_v, max(value) AS max_v, " +
         O.r6("CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / count(value)") +
         " AS avg_v FROM events GROUP BY 1 ORDER BY 1"),
+    "q_checksum_parts" ->
+      ("WITH h AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, " +
+        "('0x' || substr(md5(" +
+        "coalesce(event_id::VARCHAR, '<null>') || '|' || " +
+        "coalesce(user_id::VARCHAR, '<null>') || '|' || " +
+        "coalesce(event_type, '<null>') || '|' || " +
+        "coalesce(epoch_ms(ts)::VARCHAR, '<null>') || '|' || " +
+        "coalesce(props, '<null>')), 1, 15))::BIGINT AS v FROM events) " +
+        "SELECT day, count(*) AS n_rows, " +
+        "coalesce(sum(v::DECIMAL(38,0)), 0::DECIMAL(38,0)) AS checksum " +
+        "FROM h GROUP BY 1 ORDER BY 1"),
     "q_checksum" ->
       ("WITH h AS (SELECT ('0x' || substr(md5(" +
         "coalesce(event_id::VARCHAR, '<null>') || '|' || " +

@@ -316,6 +316,29 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(empty.getLong(0) == 0L && empty.getDecimal(1).signum() == 0)
   }
 
+  test("partition manifest: parts sum to the table checksum; changed part named") {
+    val li = Tables.table(spark, Sf0001, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_returnflag")
+    val cols = Seq("l_orderkey", "l_linenumber", "l_returnflag")
+    val manifest = Profile.partitionManifest(li, "l_returnflag", cols)
+    val table = Profile.tableChecksum(li, cols).head()
+    // the manifest is a refinement: rows and checksum terms sum exactly
+    val sums = manifest.agg(sum("n_rows"),
+      sum("checksum").cast("decimal(38,0)")).head()
+    assert(sums.getLong(0) == table.getLong(0))
+    assert(sums.getDecimal(1).compareTo(table.getDecimal(1)) == 0)
+    // perturb ONE partition: exactly that manifest row changes
+    import spark.implicits._
+    val extra = Seq((-1L, -1, "A")).toDF(cols: _*)
+    val before = manifest.collect()
+      .map(r => r.getString(0) -> r.getDecimal(2)).toMap
+    val after = Profile.partitionManifest(li.unionByName(extra),
+        "l_returnflag", cols).collect()
+      .map(r => r.getString(0) -> r.getDecimal(2)).toMap
+    val changed = before.keySet.filter(k => before(k) != after(k))
+    assert(changed == Set("A"), s"changed partitions: $changed")
+  }
+
   test("table checksum NULL sentinel matches the cross-engine formula") {
     import spark.implicits._
     // a NULL cell must hash exactly like the documented printable
