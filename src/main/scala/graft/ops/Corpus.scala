@@ -354,6 +354,49 @@ object Corpus {
       .select(col(idCol), col("neg_id"), col("neg_rank"))
   }
 
+  /** Deterministic token-budget corpus cut: the hash-ordered prefix of
+    * the corpus whose RUNNING token total stays within `budget` —
+    * "build me a 1B-token corpus" answered exactly and reproducibly
+    * (same rows under any partitioning, engine, or cluster size;
+    * growing the budget strictly extends the cut, giving nested
+    * corpora for scaling-law ladders).
+    *
+    * Scale shape: a cumulative sum wants ONE global ordering — the
+    * single-partition-window anti-pattern. This is the classic
+    * distributed prefix sum instead: the leading hash byte buckets the
+    * rows (256 buckets whose NUMERIC order equals the hash string
+    * order, so bucket-major + intra-bucket-hash order IS the global
+    * hash order), per-bucket token totals aggregate to a 256-row frame
+    * whose exclusive running offsets broadcast back, and the
+    * intra-bucket cumulative sum runs as a window partitioned by
+    * bucket — hash-uniform, no skewed reducer, no global sort.
+    */
+  def tokenBudget(
+      df: DataFrame,
+      idCol: String,
+      tokenCol: String,
+      budget: Long,
+      salt: String = "budget"): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative: $budget")
+    val rows = df
+      .withColumn("_h", md5(concat(lit(salt), col(idCol).cast("string"))))
+      .withColumn("_b", conv(substring(col("_h"), 1, 2), 16, 10).cast("int"))
+    val offsets = rows.groupBy("_b")
+      .agg(sum(col(tokenCol).cast("long")).as("_t"))
+      .withColumn("_off",
+        coalesce(sum("_t").over(
+          Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("_b", "_off")
+    rows
+      .join(broadcast(offsets), "_b")
+      .withColumn("cum_tokens",
+        sum(col(tokenCol).cast("long")).over(
+          Window.partitionBy("_b").orderBy(col("_h"), col(idCol))) + col("_off"))
+      .filter(col("cum_tokens") <= budget)
+      .select(col(idCol), col(tokenCol), col("cum_tokens"))
+  }
+
   /** Deterministic training-shard assignment — the last mile of a corpus
     * build: dataloaders want the corpus globally shuffled and cut into
     * `nShards` fixed sequential files, reproducibly. One md5 per row

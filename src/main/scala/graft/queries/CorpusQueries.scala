@@ -153,8 +153,21 @@ object CorpusQueries {
         poolSize = 64)
       .orderBy("doc_id", "neg_rank")
 
+  /** Token-budget corpus cut at 15k of the corpus's ~27k tokens: the
+    * distributed-prefix-sum operator must produce the identical
+    * hash-ordered prefix (and identical running totals) as the oracle's
+    * single global cumulative window.
+    */
+  def qTokenBudget(s: SparkSession, dir: String): DataFrame =
+    Corpus.tokenBudget(
+      docs(s, dir).select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok")),
+      "doc_id", "n_tok", budget = 15000)
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_neg_sample" -> (qNegSample _),
+    "q_token_budget" -> (qTokenBudget _),
     "q_shards" -> (qShards _),
     "q_split_hash" -> (qSplitHash _),
     "q_pipeline" -> (qPipeline _),
@@ -171,6 +184,14 @@ object CorpusQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_token_budget" ->
+      ("WITH base AS (SELECT doc_id, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents), " +
+        "t AS (SELECT doc_id, n_tok, CAST(sum(n_tok) OVER " +
+        "(ORDER BY md5('budget' || doc_id::VARCHAR), doc_id) AS BIGINT) AS cum_tokens " +
+        "FROM base) " +
+        "SELECT doc_id, n_tok, cum_tokens FROM t WHERE cum_tokens <= 15000 " +
+        "ORDER BY doc_id"),
     "q_neg_sample" ->
       ("WITH pool AS (SELECT doc_id AS neg_id, source AS _ng FROM documents " +
         "ORDER BY md5('negs_pool' || doc_id::VARCHAR) LIMIT 64), " +

@@ -52,6 +52,36 @@ class CorpusSpec extends SparkTestBase {
     assert(out.exceptAll(re).isEmpty && re.exceptAll(out).isEmpty)
   }
 
+  test("tokenBudget: prefix property, budget respected, partition-invariant") {
+    val df = (1L to 500L).map(i => (i, (i % 37 + 1))).toDF("doc_id", "n_tok")
+    val total = df.agg(sum("n_tok")).head().getLong(0)
+    val cut = Corpus.tokenBudget(df, "doc_id", "n_tok", budget = total / 2)
+    // running total never exceeds the budget
+    assert(cut.agg(max("cum_tokens")).head().getLong(0) <= total / 2)
+    // maximal: the cut + any one more doc would exceed (cut size <
+    // corpus, so at least one doc was excluded by budget, not absence)
+    val cutIds = cut.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(cutIds.size < 500)
+    // nested: half the budget selects a strict subset
+    val smaller = Corpus.tokenBudget(df, "doc_id", "n_tok", budget = total / 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(smaller.subsetOf(cutIds) && smaller.size < cutIds.size)
+    // physical layout cannot move the cut
+    val re = Corpus.tokenBudget(df.repartition(7), "doc_id", "n_tok",
+      budget = total / 2)
+    assert(cut.exceptAll(re).isEmpty && re.exceptAll(cut).isEmpty)
+    // agrees with a driver-side single-threaded reference
+    def md5hex(s: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val ref = (1L to 500L).map(i => (md5hex(s"budget$i"), i, i % 37 + 1))
+      .sortBy(t => (t._1, t._2))
+      .scanLeft(("", 0L, 0L)) { case ((_, _, cum), (h, id, t)) => (h, id, cum + t) }
+      .drop(1).takeWhile(_._3 <= total / 2).map(_._2).toSet
+    assert(cutIds == ref)
+  }
+
   test("hashSplit: fractions approximately honored, assignment partition-invariant") {
     val df = spark.range(0, 10000).toDF("doc_id")
     val splits = Corpus.hashSplit(df, "doc_id",
