@@ -47,6 +47,24 @@ class SkewSpec extends SparkTestBase {
     }
   }
 
+  test("AQE upgrades a join to broadcast when a side turns out tiny at runtime") {
+    // static stats can't size a post-aggregation side, so the planner
+    // starts from a shuffle join; AQE re-plans from the REAL exchange
+    // size and must land a BroadcastHashJoin — the replan that saves a
+    // fact-table shuffle whenever a filter or aggregate collapses one
+    // side in ways no one could cost up front
+    val big = spark.range(0, 50000).select(col("id").as("k"), col("id").as("v"))
+    // selective aggregate: 50k rows in, 3 groups out — tiny at runtime
+    val smallAtRuntime = spark.range(0, 50000)
+      .select((col("id") % 3).as("k"), col("id").as("w"))
+      .groupBy("k").agg(sum("w").as("sw"))
+    val joined = big.join(smallAtRuntime, "k")
+    assert(joined.collect().length == 3)
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"runtime-tiny side not upgraded to broadcast:\n$p")
+  }
+
   test("AQE coalesces an over-partitioned tiny shuffle") {
     // 32 session shuffle partitions for a 10-group aggregate: the final
     // adaptive plan must read the exchange through a coalesced

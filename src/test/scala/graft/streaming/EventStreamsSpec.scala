@@ -24,6 +24,50 @@ class EventStreamsSpec extends SparkTestBase {
     Event(ts(2, 0), 3, "purchase", 100.0),
   )
 
+  test("stateful aggregation runs on the RocksDB state store (large-state path)") {
+    // The default HDFS-backed state store holds every key in executor
+    // heap — fine for test-sized state, a memory wall for production
+    // streams whose key space (users, sessions, dedup signatures) grows
+    // into the billions. This pins that the same query runs unchanged
+    // on the spill-capable RocksDB provider and returns the same
+    // answer, and that the provider is actually engaged (its custom
+    // metrics appear in the query progress).
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val input = MemoryStream[Event]
+      input.addData(batch1: _*)
+      input.addData(batch2: _*)
+      val q = EventStreams.runToMemoryQuery(
+        EventStreams.hourlyCounts(input.toDF()), "hourly_rocks",
+        OutputMode.Complete())
+      try {
+        q.processAllAvailable()
+        val progress = q.lastProgress
+        assert(progress.stateOperators.nonEmpty)
+        assert(progress.stateOperators.exists(
+          _.customMetrics.keySet.toArray.exists(_.toString.contains("rocksdb"))),
+          s"no rocksdb metrics in progress: ${progress.json}")
+      } finally q.stop()
+      val got = spark.table("hourly_rocks")
+        .orderBy("hour_start", "event_type").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      val want = (batch1 ++ batch2).toDF()
+        .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum("value").as("s"))
+        .orderBy("hour_start", "event_type").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      assert(got.sameElements(want))
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("hourly windowed aggregation matches the batch equivalent") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
