@@ -404,6 +404,38 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** [[canonicalDocs]] with a QUALITY rule: among each near-dup
+    * cluster's members keep the highest-`scoreCol` doc (id-asc
+    * tiebreak), not the min-id one — the production corpus rule
+    * ("among duplicates keep the longest / best-scoring copy").
+    * Singletons pass through untouched.
+    *
+    * Scale shape: the winner per cluster comes from a max_by over a
+    * struct-ordered (score, −id) key — one aggregate on the cluster id
+    * (duplication-rate-sized frame, like the clusters themselves); the
+    * loser set then anti-joins exactly as [[canonicalDocs]]. Scores
+    * join clusters on the doc id (uniform key); the corpus never
+    * shuffles.
+    */
+  def canonicalDocsBy(
+      docs: DataFrame,
+      idCol: String,
+      clusters: DataFrame,
+      scoreCol: String): DataFrame = {
+    // max_by ordinal: (score asc, id DESC) struct — the max is the
+    // highest score with the LOWEST id on ties (id negated via a
+    // descending-safe trick: order by struct(score, -id))
+    val scored = clusters.join(
+      docs.select(col(idCol).as("doc_id"), col(scoreCol).as("_sc")), "doc_id")
+    val winners = scored.groupBy("cluster_id")
+      .agg(max_by(col("doc_id"),
+        struct(col("_sc"), (-col("doc_id")).as("_nid"))).as("_keep"))
+    val losers = scored.join(winners, "cluster_id")
+      .filter(col("doc_id") =!= col("_keep"))
+      .select(col("doc_id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Embedding-cosine near-dup pairs: LSH-bucket the vectors (codegen'd
     * random-hyperplane signature, [[Similarity.lshBucket]]), self-join
     * within buckets, verify candidates with exact cosine ≥ threshold.

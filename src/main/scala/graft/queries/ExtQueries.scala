@@ -152,6 +152,20 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** The quality-rule canonicalization: among near-dups keep the
+    * LONGEST copy (n_chars, id tiebreak) instead of the min-id one —
+    * the rule real corpus builds ship. Shares q_dedup_canonical's
+    * closure oracle with the survivor rule swapped.
+    */
+  def qDedupBest(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val clusters = Dedup.duplicateClustersFast(
+      Dedup.nearDuplicatePairs(d, "doc_id", "text", threshold = 0.8))
+    Dedup.canonicalDocsBy(d, "doc_id", clusters, "n_chars")
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
   // ---- similarity -----------------------------------------------------
 
   private def queriesDf(s: SparkSession, dir: String): DataFrame =
@@ -985,6 +999,7 @@ object ExtQueries {
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_clusters_fast" -> (qDedupClustersFast _),
     "q_dedup_canonical" -> (qDedupCanonical _),
+    "q_dedup_best" -> (qDedupBest _),
     "q_sim_topk" -> (qSimTopk _),
     "q_sim_lsh" -> (qSimLsh _),
     "q_ann_recall" -> (qAnnRecall _),
@@ -1263,6 +1278,23 @@ object ExtQueries {
         "reach(id, r) AS (SELECT src, src FROM e " +
         "UNION SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id) " +
         "SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY doc_id"),
+    "q_dedup_best" -> // same closure; survivor = longest (id tiebreak)
+      (s"WITH RECURSIVE $wCte, $shCte, $sigCte, $bandsCte, $pairsCte, " +
+        "vp AS (SELECT doc_a, doc_b FROM p, " +
+        "(SELECT doc_id, list_distinct(string_split(text, ' ')) AS td FROM documents) ta, " +
+        "(SELECT doc_id, list_distinct(string_split(text, ' ')) AS td FROM documents) tb " +
+        "WHERE ta.doc_id = p.doc_a AND tb.doc_id = p.doc_b " +
+        "AND len(list_intersect(ta.td, tb.td)) / len(list_distinct(list_concat(ta.td, tb.td))) >= 0.8), " +
+        "e AS (SELECT doc_a AS src, doc_b AS dst FROM vp " +
+        "UNION ALL SELECT doc_b, doc_a FROM vp), " +
+        "reach(id, r) AS (SELECT src, src FROM e " +
+        "UNION SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id) " +
+        "SELECT doc_id, lang, source, n_chars FROM documents " +
+        "WHERE doc_id NOT IN (SELECT doc_id FROM (" +
+        "SELECT cl.doc_id, row_number() OVER (PARTITION BY cl.cluster_id " +
+        "ORDER BY d.n_chars DESC, cl.doc_id) AS rn " +
+        "FROM (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id) cl " +
+        "JOIN documents d USING (doc_id)) WHERE rn > 1) ORDER BY doc_id"),
     "q_dedup_canonical" -> // same closure, plus the survivor filter
       (s"WITH RECURSIVE $wCte, $shCte, $sigCte, $bandsCte, $pairsCte, " +
         "vp AS (SELECT doc_a, doc_b FROM p, " +

@@ -329,6 +329,25 @@ object SqlSurfaceQueries {
       .orderBy("cntrycode")
   }
 
+  /** The argmax aggregate family (`max_by`/`min_by`): "the value from
+    * the row that maximizes X" without a self-join or window — one
+    * hash aggregate where the naive spelling costs a sort or a
+    * re-join. The ordinal is the UNIQUE line key (orderkey·100 +
+    * linenumber), so the winner is total-order determined and the
+    * cross-engine hash check is exact — max_by under ties is
+    * engine-nondeterministic, the one contract subtlety worth pinning.
+    */
+  def qArgmax(s: SparkSession, dir: String): DataFrame = {
+    val lineKey = col("l_orderkey") * 100 + col("l_linenumber")
+    Tables.table(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        max_by(col("l_quantity"), lineKey).as("last_qty"),
+        min_by(col("l_quantity"), lineKey).as("first_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
   /** TPC-H Q1 shape (pricing summary): the canonical single-table scan
     * → filter → 2-key hash aggregate with EIGHT aggregates including
     * three chained-expression sums and three averages — the widest
@@ -642,6 +661,7 @@ object SqlSurfaceQueries {
     "q_tpch_q13" -> (qTpchQ13 _),
     "q_tpch_q14" -> (qTpchQ14 _),
     "q_tpch_q4" -> (qTpchQ4 _),
+    "q_argmax" -> (qArgmax _),
     "q_tpch_q8" -> (qTpchQ8 _),
     "q_tpch_q17" -> (qTpchQ17 _),
     "q_tpch_q19" -> (qTpchQ19 _),
@@ -719,6 +739,11 @@ object SqlSurfaceQueries {
         "AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' " +
         "AND TIMESTAMP '1997-12-31') " +
         "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
+    "q_argmax" ->
+      ("SELECT l_returnflag, " +
+        "max_by(l_quantity, l_orderkey * 100 + l_linenumber) AS last_qty, " +
+        "min_by(l_quantity, l_orderkey * 100 + l_linenumber) AS first_qty, " +
+        "count(*) AS n FROM lineitem GROUP BY 1 ORDER BY 1"),
     "q_tpch_q4" ->
       ("SELECT o_orderpriority, count(*) AS order_count FROM orders " +
         "WHERE o_orderdate >= TIMESTAMP '1997-01-01' " +

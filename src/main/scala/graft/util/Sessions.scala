@@ -30,6 +30,13 @@ object Sessions {
     // events.parquet stores TIMESTAMP(NANOS); read as long nanos and
     // convert explicitly (see sources.Tables.events).
     "spark.sql.legacy.parquet.nanosAsLong"   -> "true",
+    // filterless MIN/MAX/COUNT queries answer from parquet footer
+    // statistics instead of scanning row groups — metadata-latency for
+    // the "how big is this table" class of query at any table size.
+    // Takes effect on the DataSource V2 scan path only (parquet defaults
+    // to V1 here; PlanSpec proves PushedAggregation reaches the scan
+    // when V2 is selected)
+    "spark.sql.parquet.aggregatePushdown"    -> "true",
     // recursive CTEs (q_recursive): the 1M-row default runaway guard
     // trips on legitimate data growth (hit at the sf1 scale point);
     // keep a guard, but sized for the engine's target scale

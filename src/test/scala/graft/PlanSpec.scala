@@ -63,6 +63,26 @@ class PlanSpec extends SparkTestBase {
       s"simhash64 projection not inside a codegen span:\n$sim")
   }
 
+  test("filterless min/max/count answers from parquet footer statistics") {
+    // aggregate pushdown exists only on the DataSource V2 scan; parquet
+    // defaults to the V1 path, so flip it for this plan only. Timestamp
+    // columns are excluded from footer-stat pushdown (Spark guards
+    // against int96/timezone ambiguity), so the exhibit uses a long key.
+    val key = "spark.sql.sources.useV1SourceList"
+    val saved = spark.conf.get(key)
+    spark.conf.set(key, "")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try {
+      val p = plan(Tables.table(spark, Sf0001, "lineitem")
+        .agg(count(lit(1)).as("n"), min("l_orderkey").as("lo"),
+          max("l_orderkey").as("hi")))
+      assert(p.contains("PushedAggregation: [COUNT(*)"),
+        s"aggregate not pushed into the scan:\n$p")
+      assert(p.contains("MIN(l_orderkey)") && p.contains("MAX(l_orderkey)"),
+        s"min/max not pushed:\n$p")
+    } finally spark.conf.set(key, saved)
+  }
+
   test("q_join plans as a broadcast hash left-outer join, not a shuffle") {
     val p = plan(RefQueries.qJoin(spark, Sf0001))
     assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")

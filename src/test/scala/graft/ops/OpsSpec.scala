@@ -140,6 +140,23 @@ class OpsSpec extends SparkTestBase {
       s"${residue.size} persisted RDDs left behind (expected ≤3: rotation broken)")
   }
 
+  test("canonicalDocsBy keeps the best-scoring cluster member, not the min id") {
+    import spark.implicits._
+    // cluster {1,2,3} where doc 2 scores highest; {7,8} tied → min id 7;
+    // 9 is a singleton (absent from clusters) and must pass through
+    val d = Seq((1L, 10L), (2L, 99L), (3L, 50L), (7L, 5L), (8L, 5L), (9L, 1L))
+      .toDF("doc_id", "score")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
+      .toDF("doc_id", "cluster_id")
+    val kept = Dedup.canonicalDocsBy(d, "doc_id", clusters, "score")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 7L, 9L), s"kept $kept")
+    // min-id rule keeps 1, not the best-scoring 2
+    val minId = Dedup.canonicalDocs(d, "doc_id", clusters)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(minId == Set(1L, 7L, 9L))
+  }
+
   test("recallAtK: exact-vs-itself is 1.0; disjoint result is 0.0") {
     import spark.implicits._
     val exact = Seq((1L, 10L), (1L, 11L), (2L, 10L)).toDF("qid", "cid")
