@@ -194,6 +194,8 @@ class PlanSpec extends SparkTestBase {
     // (q_dsir / q_ppl_band / q_mix_temp: Selection's 1-row or tiny-frame
     // broadcasts — λ normalizer totals, calibration cuts, weight sums)
     // (q_tpch_q22: the 1-row global-threshold broadcast)
+    // (q_tpch_q11 / q_tpch_q15: the same 1-row scalar-subquery broadcast
+    // — the value threshold and the max-revenue row)
     // (q_neg_sample: the broadcast negative-pool theta join — the pool
     // is poolSize rows by construction)
     // (q_ann_recall: composes q_sim_topk's broadcast-query cross join —
@@ -203,6 +205,7 @@ class PlanSpec extends SparkTestBase {
       "q_text_knn", // brute-force top-k: broadcast query side, like q_sim_topk
       "q_histogram", "q_pagerank", "q_decay", "q_semdedup", "q_sim_ivfpq",
       "q_sim_hamming", "q_dsir", "q_ppl_band", "q_mix_temp", "q_tpch_q22",
+      "q_tpch_q11", "q_tpch_q15",
       "q_neg_sample", "q_ann_recall", "q_ann_recall_ivf")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = plan(fn(spark, Sf0001))
@@ -210,6 +213,20 @@ class PlanSpec extends SparkTestBase {
       if (!bnljByDesign(name))
         assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a BNLJ:\n$p")
     }
+  }
+
+  test("tpch q21: EXISTS/NOT-EXISTS plan as semi+anti on the order key, no cartesian") {
+    val p = plan(graft.queries.TpchDeepQueries.qTpchQ21(spark, Sf0001))
+    assert(p.contains("LeftSemi"), s"EXISTS did not plan as a semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS did not plan as an anti join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the supplier-inequality residual degraded the join:\n$p")
+  }
+
+  test("tpch q2: the per-part min-cost join broadcasts, supplies shuffles once") {
+    val p = plan(graft.queries.TpchDeepQueries.qTpchQ2(spark, Sf0001))
+    assert(p.contains("BroadcastHashJoin"), s"min-cost join not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
   }
 
   test("DQ referential checks plan as broadcast anti joins (dim side small)") {
