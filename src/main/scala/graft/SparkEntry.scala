@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalyticsQueries, CorpusQueries, ExtQueries, PrepQueries, RefQueries, ScaleQueries, SelectionQueries, SqlSurfaceQueries, TpchDeepQueries}
+import graft.queries.{AnalyticsQueries, CorpusQueries, DriftQueries, ExtQueries, PrepQueries, RefQueries, ScaleQueries, SelectionQueries, SqlSurfaceQueries, TpchDeepQueries}
 import graft.util.Sessions
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -26,7 +26,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     (RefQueries.queries ++ ExtQueries.queries ++ SqlSurfaceQueries.queries ++
       PrepQueries.queries ++ CorpusQueries.queries ++ AnalyticsQueries.queries ++
-      ScaleQueries.queries ++ SelectionQueries.queries ++ TpchDeepQueries.queries)
+      ScaleQueries.queries ++ SelectionQueries.queries ++ TpchDeepQueries.queries ++
+      DriftQueries.queries)
       .map { case (k, f) =>
       k -> { (s: SparkSession, dir: String) => f(Sessions.tune(s), dir) }
     }
@@ -38,5 +39,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RefQueries.oracleSql ++ ExtQueries.oracleSql ++ SqlSurfaceQueries.oracleSql ++
       PrepQueries.oracleSql ++ CorpusQueries.oracleSql ++ AnalyticsQueries.oracleSql ++
-      ScaleQueries.oracleSql ++ SelectionQueries.oracleSql ++ TpchDeepQueries.oracleSql
+      ScaleQueries.oracleSql ++ SelectionQueries.oracleSql ++ TpchDeepQueries.oracleSql ++
+      DriftQueries.oracleSql
 }

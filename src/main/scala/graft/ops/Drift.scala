@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.queries.Det.r6
+
+/** Distribution-drift measurement — the monitoring layer of a training
+  * corpus: "did this source's (or this week's) token distribution move
+  * away from the corpus?" and "are these two categorical columns
+  * independent?". The divergence numbers are what a data-mixing recipe
+  * thresholds on before a source is admitted, and what a drift monitor
+  * alerts on between crawls.
+  *
+  * Determinism: every per-term `ln` product is r6-rounded BEFORE the
+  * decimal sum (the [[TextPrep.bigramSurprisal]] discipline) so
+  * cross-engine log ulps cannot accumulate into the hash-checked
+  * output.
+  */
+object Drift {
+
+  /** Per-group unigram-distribution divergence from the whole corpus:
+    * KL(p_g ‖ p_c) and Jensen–Shannon(p_g, p_c), one row per group.
+    *
+    * The JS term over words ABSENT from the group (p=0, where the
+    * mixture m = q/2 and each word contributes q·ln2/2) is not computed
+    * by expanding group × vocabulary: since Σ_vocab q = 1, that whole
+    * tail collapses to the closed form `ln2 · (1 − Σ_{w∈group} q)` —
+    * the rewrite that turns an O(|groups|·|vocab|) expansion into a
+    * per-(group, present-word) sum, i.e. exactly the rows the KL part
+    * already touches. DriftSpec proves the closed form equals the naive
+    * full-vocabulary expansion.
+    *
+    * Scale shape: one (group, word) hash aggregate over the exploded
+    * token stream (the same exchange the corpus word counts and group
+    * totals derive from), a vocabulary-keyed join for q, two 1-row
+    * broadcasts (corpus total). Output is |groups| rows; nothing is
+    * ever corpus × vocab.
+    */
+  def tokenDivergence(
+      df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(groupCol).as("g"),
+      explode(TextAnalysis.tokens(col(textCol))).as("w"))
+    val gw = toks.groupBy("g", "w").agg(count(lit(1)).as("c_gw"))
+    val gTot = gw.groupBy("g").agg(sum("c_gw").as("t_g"))
+    val wTot = gw.groupBy("w").agg(sum("c_gw").as("c_w"))
+    val tot = gw.agg(sum("c_gw").as("_T"))
+    val ln2 = math.log(2.0)
+    val p = col("c_gw") / col("t_g")
+    val q = col("c_w") / col("_T")
+    val m = (p + q) / lit(2.0)
+    def dsumTerm(c: Column): Column =
+      sum(c.cast("decimal(25,6)")).cast("double")
+    gw
+      .join(gTot, "g")
+      .join(wTot, "w")
+      .crossJoin(broadcast(tot))
+      .withColumn("_kl", r6(p * log(p / q)))
+      .withColumn("_a", r6(p * log(p / m)))  // KL(p‖m) terms, p>0 rows
+      .withColumn("_b", r6(q * log(q / m)))  // KL(q‖m) terms, p>0 rows
+      .withColumn("_q", r6(q))
+      .groupBy("g")
+      .agg(
+        max(col("t_g")).as("n_tokens"),
+        r6(dsumTerm(col("_kl"))).as("kl"),
+        // 0.5·[KL(p‖m) + KL(q‖m)]; the p=0 tail of KL(q‖m) is
+        // ln2 · (1 − Σ_present q) — see Scaladoc
+        r6((dsumTerm(col("_a")) + dsumTerm(col("_b")) +
+          lit(ln2) * (lit(1.0) - dsumTerm(col("_q")))) / lit(2.0)).as("js"))
+      .withColumnRenamed("g", groupCol)
+      .orderBy(groupCol)
+  }
+
+  /** Pearson chi-square test of independence between two categorical
+    * columns: one row per observed cell with the observed count, the
+    * independence-expected count `rowTotal·colTotal/N`, and the cell's
+    * chi-square contribution `(obs − exp)²/exp`. The statistic is the
+    * contribution sum; emitting per-cell rows keeps the gate output
+    * hash-checkable AND names which cells drive the dependence — what a
+    * drift alert actually needs to say.
+    *
+    * Scale shape: one (a, b) hash aggregate; row/col marginals are
+    * re-aggregations of the (tiny) cell table, joined back broadcast.
+    * All arithmetic is on exact integer counts (no ln), so outputs are
+    * bit-identical cross-engine before the final r6.
+    */
+  def chiSquareCells(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val cells = df.groupBy(col(colA).as("a"), col(colB).as("b"))
+      .agg(count(lit(1)).as("obs"))
+    val rowT = cells.groupBy("a").agg(sum("obs").as("_ra"))
+    val colT = cells.groupBy("b").agg(sum("obs").as("_cb"))
+    val n = cells.agg(sum("obs").as("_n"))
+    val expn = col("_ra") * col("_cb") / col("_n")
+    cells
+      .join(broadcast(rowT), "a")
+      .join(broadcast(colT), "b")
+      .crossJoin(broadcast(n))
+      .select(col("a").as(colA), col("b").as(colB), col("obs"),
+        r6(expn).as("expected"),
+        r6((col("obs") - expn) * (col("obs") - expn) / expn).as("contrib"))
+      .orderBy(colA, colB)
+  }
+}

@@ -80,4 +80,55 @@ object SetSimJoin {
       .filter(col("jac") >= threshold)
       .select("id_a", "id_b", "jac")
   }
+
+  /** Asymmetric containment join: all ordered (id_a ≠ id_b) pairs where
+    * `|A ∩ B| / |A| ≥ threshold` — A's elements are (nearly) a subset
+    * of B's. The quote/excerpt detector: Jaccard misses a short
+    * document copied INTO a long one (the union dwarfs the overlap);
+    * containment is built for exactly that case.
+    *
+    * The prefix filter is one-sided, which is the asymmetry's economy:
+    * A can miss at most `⌊(1−t)·|A|⌋` of its own elements, so its first
+    * `|A| − ⌈t·|A|⌉ + 1` df-ranked elements (+1 ulp slack, as in
+    * [[jaccardSelfJoin]]) must contain one element of ANY qualifying
+    * B — but B gets no prefix (containment puts no lower bound on how
+    * deep A's elements sit in B's ranking), so the probe side indexes
+    * A-prefixes against B's FULL element postings. Candidates are still
+    * df-bounded (a prefix element shared with many Bs is frequent,
+    * hence late-ranked, hence outside most A-prefixes); the exact
+    * `|A ∩ B|` verify removes false candidates. Never all-pairs.
+    */
+  def containmentJoin(
+      df: DataFrame,
+      idCol: String,
+      setCol: Column,
+      threshold: Double,
+  ): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
+    val sets = df
+      .select(col(idCol).as("_id"), array_distinct(setCol).as("elems"))
+      .filter(size(col("elems")) > 0)
+    val elems = sets.select(col("_id"), explode(col("elems")).as("elem"))
+    val dfreq = elems.groupBy("elem").agg(count(lit(1)).as("df"))
+    val ranked = elems.join(dfreq, "elem")
+      .groupBy("_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("elem")))).as("ranked"))
+      .withColumn("sz", size(col("ranked")))
+    val prefixA = ranked
+      .withColumn("plen",
+        (col("sz") - ceil(lit(threshold) * col("sz")) + lit(2)).cast("int"))
+      .select(col("_id").as("id_a"),
+        explode(expr("transform(slice(ranked, 1, plen), x -> x.elem)")).as("elem"))
+    val allB = elems.select(col("_id").as("id_b"), col("elem"))
+    prefixA.join(allB, "elem")
+      .filter(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b").distinct()
+      .join(sets.toDF("id_a", "elems_a"), "id_a")
+      .join(sets.toDF("id_b", "elems_b"), "id_b")
+      .withColumn("cont",
+        size(array_intersect(col("elems_a"), col("elems_b"))).cast("double") /
+          size(col("elems_a")))
+      .filter(col("cont") >= threshold)
+      .select("id_a", "id_b", "cont")
+  }
 }

@@ -291,4 +291,50 @@ object TextAnalysis {
       .withColumn("fp_min", array_min(transform(sh, s => md5(s))))
       .withColumn("fp_head", substring(md5(t), 1, 8))
   }
+
+  /** BM25 ranking of documents against a fixed query-term set — the
+    * text-retrieval scorer (Robertson–Spärck Jones):
+    * `score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`
+    * with `idf = ln(1 + (N−df+0.5)/(df+0.5))`. Top-k docs by score.
+    *
+    * Scale shape: the query terms are a LITERAL broadcast filter on the
+    * exploded token stream, so the (doc, term) tf aggregate touches
+    * only matching occurrences; document lengths are a narrow per-row
+    * `size`; df and the avgdl/N scalars are tiny broadcasts. Per-term
+    * scores are r6-rounded before the decimal sum (the ln discipline),
+    * making the ranking hash-stable cross-engine.
+    */
+  def bm25(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      topK: Int = 20): DataFrame = {
+    import graft.queries.Det.r6
+    val toks = df.select(col(idCol).as("_id"), explode(tokens(col(textCol))).as("t"))
+    val qtoks = toks.filter(col("t").isin(terms: _*))
+    val tf = qtoks.groupBy("_id", "t").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("t").agg(count(lit(1)).as("df_t"))
+    val dl = df.select(col(idCol).as("_id"),
+      size(tokens(col(textCol))).cast("double").as("dl"))
+    val stats = dl.agg(
+      count(lit(1)).as("_N"),
+      (sum(col("dl").cast("decimal(25,6)")).cast("double") / count(lit(1)))
+        .as("_avgdl"))
+    val idf = log(lit(1.0) +
+      (col("_N") - col("df_t") + lit(0.5)) / (col("df_t") + lit(0.5)))
+    val norm = col("tf") * (lit(k1) + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("_avgdl")))
+    tf
+      .join(broadcast(dfreq), "t")
+      .join(dl, "_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("_s", r6(idf * norm))
+      .groupBy(col("_id").as(idCol))
+      .agg(r6(sum(col("_s").cast("decimal(25,6)")).cast("double")).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(topK)
+  }
 }

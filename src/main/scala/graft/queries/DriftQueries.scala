@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Drift, EditSim, SetSimJoin, TextAnalysis}
+import graft.queries.{Oracle => O}
+import graft.sources.Tables
+
+/** Drift-monitoring, retrieval, and edit-similarity gates — round-4
+  * additions to the training-data-pipeline surface:
+  * KL/JS source-vs-corpus divergence, chi-square independence cells,
+  * SymSpell edit-distance-1 join, BM25 ranking, and the asymmetric
+  * containment (quote/excerpt) join. All hash-checked against DuckDB.
+  */
+object DriftQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** Per-source token-distribution drift vs the corpus: KL and JS
+    * divergence ([[Drift.tokenDivergence]]). The oracle spells the SAME
+    * closed-form absent-word tail (`ln2·(1−Σq)`); DriftSpec proves that
+    * form equals the naive group×vocabulary expansion, so the gate pins
+    * cross-engine numerics and the spec pins the algebra.
+    */
+  def qKlDrift(s: SparkSession, dir: String): DataFrame =
+    Drift.tokenDivergence(docs(s, dir), "source", "text")
+
+  /** Chi-square independence cells for lang × source — observed,
+    * expected-under-independence, and per-cell contribution.
+    */
+  def qChi2(s: SparkSession, dir: String): DataFrame =
+    Drift.chiSquareCells(docs(s, dir), "lang", "source")
+
+  /** Edit-distance-1 pairs over customer names (ID-like strings, the
+    * record-linkage shape) via deletion-neighborhood keys — the oracle
+    * is the brute-force O(n²) levenshtein join, so the SymSpell
+    * candidate generator's EXACT recall is proven, not assumed.
+    */
+  def qEditsim(s: SparkSession, dir: String): DataFrame =
+    EditSim.edit1Pairs(Tables.table(s, dir, "customer"), "c_name")
+      .orderBy("w1", "w2")
+
+  /** BM25 top-20 over the documents table for a fixed query-term set —
+    * the retrieval scorer composed from tf, df, doc-length, and corpus
+    * stats in one pass.
+    */
+  def qBm25(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bm25(docs(s, dir), "doc_id", "text",
+      Seq("hash", "join", "scan"))
+
+  /** Asymmetric containment pairs over 3-gram shingle sets at t=0.8 —
+    * finds docs whose shingles are (nearly) a subset of another doc's,
+    * the direction Jaccard dilutes away. Oracle = brute-force list
+    * intersection over all ordered pairs.
+    */
+  def qContainment(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).withColumn("sh",
+      TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3))
+    SetSimJoin.containmentJoin(d, "doc_id", col("sh"), 0.8)
+      .select(col("id_a"), col("id_b"), Det.r6(col("cont")).as("cont"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kl_drift" -> (qKlDrift _),
+    "q_chi2" -> (qChi2 _),
+    "q_editsim" -> (qEditsim _),
+    "q_bm25" -> (qBm25 _),
+    "q_containment" -> (qContainment _),
+  )
+
+  private val ln2 = "0.6931471805599453"
+
+  private def dsumT(x: String): String =
+    s"CAST(sum(CAST($x AS DECIMAL(25,6))) AS DOUBLE)"
+
+  val oracleSql: Map[String, String] = Map(
+    "q_kl_drift" ->
+      ("WITH tok AS (SELECT source AS g, unnest(string_split(text, ' ')) AS w " +
+        "FROM documents), " +
+        "gw AS (SELECT g, w, count(*) AS c_gw FROM tok GROUP BY 1, 2), " +
+        "gt AS (SELECT g, CAST(sum(c_gw) AS BIGINT) AS t_g FROM gw GROUP BY 1), " +
+        "wt AS (SELECT w, CAST(sum(c_gw) AS BIGINT) AS c_w FROM gw GROUP BY 1), " +
+        "tt AS (SELECT CAST(sum(c_gw) AS BIGINT) AS T FROM gw), " +
+        "terms AS (SELECT g, t_g, " +
+        O.r6("p * ln(p / q)") + " AS kl_t, " +
+        O.r6("p * ln(p / ((p + q) / 2))") + " AS a_t, " +
+        O.r6("q * ln(q / ((p + q) / 2))") + " AS b_t, " +
+        O.r6("q") + " AS q_t FROM " +
+        "(SELECT g, t_g, CAST(c_gw AS DOUBLE) / t_g AS p, " +
+        "CAST(c_w AS DOUBLE) / T AS q " +
+        "FROM gw JOIN gt USING (g) JOIN wt USING (w), tt)) " +
+        "SELECT g AS source, max(t_g) AS n_tokens, " +
+        O.r6(dsumT("kl_t")) + " AS kl, " +
+        O.r6(s"(${dsumT("a_t")} + ${dsumT("b_t")} + " +
+          s"$ln2 * (1.0 - ${dsumT("q_t")})) / 2.0") + " AS js " +
+        "FROM terms GROUP BY 1 ORDER BY source"),
+    "q_chi2" ->
+      ("WITH cells AS (SELECT lang, source, count(*) AS obs " +
+        "FROM documents GROUP BY 1, 2), " +
+        "ra AS (SELECT lang, CAST(sum(obs) AS BIGINT) AS _ra " +
+        "FROM cells GROUP BY 1), " +
+        "cb AS (SELECT source, CAST(sum(obs) AS BIGINT) AS _cb " +
+        "FROM cells GROUP BY 1), " +
+        "nn AS (SELECT CAST(sum(obs) AS BIGINT) AS _n FROM cells) " +
+        "SELECT lang, source, obs, " +
+        O.r6("_ra * _cb / _n") + " AS expected, " +
+        O.r6("(obs - _ra * _cb / _n) * (obs - _ra * _cb / _n) / " +
+          "(_ra * _cb / _n)") + " AS contrib " +
+        "FROM cells JOIN ra USING (lang) JOIN cb USING (source), nn " +
+        "ORDER BY lang, source"),
+    "q_editsim" -> // brute force: proves the deletion-key join's recall
+      ("SELECT a.c_name AS w1, b.c_name AS w2 " +
+        "FROM customer a, customer b " +
+        "WHERE a.c_name < b.c_name AND levenshtein(a.c_name, b.c_name) <= 1 " +
+        "ORDER BY w1, w2"),
+    "q_bm25" ->
+      ("WITH dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) " +
+        "AS DOUBLE) AS dl FROM documents), " +
+        "stats AS (SELECT count(*) AS _N, " +
+        s"${dsumT("dl")} / count(*) AS avgdl FROM dl), " +
+        "tf AS (SELECT doc_id, w AS t, count(*) AS tf FROM " +
+        "(SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) " +
+        "WHERE w IN ('hash', 'join', 'scan') GROUP BY 1, 2), " +
+        "dfq AS (SELECT t, count(*) AS df_t FROM tf GROUP BY 1), " +
+        "terms AS (SELECT doc_id, " +
+        O.r6("ln(1.0 + (_N - df_t + 0.5) / (df_t + 0.5)) * " +
+          "tf * (1.2 + 1.0) / " +
+          "(tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))") + " AS s " +
+        "FROM tf JOIN dfq USING (t) JOIN dl USING (doc_id), stats) " +
+        "SELECT doc_id, " + O.r6(dsumT("s")) + " AS score FROM terms " +
+        "GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20"),
+    "q_containment" -> // brute force over all ordered pairs
+      ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS w " +
+        "FROM documents), " +
+        "s AS (SELECT doc_id, list_distinct(list_transform(" +
+        "range(greatest(len(w) - 2, 0)), " +
+        "j -> w[j+1] || ' ' || w[j+2] || ' ' || w[j+3])) AS sh " +
+        "FROM w WHERE len(w) >= 3) " +
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        O.r6("CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh)") +
+        " AS cont FROM s a, s b " +
+        "WHERE a.doc_id <> b.doc_id AND len(a.sh) > 0 " +
+        "AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) " +
+        ">= 0.8 ORDER BY id_a, id_b"),
+  )
+}

@@ -94,8 +94,10 @@ object TpchDeepQueries {
     * orders joins on the uniform order key. Money through decimal.
     */
   def qTpchQ9(s: SparkSession, dir: String): DataFrame = {
-    val amount = col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
-      col("ps_supplycost") * col("l_quantity")
+    // per-row r6 before the decimal sum — cost×qty carries the same
+    // double→decimal boundary hazard as Q11's value product (see there)
+    val amount = r6(col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+      col("ps_supplycost") * col("l_quantity"))
     Tables.table(s, dir, "lineitem")
       .join(broadcast(Tables.table(s, dir, "part")
         .filter(col("p_name").like("%anvil%")).select("p_partkey")),
@@ -129,12 +131,17 @@ object TpchDeepQueries {
   def qTpchQ11(s: SparkSession, dir: String): DataFrame = {
     val natSupp = Tables.table(s, dir, "supplier")
       .join(broadcast(Tables.table(s, dir, "nation")
-        .filter(col("n_name") === "NATION_7")),
+        .filter(col("n_name") === "NATION_19")),
         col("s_nationkey") === col("n_nationkey"))
       .select("s_suppkey")
+    // r6 BEFORE the decimal cast: cost×qty is a full-precision double,
+    // and Spark's double→decimal route (BigDecimal.valueOf = shortest
+    // string) disagrees with DuckDB's exact-binary rounding exactly at
+    // .5×10⁻⁶ boundaries; a 6-dp pre-round makes the cast input a value
+    // both engines convert identically (the bigramSurprisal discipline)
     val natPs = supplies(s, dir)
       .join(broadcast(natSupp), col("ps_suppkey") === col("s_suppkey"))
-      .withColumn("_v", col("ps_supplycost") * col("ps_availqty"))
+      .withColumn("_v", r6(col("ps_supplycost") * col("ps_availqty")))
     val perPart = natPs.groupBy("ps_partkey")
       .agg(sum(col("_v").cast("decimal(25,6)")).cast("double").as("_sumv"))
     val threshold = natPs
@@ -250,7 +257,7 @@ object TpchDeepQueries {
     Tables.table(s, dir, "supplier")
       .join(excess, col("s_suppkey") === col("ps_suppkey"), "left_semi")
       .join(broadcast(Tables.table(s, dir, "nation")
-        .filter(col("n_name") === "NATION_3")),
+        .filter(col("n_name") === "NATION_19")),
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_name"), r6(col("s_acctbal")).as("acctbal"))
       .orderBy("s_name")
@@ -290,7 +297,7 @@ object TpchDeepQueries {
         "left_anti")
       .join(Tables.table(s, dir, "supplier"), col("sk") === col("s_suppkey"))
       .join(broadcast(Tables.table(s, dir, "nation")
-        .filter(col("n_name") === "NATION_1")),
+        .filter(col("n_name") === "NATION_19")),
         col("s_nationkey") === col("n_nationkey"))
       .groupBy("s_name")
       .agg(count(lit(1)).as("numwait"))
@@ -325,7 +332,7 @@ object TpchDeepQueries {
         "ORDER BY acctbal DESC, n_name, s_name, ps_partkey LIMIT 100"),
     "q_tpch_q9" ->
       (s"WITH $psCte SELECT n_name AS nation, year(o_orderdate) AS o_year, " +
-        s"${O.dsum(s"$revD - ps_supplycost * l_quantity")} AS sum_profit " +
+        s"${O.dsum(O.r6(s"$revD - ps_supplycost * l_quantity"))} AS sum_profit " +
         "FROM lineitem, ps, part, supplier, nation, orders " +
         "WHERE ps_partkey = l_partkey AND ps_suppkey = l_suppkey " +
         "AND p_partkey = l_partkey AND p_name LIKE '%anvil%' " +
@@ -334,9 +341,9 @@ object TpchDeepQueries {
         "GROUP BY 1, 2 ORDER BY nation, o_year DESC"),
     "q_tpch_q11" ->
       (s"WITH $psCte, np AS (SELECT ps_partkey, " +
-        "ps_supplycost * ps_availqty AS v FROM ps, supplier, nation " +
+        s"${O.r6("ps_supplycost * ps_availqty")} AS v FROM ps, supplier, nation " +
         "WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey " +
-        "AND n_name = 'NATION_7') " +
+        "AND n_name = 'NATION_19') " +
         s"SELECT ps_partkey, ${O.r6("sumv")} AS value FROM " +
         "(SELECT ps_partkey, CAST(sum(CAST(v AS DECIMAL(25,6))) AS DOUBLE) " +
         "AS sumv FROM np GROUP BY 1) " +
@@ -374,7 +381,7 @@ object TpchDeepQueries {
     "q_tpch_q20" -> // correlated per-pair scalar — engine decorrelates
       (s"WITH $psCte SELECT s_name, ${O.r6("s_acctbal")} AS acctbal " +
         "FROM supplier, nation " +
-        "WHERE s_nationkey = n_nationkey AND n_name = 'NATION_3' " +
+        "WHERE s_nationkey = n_nationkey AND n_name = 'NATION_19' " +
         "AND s_suppkey IN (SELECT ps_suppkey FROM ps " +
         "WHERE ps_partkey IN (SELECT p_partkey FROM part " +
         "WHERE p_name LIKE 'blue%') " +
@@ -389,7 +396,7 @@ object TpchDeepQueries {
         "WHERE o_orderkey = l_orderkey AND o_orderstatus = 'F') " +
         "SELECT s_name, count(*) AS numwait FROM lo l1, supplier, nation " +
         "WHERE l1.late AND l1.sk = s_suppkey " +
-        "AND s_nationkey = n_nationkey AND n_name = 'NATION_1' " +
+        "AND s_nationkey = n_nationkey AND n_name = 'NATION_19' " +
         "AND EXISTS (SELECT 1 FROM lo l2 WHERE l2.ok = l1.ok " +
         "AND l2.sk <> l1.sk) " +
         "AND NOT EXISTS (SELECT 1 FROM lo l3 WHERE l3.ok = l1.ok " +

@@ -196,6 +196,8 @@ class PlanSpec extends SparkTestBase {
     // (q_tpch_q22: the 1-row global-threshold broadcast)
     // (q_tpch_q11 / q_tpch_q15: the same 1-row scalar-subquery broadcast
     // — the value threshold and the max-revenue row)
+    // (q_kl_drift / q_chi2 / q_bm25: 1-row corpus-stat broadcasts — the
+    // token total, the N marginal, the N/avgdl frame)
     // (q_neg_sample: the broadcast negative-pool theta join — the pool
     // is poolSize rows by construction)
     // (q_ann_recall: composes q_sim_topk's broadcast-query cross join —
@@ -205,7 +207,7 @@ class PlanSpec extends SparkTestBase {
       "q_text_knn", // brute-force top-k: broadcast query side, like q_sim_topk
       "q_histogram", "q_pagerank", "q_decay", "q_semdedup", "q_sim_ivfpq",
       "q_sim_hamming", "q_dsir", "q_ppl_band", "q_mix_temp", "q_tpch_q22",
-      "q_tpch_q11", "q_tpch_q15",
+      "q_tpch_q11", "q_tpch_q15", "q_kl_drift", "q_chi2", "q_bm25",
       "q_neg_sample", "q_ann_recall", "q_ann_recall_ivf")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = plan(fn(spark, Sf0001))
