@@ -16,11 +16,22 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     def selected(name: String): Boolean = only.forall(_.contains(name))
+    // A builder that throws must NOT silently vanish from the driver's
+    // correctness report (round-4 lesson: 7 gates disappeared). On failure
+    // we still write a parquet — a one-row error marker whose schema can
+    // never match an oracle — so the gate shows up as a loud FAIL, and we
+    // collect the messages into verify_errors.json for diagnosis.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.filter(e => selected(e._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        System.err.println(s"[verify] $name failed: $msg")
+        errors(name) = msg
+        import spark.implicits._
+        Seq(msg.take(500)).toDF("_builder_error")
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -38,6 +49,9 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(e => selected(e._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
     spark.stop()
   }
 }

@@ -18,22 +18,41 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The `events` table, with its TIMESTAMP(NANOS) `ts` column converted
-    * to Spark's microsecond TimestampType.
+  /** The `events` table, with its `ts` column normalized to Spark's
+    * session-zoned microsecond TimestampType regardless of how the
+    * parquet writer encoded it.
     *
-    * Spark 4 cannot read parquet NANOS timestamps natively; with
-    * `spark.sql.legacy.parquet.nanosAsLong` the column arrives as raw
-    * nanos (long) and `ts div 1000` truncates to microseconds — the same
-    * truncation DuckDB applies reading the file, so oracle comparisons
-    * agree exactly.
+    * Three on-disk shapes are handled:
+    *   - TIMESTAMP(NANOS): Spark 4 cannot read parquet NANOS natively;
+    *     with `spark.sql.legacy.parquet.nanosAsLong` the column arrives
+    *     as raw nanos (long) and `ts div 1000` truncates to microseconds
+    *     — the same truncation DuckDB applies, so oracles agree exactly.
+    *   - timestamp[us] with isAdjustedToUTC=false: Spark 4 reads this as
+    *     TIMESTAMP_NTZ. The session timezone is pinned to UTC
+    *     ([[Sessions.tune]]), so the NTZ→TZ cast is an exact relabeling
+    *     (no wall-clock shift) and matches DuckDB's naive reading.
+    *   - timestamp[us] UTC-adjusted: already TimestampType, pass through.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     Sessions.tune(spark)
     val raw = table(spark, dir, "events")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case _ => raw // already a timestamp (e.g. re-exported data)
+    normalizeTs(raw)
+  }
+
+  /** Normalize a `ts` column to TimestampType (see [[events]]). Applied to
+    * every read path that can surface `ts` — the parquet scan and the
+    * CSV/JSON/XML round-trip readers — so downstream `cast("long")` /
+    * epoch arithmetic never sees TIMESTAMP_NTZ.
+    */
+  def normalizeTs(df: DataFrame, col: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    if (!df.columns.contains(col)) df
+    else df.schema(col).dataType match {
+      case LongType =>
+        df.withColumn(col, expr(s"timestamp_micros($col div 1000)"))
+      case TimestampNTZType =>
+        df.withColumn(col, org.apache.spark.sql.functions.col(col).cast(TimestampType))
+      case _ => df
     }
   }
 

@@ -18,4 +18,15 @@ class QueriesSmokeSpec extends SparkTestBase {
   test("every oracle key has a matching query") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
+
+  /** Pinned registry size: a module dropping out of the `++` chain in
+    * SparkEntry (or a key collision between modules silently shadowing a
+    * query) must fail loudly here, not as a quiet shrink of the driver's
+    * correctness report. Update the constant when adding queries.
+    */
+  test("registry size is pinned (no silent gate dropouts)") {
+    assert(SparkEntry.queries.size === 163,
+      s"registry has ${SparkEntry.queries.size} queries; expected 163 — " +
+        "if you added/removed queries update this pin deliberately")
+  }
 }
