@@ -505,4 +505,44 @@ object Corpus {
           .as("postings"))
       .filter(col("df") >= minDf)
   }
+
+  /** Pairwise shingle-set overlap between sources — the "how much do
+    * these corpora share" audit run before mixing them (double-counted
+    * content inflates a source's effective weight; high overlap between
+    * a train source and an eval source is contamination).
+    *
+    * For every source pair (a < b): |A∩B|, |A|, |B| and the exact
+    * Jaccard of their distinct n-gram shingle sets. Pairs with an empty
+    * intersection are omitted (their Jaccard is 0; at corpus scale the
+    * zero matrix is noise).
+    *
+    * Scale shape: one distinct over (source, shingle) — shuffle keyed on
+    * the shingle text, uniform — then a shingle-keyed self-join whose
+    * per-key fanout is bounded by the number of SOURCES carrying that
+    *  shingle (≤ S, and the pair explosion ≤ S² per shingle — sources
+    * number in the dozens, not millions), then an aggregate over S²
+    * keys. The corpus never joins itself at document granularity.
+    */
+  def sourceOverlap(
+      df: DataFrame,
+      sourceCol: String,
+      textCol: String,
+      n: Int = 3): DataFrame = {
+    val sets = df.select(col(sourceCol).as("src"),
+        explode(TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)), n))
+          .as("shingle"))
+      .distinct()
+    val sizes = sets.groupBy("src").agg(count(lit(1)).as("n_set"))
+    val inter = sets.as("x")
+      .join(sets.as("y"), col("x.shingle") === col("y.shingle") &&
+        col("x.src") < col("y.src"))
+      .groupBy(col("x.src").as("src_a"), col("y.src").as("src_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("src").as("src_a"), col("n_set").as("n_a")), "src_a")
+      .join(sizes.select(col("src").as("src_b"), col("n_set").as("n_b")), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_inter"), col("n_a"), col("n_b"),
+        graft.queries.Det.r6(col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
+  }
 }

@@ -410,28 +410,31 @@ object Dedup {
     * ("among duplicates keep the longest / best-scoring copy").
     * Singletons pass through untouched.
     *
-    * Scale shape: the winner per cluster comes from a max_by over a
-    * struct-ordered (score, −id) key — one aggregate on the cluster id
-    * (duplication-rate-sized frame, like the clusters themselves); the
-    * loser set then anti-joins exactly as [[canonicalDocs]]. Scores
-    * join clusters on the doc id (uniform key); the corpus never
-    * shuffles.
+    * Scale shape: losers come from ONE pass over the cluster-member
+    * frame — a row_number window partitioned by cluster id (groups are
+    * cluster-sized, so the per-partition sort is bounded by the largest
+    * near-dup cluster), keeping everything ranked past 1. The earlier
+    * max_by-then-rejoin formulation consumed the scored frame twice
+    * (winner aggregate + loser join), re-reading the doc scan and
+    * cluster blocks per consumer. Scores join clusters on the doc id
+    * (uniform key); the corpus never shuffles.
     */
   def canonicalDocsBy(
       docs: DataFrame,
       idCol: String,
       clusters: DataFrame,
       scoreCol: String): DataFrame = {
-    // max_by ordinal: (score asc, id DESC) struct — the max is the
-    // highest score with the LOWEST id on ties (id negated via a
-    // descending-safe trick: order by struct(score, -id))
+    // total order (score DESC, id ASC): rank 1 is the highest score
+    // with the LOWEST id on ties — same winner as max_by over
+    // struct(score, -id)
     val scored = clusters.join(
       docs.select(col(idCol).as("doc_id"), col(scoreCol).as("_sc")), "doc_id")
-    val winners = scored.groupBy("cluster_id")
-      .agg(max_by(col("doc_id"),
-        struct(col("_sc"), (-col("doc_id")).as("_nid"))).as("_keep"))
-    val losers = scored.join(winners, "cluster_id")
-      .filter(col("doc_id") =!= col("_keep"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id")
+      .orderBy(col("_sc").desc, col("doc_id").asc)
+    val losers = scored
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") > 1)
       .select(col("doc_id").as(idCol))
     docs.join(losers, Seq(idCol), "left_anti")
   }

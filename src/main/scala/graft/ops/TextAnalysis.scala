@@ -337,4 +337,57 @@ object TextAnalysis {
       .orderBy(col("score").desc, col(idCol))
       .limit(topK)
   }
+
+  /** Per-group Zipf fit: least-squares slope/intercept of
+    * ln(count) ~ ln(rank) over each group's `topK` most frequent
+    * tokens — the corpus-health check that a source's token
+    * distribution follows the expected power law (natural text sits
+    * near slope −1; template/boilerplate-heavy or synthetic sources
+    * bend away from it).
+    *
+    * Determinism: ln(rank) and ln(count) are r6-rounded FIRST (one
+    * double log per kept token, same contract as TF-IDF's idf), the
+    * four OLS moment sums ride DECIMAL(25,6) (order-independent), and
+    * the closed-form slope/intercept are single double expressions over
+    * those exact sums, r6'd at the end — bit-equal cross-engine.
+    *
+    * Scale shape: token counts shuffle once on (group, token); the
+    * rank window partitions by group, so one reducer holds one group's
+    * VOCABULARY (Zipf-bounded, millions of rows — the same per-group
+    * bound as the BPE/vocab operators, and orders below corpus size).
+    * The moment aggregate is topK × groups rows.
+    */
+  def zipfFit(
+      df: DataFrame,
+      groupCol: String,
+      textCol: String,
+      topK: Int = 50): DataFrame = {
+    import graft.queries.Det.r6
+    val counts = df
+      .select(col(groupCol).as("grp"), explode(tokens(col(textCol))).as("t"))
+      .filter(length(col("t")) > 0)
+      .groupBy("grp", "t").agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy(col("c").desc, col("t").asc)
+    val pts = counts
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("grp"),
+        r6(log(col("rank").cast("double"))).as("x"),
+        r6(log(col("c").cast("double"))).as("y"))
+    def dsum(c: Column): Column = sum(c.cast("decimal(25,6)")).cast("double")
+    pts.groupBy("grp")
+      .agg(
+        count(lit(1)).as("k"),
+        dsum(col("x")).as("_sx"),
+        dsum(col("y")).as("_sy"),
+        dsum(r6(col("x") * col("y"))).as("_sxy"),
+        dsum(r6(col("x") * col("x"))).as("_sxx"))
+      .select(col("grp").as(groupCol), col("k"),
+        r6((col("k") * col("_sxy") - col("_sx") * col("_sy")) /
+          (col("k") * col("_sxx") - col("_sx") * col("_sx"))).as("slope"),
+        r6((col("_sy") - (col("k") * col("_sxy") - col("_sx") * col("_sy")) /
+          (col("k") * col("_sxx") - col("_sx") * col("_sx")) * col("_sx")) /
+          col("k")).as("intercept"))
+  }
 }

@@ -133,4 +133,51 @@ object TextPrep {
         r6(sum(col("nlp").cast("decimal(25,6)") * col("cnt")).cast("double") /
           sum(col("cnt"))).as("mean_surprisal"))
   }
+
+  /** Tracking query parameters dropped by [[canonicalUrl]]: matched
+    * against the FULL `name=value` param (or bare name), same regex in
+    * both engines' RE2/java.util.regex common subset.
+    */
+  val TrackingParamPattern: String =
+    "^(utm_[^=&]*|gclid|fbclid|msclkid|ref|mc_eid)(=.*)?$"
+
+  /** Canonicalize an absolute http(s) URL for web-corpus deduplication —
+    * the normalization pass a crawl pipeline runs before URL-level exact
+    * dedup (two spellings of the same resource must collide):
+    *
+    *   - scheme and host lowercased; `www.` prefix dropped
+    *   - default ports stripped (`:80` for http, `:443` for https)
+    *   - fragment dropped (client-side only, never reaches the server)
+    *   - path: trailing slashes trimmed, empty path → `/`
+    *   - query: tracking params removed ([[TrackingParamPattern]]),
+    *     remaining params sorted (param order is almost always
+    *     insignificant), empty query dropped
+    *
+    * Pure codegen'd string expressions (regexp + array ops) — a
+    * full-corpus canonicalization is one narrow map pass, no shuffle;
+    * the dedup that follows shuffles only the canonical-url digest.
+    * Contract: input is an absolute `scheme://...` URL without userinfo
+    * (crawl frontiers normalize those away upstream).
+    */
+  def canonicalUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_replace(url, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val noFrag = regexp_replace(rest, "#.*$", "")
+    val authority = regexp_extract(noFrag, "^([^/?]*)", 1)
+    val afterAuth = noFrag.substr(length(authority) + 1, length(noFrag))
+    val path = regexp_extract(afterAuth, "^([^?]*)", 1)
+    val query = regexp_replace(afterAuth, "^[^?]*\\??", "")
+    val hostport = lower(authority)
+    val noPort = when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .otherwise(hostport)
+    val host = regexp_replace(noPort, "^www\\.", "")
+    val trimmedPath = regexp_replace(path, "/+$", "")
+    val canonPath = when(trimmedPath === "", lit("/")).otherwise(trimmedPath)
+    val keptParams = array_sort(filter(split(query, "&"),
+      p => p =!= "" && !p.rlike(TrackingParamPattern)))
+    val canonQuery = array_join(keptParams, "&")
+    concat(scheme, lit("://"), host, canonPath,
+      when(canonQuery === "", lit("")).otherwise(concat(lit("?"), canonQuery)))
+  }
 }

@@ -165,7 +165,16 @@ object CorpusQueries {
       "doc_id", "n_tok", budget = 15000)
       .orderBy("doc_id")
 
+  /** Pairwise source shingle-overlap audit
+    * ([[Corpus.sourceOverlap]]): exact 3-gram Jaccard between every
+    * source pair that shares at least one shingle.
+    */
+  def qOverlap(s: SparkSession, dir: String): DataFrame =
+    Corpus.sourceOverlap(docs(s, dir), "source", "text", n = 3)
+      .orderBy("src_a", "src_b")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_overlap" -> (qOverlap _),
     "q_neg_sample" -> (qNegSample _),
     "q_token_budget" -> (qTokenBudget _),
     "q_shards" -> (qShards _),
@@ -184,6 +193,23 @@ object CorpusQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // same shingle construction as the dedup family's oracles: distinct
+    // (source, 3-gram) pairs, then a shingle-keyed pair join (< keeps
+    // each pair once) and exact set algebra; jaccard is one IEEE
+    // division of exact BIGINTs, r6'd like every cross-engine double
+    "q_overlap" ->
+      ("WITH w AS (SELECT source, string_split(text, ' ') AS w FROM documents), " +
+        "g AS (SELECT DISTINCT source AS src, w[CAST(t.i+1 AS INT)] || ' ' || " +
+        "w[CAST(t.i+2 AS INT)] || ' ' || w[CAST(t.i+3 AS INT)] AS shingle " +
+        "FROM w, unnest(range(0, greatest(len(w.w) - 2, 0))) AS t(i)), " +
+        "sz AS (SELECT src, count(*) AS n_set FROM g GROUP BY 1), " +
+        "it AS (SELECT x.src AS src_a, y.src AS src_b, count(*) AS n_inter " +
+        "FROM g x JOIN g y ON x.shingle = y.shingle AND x.src < y.src GROUP BY 1, 2) " +
+        "SELECT src_a, src_b, n_inter, a.n_set AS n_a, b.n_set AS n_b, " +
+        graft.queries.Oracle.r6("n_inter::DOUBLE / (a.n_set + b.n_set - n_inter)") +
+        " AS jaccard " +
+        "FROM it JOIN sz a ON a.src = it.src_a JOIN sz b ON b.src = it.src_b " +
+        "ORDER BY src_a, src_b"),
     "q_token_budget" ->
       ("WITH base AS (SELECT doc_id, " +
         "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents), " +

@@ -52,6 +52,48 @@ object PrepQueries {
     graft.ops.TextAnalysis.repetitionMetrics(docs(s, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** URL-canonicalization fixture (S4 literal relation): spelling
+    * variants of the same resources — case, default ports, `www.`,
+    * fragments, trailing slashes, tracking params, param order — plus
+    * non-collapsing controls (a real non-default port, distinct hosts).
+    * Shared verbatim with the oracle's VALUES list.
+    */
+  private val UrlFixture: Seq[(Int, String)] = Seq(
+    1 -> "HTTP://WWW.Example.com:80/a/b/?utm_source=x&b=2&a=1#frag",
+    2 -> "http://example.com/a/b?a=1&b=2",
+    3 -> "https://Example.COM:443/",
+    4 -> "https://example.com",
+    5 -> "https://sub.example.com/path/",
+    6 -> "https://sub.example.com/path#section-2",
+    7 -> "http://example.com:8080/x",
+    8 -> "https://example.com/search?q=spark&utm_campaign=z&gclid=abc",
+    9 -> "https://example.com/search?q=spark",
+    10 -> "http://www.news.org/story?id=7&ref=tw&fbclid=zz",
+    11 -> "http://news.org/story/?id=7",
+    12 -> "https://a.io/p?z=1&y=2&x=3",
+  )
+
+  /** [[graft.ops.TextPrep.canonicalUrl]] over the fixture, with each
+    * canonical form's duplicate-group size — the URL-level exact-dedup
+    * key a crawl pipeline groups on.
+    */
+  def qUrlCanon(s: SparkSession, dir: String): DataFrame = {
+    val urls = s.createDataFrame(UrlFixture).toDF("id", "url")
+    urls
+      .withColumn("canon_url", TextPrep.canonicalUrl(col("url")))
+      .withColumn("n_dupes", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("canon_url")))
+      .select("id", "canon_url", "n_dupes")
+      .orderBy("id")
+  }
+
+  /** Per-source Zipf fit over the 40 most frequent tokens
+    * ([[graft.ops.TextAnalysis.zipfFit]]).
+    */
+  def qZipf(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextAnalysis.zipfFit(docs(s, dir), "source", "text", topK = 40)
+      .orderBy("source")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_chunks" -> (qChunks _),
     "q_redact" -> (qRedact _),
@@ -59,6 +101,8 @@ object PrepQueries {
     "q_repetition" -> (qRepetition _),
     "q_bpe" -> (qBpe _),
     "q_bpe_encode" -> (qBpeEncode _),
+    "q_url_canon" -> (qUrlCanon _),
+    "q_zipf" -> (qZipf _),
   )
 
   private def redactSql: String =
@@ -89,7 +133,56 @@ object PrepQueries {
     // unnest+group-by; every fraction is one IEEE division of exact
     // integers, so values (and the keep comparisons) match bit-exactly.
     "q_repetition" -> (PrepQueries.repetitionSelect + " ORDER BY doc_id"),
+    // Step-for-step mirror of TextPrep.canonicalUrl: anchored regexes
+    // in the java.util.regex ∩ RE2 subset, list_filter/list_sort for
+    // the param set — binary string order both engines.
+    "q_url_canon" ->
+      (s"WITH u AS (SELECT * FROM ($urlFixtureSql) AS t(id, url)), " +
+        "s1 AS (SELECT id, lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme, " +
+        "regexp_replace(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '#.*$', '') AS nofrag FROM u), " +
+        "s2 AS (SELECT id, scheme, regexp_extract(nofrag, '^([^/?]*)', 1) AS auth, " +
+        "substr(nofrag, length(regexp_extract(nofrag, '^([^/?]*)', 1)) + 1) AS afterauth FROM s1), " +
+        "s3 AS (SELECT id, scheme, " +
+        "regexp_replace(CASE WHEN scheme = 'http' THEN regexp_replace(lower(auth), ':80$', '') " +
+        "WHEN scheme = 'https' THEN regexp_replace(lower(auth), ':443$', '') " +
+        "ELSE lower(auth) END, '^www\\.', '') AS host, " +
+        "regexp_extract(afterauth, '^([^?]*)', 1) AS path, " +
+        "regexp_replace(afterauth, '^[^?]*\\??', '') AS query FROM s2), " +
+        "s4 AS (SELECT id, scheme, host, " +
+        "CASE WHEN regexp_replace(path, '/+$', '') = '' THEN '/' " +
+        "ELSE regexp_replace(path, '/+$', '') END AS cpath, " +
+        // coalesce: DuckDB's array_to_string of an EMPTY list is NULL
+        // (Spark's array_join is ''), and the NULL would swallow the
+        // whole concatenation
+        "coalesce(array_to_string(list_sort(list_filter(string_split(query, '&'), " +
+        s"p -> p <> '' AND NOT regexp_matches(p, '${TextPrep.TrackingParamPattern}'))), '&'), '') AS cquery " +
+        "FROM s3), " +
+        "c AS (SELECT id, scheme || '://' || host || cpath || " +
+        "(CASE WHEN cquery = '' THEN '' ELSE '?' || cquery END) AS canon_url FROM s4) " +
+        "SELECT id, canon_url, count(*) OVER (PARTITION BY canon_url) AS n_dupes " +
+        "FROM c ORDER BY id"),
+    "q_zipf" ->
+      ("WITH w AS (SELECT source, string_split(text, ' ') AS w FROM documents), " +
+        "tok AS (SELECT source AS grp, t.t AS t FROM w, unnest(w.w) AS t(t) WHERE len(t.t) > 0), " +
+        "c AS (SELECT grp, t, count(*) AS c FROM tok GROUP BY 1, 2), " +
+        "r AS (SELECT grp, c, t, row_number() OVER (PARTITION BY grp ORDER BY c DESC, t ASC) AS rank FROM c), " +
+        "p AS (SELECT grp, " + O.r6("ln(rank::DOUBLE)") + " AS x, " +
+        O.r6("ln(c::DOUBLE)") + " AS y FROM r WHERE rank <= 40), " +
+        "m AS (SELECT grp, count(*) AS k, " +
+        "CAST(sum(CAST(x AS DECIMAL(25,6))) AS DOUBLE) AS sx, " +
+        "CAST(sum(CAST(y AS DECIMAL(25,6))) AS DOUBLE) AS sy, " +
+        "CAST(sum(CAST(" + O.r6("x*y") + " AS DECIMAL(25,6))) AS DOUBLE) AS sxy, " +
+        "CAST(sum(CAST(" + O.r6("x*x") + " AS DECIMAL(25,6))) AS DOUBLE) AS sxx " +
+        "FROM p GROUP BY grp) " +
+        "SELECT grp AS source, k, " +
+        O.r6("(k*sxy - sx*sy) / (k*sxx - sx*sx)") + " AS slope, " +
+        O.r6("(sy - (k*sxy - sx*sy) / (k*sxx - sx*sx) * sx) / k") + " AS intercept " +
+        "FROM m ORDER BY source"),
   )
+
+  /** The fixture as a DuckDB VALUES list — one spelling, both engines. */
+  private def urlFixtureSql: String =
+    UrlFixture.map { case (i, u) => s"($i, '$u')" }.mkString("VALUES ", ", ", "")
 
   /** Bigram-surprisal oracle body (no ORDER BY) — shared with the
     * perplexity-band gate (SelectionQueries q_ppl_band), which consumes

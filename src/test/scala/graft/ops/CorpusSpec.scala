@@ -380,4 +380,22 @@ class CorpusSpec extends SparkTestBase {
     assert(perGroup == 1L, "a source appeared in more than one split")
     assert(out.count() == 500)
   }
+
+  test("sourceOverlap: hand-computed Jaccard; disjoint pairs omitted") {
+    val docs = Seq(
+      ("A", "a b c d"), // shingles {a b c, b c d}
+      ("B", "a b c e"), // shingles {a b c, b c e} → A∩B = 1, J = 1/3
+      ("C", "x y z w"), // disjoint from both
+    ).toDF("source", "text")
+    val got = Corpus.sourceOverlap(docs, "source", "text", n = 3).collect()
+    assert(got.length == 1, "only the intersecting pair should appear")
+    val r = got.head
+    assert((r.getString(0), r.getString(1)) == ("A", "B"))
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) == ((1L, 2L, 2L)))
+    assert(r.getDouble(5) == 0.333333) // r6(1/3)
+    // set semantics: repeating a shingle inside one source changes nothing
+    val rep = docs.unionByName(Seq(("A", "a b c d")).toDF("source", "text"))
+    val again = Corpus.sourceOverlap(rep, "source", "text", n = 3).collect().head
+    assert(again.getLong(2) == 1L && again.getLong(3) == 2L)
+  }
 }

@@ -114,4 +114,44 @@ class TextPrepSpec extends SparkTestBase {
       "doc_id")
     assert(joined.filter(col("n_bigrams") =!= col("expected")).count() == 0)
   }
+
+  test("canonicalUrl: variants collapse, non-defaults survive, idempotent") {
+    def canon(urls: String*): Seq[String] =
+      urls.zipWithIndex.map { case (u, i) => (i, u) }.toDF("i", "url")
+        .select(TextPrep.canonicalUrl(col("url")))
+        .as[String].collect().toSeq
+    // case/port/www/fragment/trailing-slash/tracking/param-order variants
+    assert(canon(
+      "HTTP://WWW.Example.com:80/a/b/?utm_source=x&b=2&a=1#frag",
+      "http://example.com/a/b?a=1&b=2").distinct.size == 1)
+    assert(canon("https://Example.COM:443/", "https://example.com")
+      == Seq("https://example.com/", "https://example.com/"))
+    // real non-default port survives; https does NOT strip :80
+    assert(canon("http://example.com:8080/x") == Seq("http://example.com:8080/x"))
+    assert(canon("https://example.com:80/x") == Seq("https://example.com:80/x"))
+    // param sorting and tracking removal; empty query dropped entirely
+    assert(canon("https://a.io/p?z=1&y=2&x=3") == Seq("https://a.io/p?x=3&y=2&z=1"))
+    assert(canon("https://a.io/p?utm_medium=email&gclid=1")
+      == Seq("https://a.io/p"))
+    // idempotence: canon(canon(u)) == canon(u)
+    val once = canon("HTTP://WWW.Example.com:80/a/b/?utm_source=x&b=2&a=1#f")
+    assert(canon(once.head) == once)
+  }
+
+  test("zipfFit: exact power law recovers its slope; uniform counts fit 0") {
+    // counts 16, 4 at ranks 1, 2: ln c = ln 16 + s·ln r with s = -2
+    val text = (Seq.fill(16)("aa") ++ Seq.fill(4)("bb")).mkString(" ")
+    val fit = TextAnalysis.zipfFit(
+      Seq(("s1", text)).toDF("source", "text"), "source", "text", topK = 10)
+      .collect().head
+    assert(fit.getLong(1) == 2) // k: two distinct tokens
+    assert(math.abs(fit.getDouble(2) - (-2.0)) < 1e-5)
+    // equal counts: flat line — slope 0 up to the r6 term-rounding
+    // residue (x·y is rounded before the moment sums, so the numerator
+    // can carry ≤5e-7 per term instead of cancelling exactly)
+    val flat = TextAnalysis.zipfFit(
+      Seq(("s1", "a b c d a b c d")).toDF("source", "text"),
+      "source", "text", topK = 10).collect().head
+    assert(math.abs(flat.getDouble(2)) <= 1e-6)
+  }
 }
