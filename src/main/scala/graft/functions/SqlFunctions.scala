@@ -15,6 +15,9 @@ import org.apache.spark.sql.types.IntegerType
   *  - `cosine_sim(a, b)`                 — double cosine similarity
   *  - `cosine_lsh_bucket(vec, nBits)`    — random-hyperplane LSH bucket
   *  - `rolling_minhash(text, window)`    — winnowed rolling-hash value
+  *  - `deflate_size(text)`               — compressed byte count
+  *  - `nfc_normalize(text)`              — Unicode NFC composition
+  *  - `strip_accents(text)`              — NFD + combining-mark drop
   *
   * Arity/type errors surface at analysis time (the builders throw
   * `IllegalArgumentException`, which Spark wraps into an analysis
@@ -62,6 +65,14 @@ object SqlFunctions {
     "deflate_size" -> { args =>
       arity(args, 1, "deflate_size")
       DeflateSizeExpr(args.head)
+    },
+    "nfc_normalize" -> { args =>
+      arity(args, 1, "nfc_normalize")
+      NfcNormalizeExpr(args.head)
+    },
+    "strip_accents" -> { args =>
+      arity(args, 1, "strip_accents")
+      StripAccentsExpr(args.head)
     },
   )
 

@@ -94,6 +94,39 @@ object PrepQueries {
     graft.ops.TextAnalysis.zipfFit(docs(s, dir), "source", "text", topK = 40)
       .orderBy("source")
 
+  /** Unicode-normalization fixture: composed/decomposed spellings of
+    * the same visible text (é both ways, combining tildes/diaereses,
+    * the U+212B angstrom sign that NFC maps to U+00C5), plus an
+    * ASCII control. Non-ASCII code points are spliced into the oracle
+    * as chr(N) so the two engines provably receive identical input.
+    */
+  private val NormFixture: Seq[(Int, String)] = Seq(
+    1 -> "Café menu",       // decomposed e + U+0301
+    2 -> "Café menu",        // precomposed U+00E9 — collapses with 1
+    3 -> "El Niño",
+    4 -> "ASCII only text",
+    5 -> "mühleisen zürich",
+    6 -> "Ångström unit", // U+212B → U+00C5 under NFC
+  )
+
+  /** Codegen'd Unicode normalization ([[graft.functions.UnicodeNorm]]):
+    * NFC canonical form (the pre-tokenization pass that makes
+    * composed/decomposed spellings hash identically), the accent fold,
+    * and the NFC-keyed duplicate-group size — checked against DuckDB's
+    * utf8proc-backed `nfc_normalize`/`strip_accents`.
+    */
+  def qNormalize(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.UnicodeNorm
+    val rows = s.createDataFrame(NormFixture).toDF("id", "text")
+    rows
+      .withColumn("nfc_text", UnicodeNorm.nfc(col("text")))
+      .withColumn("folded_text", UnicodeNorm.stripAccents(col("text")))
+      .withColumn("n_dupes", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("nfc_text")))
+      .select("id", "nfc_text", "folded_text", "n_dupes")
+      .orderBy("id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_chunks" -> (qChunks _),
     "q_redact" -> (qRedact _),
@@ -103,6 +136,7 @@ object PrepQueries {
     "q_bpe_encode" -> (qBpeEncode _),
     "q_url_canon" -> (qUrlCanon _),
     "q_zipf" -> (qZipf _),
+    "q_normalize" -> (qNormalize _),
   )
 
   private def redactSql: String =
@@ -178,11 +212,44 @@ object PrepQueries {
         O.r6("(k*sxy - sx*sy) / (k*sxx - sx*sx)") + " AS slope, " +
         O.r6("(sy - (k*sxy - sx*sy) / (k*sxx - sx*sx) * sx) / k") + " AS intercept " +
         "FROM m ORDER BY source"),
+    // DuckDB's utf8proc nfc_normalize/strip_accents implement the same
+    // UCD algorithms as java.text.Normalizer — fully specified, no
+    // engine freedom, so the strings hash-check exactly
+    "q_normalize" ->
+      (s"WITH u AS (SELECT * FROM ($normFixtureSql) AS t(id, text)) " +
+        "SELECT id, nfc_normalize(text) AS nfc_text, " +
+        "strip_accents(text) AS folded_text, " +
+        "count(*) OVER (PARTITION BY nfc_normalize(text)) AS n_dupes " +
+        "FROM u ORDER BY id"),
   )
 
   /** The fixture as a DuckDB VALUES list — one spelling, both engines. */
   private def urlFixtureSql: String =
     UrlFixture.map { case (i, u) => s"($i, '$u')" }.mkString("VALUES ", ", ", "")
+
+  /** A string as a DuckDB expression with every non-ASCII code point
+    * spliced as chr(N) — the fixture reaches DuckDB as provably the
+    * same code-point sequence the Spark side holds, immune to any
+    * encoding normalization between here and there.
+    */
+  private def sqlText(s: String): String = {
+    val parts = scala.collection.mutable.ListBuffer.empty[String]
+    val ascii = new StringBuilder
+    def flush(): Unit = if (ascii.nonEmpty) {
+      parts += "'" + ascii.result().replace("'", "''") + "'"
+      ascii.clear()
+    }
+    s.codePoints().forEach { cp =>
+      if (cp < 128) ascii.append(cp.toChar)
+      else { flush(); parts += s"chr($cp)" }
+    }
+    flush()
+    if (parts.isEmpty) "''" else parts.mkString(" || ")
+  }
+
+  private def normFixtureSql: String =
+    NormFixture.map { case (i, t) => s"($i, ${sqlText(t)})" }
+      .mkString("VALUES ", ", ", "")
 
   /** Bigram-surprisal oracle body (no ORDER BY) — shared with the
     * perplexity-band gate (SelectionQueries q_ppl_band), which consumes

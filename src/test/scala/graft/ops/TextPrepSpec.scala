@@ -138,6 +138,35 @@ class TextPrepSpec extends SparkTestBase {
     assert(canon(once.head) == once)
   }
 
+  test("UnicodeNorm: NFC collapses spellings, accent fold, SQL surface") {
+    import graft.functions.UnicodeNorm
+    import org.apache.spark.unsafe.types.UTF8String
+    val decomposed = "Café menu"
+    val precomposed = "Café menu"
+    // direct (interpreted) path
+    assert(UnicodeNorm.toNfc(UTF8String.fromString(decomposed)).toString
+      == precomposed)
+    val ascii = UTF8String.fromString("plain ascii")
+    assert(UnicodeNorm.toNfc(ascii) eq ascii) // short-circuit, no copy
+    assert(UnicodeNorm.removeAccents(UTF8String.fromString(precomposed))
+      .toString == "Cafe menu")
+    // U+212B ANGSTROM SIGN: NFC → U+00C5; fold → plain A
+    assert(UnicodeNorm.toNfc(UTF8String.fromString("Å")).toString == "Å")
+    assert(UnicodeNorm.removeAccents(UTF8String.fromString("Å")).toString == "A")
+    // codegen path through a DataFrame projection
+    val df = Seq((1, decomposed), (2, precomposed)).toDF("id", "t")
+      .select(UnicodeNorm.nfc(col("t")).as("n"),
+        UnicodeNorm.stripAccents(col("t")).as("f"))
+    assert(df.as[(String, String)].collect().toSet
+      == Set((precomposed, "Cafe menu")))
+    // SQL front-end registration
+    graft.util.Sessions.tune(spark)
+    val viaSql = spark.sql(
+      s"SELECT nfc_normalize('$decomposed') AS n, strip_accents('$decomposed') AS f")
+      .as[(String, String)].head()
+    assert(viaSql == ((precomposed, "Cafe menu")))
+  }
+
   test("zipfFit: exact power law recovers its slope; uniform counts fit 0") {
     // counts 16, 4 at ranks 1, 2: ln c = ln 16 + s·ln r with s = -2
     val text = (Seq.fill(16)("aa") ++ Seq.fill(4)("bb")).mkString(" ")
