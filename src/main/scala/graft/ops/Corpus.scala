@@ -545,4 +545,42 @@ object Corpus {
         graft.queries.Det.r6(col("n_inter").cast("double") /
           (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
   }
+
+  /** The sketch form of [[sourceOverlap]] — the 100 TB path. Per source,
+    * a k-hash MinHash signature of its ENTIRE shingle set (min over all
+    * shingles of md5(shingle || '#' || i), the same md5 permutation
+    * family as the per-doc dedup signatures); the pairwise Jaccard
+    * estimate is the fraction of agreeing components.
+    *
+    * Scale shape vs the exact audit: no (source, shingle) distinct — the
+    * min is idempotent, so duplicate shingles need no dedup — and the
+    * shuffle carries sources × k partial minima (map-side combined)
+    * instead of every distinct shingle string. One corpus scan, a
+    * near-zero shuffle, and an S²×k-row comparison at the end.
+    * Estimator sd = sqrt(J(1−J)/k) ≤ 0.5/√k (~0.0625 at k=64).
+    * md5-deterministic: the estimate itself hash-checks cross-engine.
+    */
+  def sourceOverlapSketch(
+      df: DataFrame,
+      sourceCol: String,
+      textCol: String,
+      n: Int = 3,
+      numHashes: Int = 64): DataFrame = {
+    val sigs = df
+      .select(col(sourceCol).as("src"),
+        explode(TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)), n))
+          .as("shingle"))
+      .select(col("src"), col("shingle"),
+        explode(sequence(lit(0), lit(numHashes - 1))).as("i"))
+      .select(col("src"), col("i"),
+        md5(concat(col("shingle"), lit("#"), col("i"))).as("h"))
+      .groupBy("src", "i").agg(min(col("h")).as("h"))
+    sigs.as("a")
+      .join(sigs.as("b"),
+        col("a.i") === col("b.i") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+      .agg(graft.queries.Det.r6(
+        sum(when(col("a.h") === col("b.h"), 1).otherwise(0))
+          .cast("double") / numHashes).as("est_jaccard"))
+  }
 }

@@ -173,8 +173,28 @@ object CorpusQueries {
     Corpus.sourceOverlap(docs(s, dir), "source", "text", n = 3)
       .orderBy("src_a", "src_b")
 
+  /** The sketch overlap estimator next to its exact answer
+    * ([[Corpus.sourceOverlapSketch]]): the estimate is md5-deterministic
+    * so it hash-checks EXACTLY cross-engine, and the oracle pins
+    * `within_band` to literal true — if sketch quality ever drifts past
+    * 3σ (k=64 → band 0.2), the gate hash-fails instead of the
+    * degradation hiding behind a rows-only check (the q_vocab_sketch
+    * discipline).
+    */
+  def qOverlapSketch(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val exact = Corpus.sourceOverlap(d, "source", "text", n = 3)
+    val est = Corpus.sourceOverlapSketch(d, "source", "text", n = 3,
+      numHashes = 64)
+    exact.join(est, Seq("src_a", "src_b"))
+      .select(col("src_a"), col("src_b"), col("jaccard"), col("est_jaccard"),
+        (abs(col("est_jaccard") - col("jaccard")) <= 0.2).as("within_band"))
+      .orderBy("src_a", "src_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_overlap" -> (qOverlap _),
+    "q_overlap_sketch" -> (qOverlapSketch _),
     "q_neg_sample" -> (qNegSample _),
     "q_token_budget" -> (qTokenBudget _),
     "q_shards" -> (qShards _),
@@ -198,18 +218,25 @@ object CorpusQueries {
     // each pair once) and exact set algebra; jaccard is one IEEE
     // division of exact BIGINTs, r6'd like every cross-engine double
     "q_overlap" ->
-      ("WITH w AS (SELECT source, string_split(text, ' ') AS w FROM documents), " +
-        "g AS (SELECT DISTINCT source AS src, w[CAST(t.i+1 AS INT)] || ' ' || " +
-        "w[CAST(t.i+2 AS INT)] || ' ' || w[CAST(t.i+3 AS INT)] AS shingle " +
-        "FROM w, unnest(range(0, greatest(len(w.w) - 2, 0))) AS t(i)), " +
-        "sz AS (SELECT src, count(*) AS n_set FROM g GROUP BY 1), " +
-        "it AS (SELECT x.src AS src_a, y.src AS src_b, count(*) AS n_inter " +
-        "FROM g x JOIN g y ON x.shingle = y.shingle AND x.src < y.src GROUP BY 1, 2) " +
-        "SELECT src_a, src_b, n_inter, a.n_set AS n_a, b.n_set AS n_b, " +
-        graft.queries.Oracle.r6("n_inter::DOUBLE / (a.n_set + b.n_set - n_inter)") +
-        " AS jaccard " +
-        "FROM it JOIN sz a ON a.src = it.src_a JOIN sz b ON b.src = it.src_b " +
+      (s"WITH $overlapCtes " +
+        "SELECT src_a, src_b, n_inter, n_a, n_b, jaccard FROM ex " +
         "ORDER BY src_a, src_b"),
+    // sketch next to exact: the same md5 permutation family as the
+    // per-doc minhash oracle, min over each source's whole shingle set;
+    // within_band is LITERAL true — sketch drift hash-fails the gate
+    "q_overlap_sketch" ->
+      (s"WITH $overlapCtes, " +
+        "sig AS (SELECT src, CAST(t.i AS INT) AS i, " +
+        "min(md5(shingle || '#' || t.i)) AS h " +
+        "FROM g, range(0, 64) AS t(i) GROUP BY 1, 2), " +
+        "est AS (SELECT sa.src AS src_a, sb.src AS src_b, " +
+        graft.queries.Oracle.r6(
+          "sum(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END)::DOUBLE / 64") +
+        " AS est_jaccard " +
+        "FROM sig sa JOIN sig sb ON sa.i = sb.i AND sa.src < sb.src " +
+        "GROUP BY 1, 2) " +
+        "SELECT src_a, src_b, jaccard, est_jaccard, true AS within_band " +
+        "FROM ex JOIN est USING (src_a, src_b) ORDER BY src_a, src_b"),
     "q_token_budget" ->
       ("WITH base AS (SELECT doc_id, " +
         "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents), " +
@@ -346,4 +373,22 @@ object CorpusQueries {
         "x -> x::VARCHAR), ',') AS postings " +
         "FROM g WHERE df >= 200 ORDER BY token"),
   )
+
+  /** Shared CTE chain for the overlap gates: distinct (source, shingle)
+    * pairs, per-source set sizes, pairwise intersections, and the exact
+    * r6'd Jaccard (CTE `ex`). A `def` for the object-init reason noted
+    * on [[PrepQueries.repetitionSelect]].
+    */
+  private def overlapCtes: String =
+    "w AS (SELECT source, string_split(text, ' ') AS w FROM documents), " +
+      "g AS (SELECT DISTINCT source AS src, w[CAST(t.i+1 AS INT)] || ' ' || " +
+      "w[CAST(t.i+2 AS INT)] || ' ' || w[CAST(t.i+3 AS INT)] AS shingle " +
+      "FROM w, unnest(range(0, greatest(len(w.w) - 2, 0))) AS t(i)), " +
+      "sz AS (SELECT src, count(*) AS n_set FROM g GROUP BY 1), " +
+      "it AS (SELECT x.src AS src_a, y.src AS src_b, count(*) AS n_inter " +
+      "FROM g x JOIN g y ON x.shingle = y.shingle AND x.src < y.src GROUP BY 1, 2), " +
+      "ex AS (SELECT src_a, src_b, n_inter, a.n_set AS n_a, b.n_set AS n_b, " +
+      graft.queries.Oracle.r6("n_inter::DOUBLE / (a.n_set + b.n_set - n_inter)") +
+      " AS jaccard " +
+      "FROM it JOIN sz a ON a.src = it.src_a JOIN sz b ON b.src = it.src_b)"
 }

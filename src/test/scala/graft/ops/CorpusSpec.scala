@@ -398,4 +398,26 @@ class CorpusSpec extends SparkTestBase {
     val again = Corpus.sourceOverlap(rep, "source", "text", n = 3).collect().head
     assert(again.getLong(2) == 1L && again.getLong(3) == 2L)
   }
+
+  test("sourceOverlapSketch: deterministic, in [0,1], tracks exact overlap") {
+    val docs = Seq(
+      ("A", "a b c d"), // J(A,B) = 1/3 exactly
+      ("B", "a b c e"),
+      ("C", "x y z w"),
+    ).toDF("source", "text")
+    def run() = Corpus.sourceOverlapSketch(docs, "source", "text",
+        n = 3, numHashes = 64)
+      .orderBy("src_a", "src_b")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val est = run().toSeq
+    assert(est == run().toSeq) // md5-deterministic, partitioning-free
+    // all pairs appear (sketch has no intersection pre-filter): 3 pairs
+    assert(est.map(t => (t._1, t._2))
+      == Seq(("A", "B"), ("A", "C"), ("B", "C")))
+    est.foreach { case (_, _, j) => assert(j >= 0.0 && j <= 1.0) }
+    val ab = est.find(t => t._1 == "A" && t._2 == "B").get._3
+    assert(math.abs(ab - 1.0 / 3.0) <= 0.2, s"est_jaccard(A,B)=$ab") // 3σ at k=64
+    // disjoint pairs estimate at (or very near) zero
+    assert(est.filter(t => t._2 == "C" || t._1 == "C").forall(_._3 <= 0.1))
+  }
 }
