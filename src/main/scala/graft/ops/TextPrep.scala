@@ -180,4 +180,65 @@ object TextPrep {
     concat(scheme, lit("://"), host, canonPath,
       when(canonQuery === "", lit("")).otherwise(concat(lit("?"), canonQuery)))
   }
+
+  /** The registrable host of an absolute URL after [[canonicalUrl]]'s
+    * authority rules (lowercased, `www.` and default ports stripped,
+    * a non-default port kept OFF the host — blocklists name domains,
+    * not ports).
+    */
+  def urlHost(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_replace(url, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val authority = regexp_extract(rest, "^([^/?#]*)", 1)
+    val hostport = lower(authority)
+    val noPort = regexp_replace(hostport, ":[0-9]+$", "")
+    val _ = scheme // host extraction is scheme-independent
+    regexp_replace(noPort, "^www\\.", "")
+  }
+
+  /** All parent-domain suffixes of a host: "a.b.co" → ["a.b.co",
+    * "b.co", "co"]. The unit a domain blocklist matches on.
+    */
+  def domainSuffixes(host: Column): Column = {
+    val parts = split(host, "\\.")
+    transform(sequence(lit(0), size(parts) - 1),
+      i => array_join(slice(parts, i + 1, size(parts) - i), "."))
+  }
+
+  /** Domain-blocklist filtering — the crawl-pipeline kill rule "drop
+    * every URL under any blocked domain, subdomains included".
+    *
+    * Scale shape: the host EXPLODES into its ≤label-count parent
+    * suffixes and equi-joins the blocklist on the suffix — a
+    * broadcast-hash semi-join keyed on an exact string. The naive
+    * spelling (`url LIKE '%' || blocked || '%'` or endswith against
+    * every blocklist row) is a cross-join that evaluates |corpus| ×
+    * |blocklist| predicates and can never hash-partition; the suffix
+    * form is |corpus| × ~4 rows joined on a key, and the blocklist
+    * (thousands of rows at production size) broadcasts.
+    *
+    * Returns the input plus `host` and `blocked` (true ⇔ some suffix
+    * of the host appears in `blocklist.domain`). Callers filter or
+    * quarantine on the flag.
+    */
+  def flagBlockedDomains(
+      df: DataFrame,
+      urlCol: String,
+      blocklist: DataFrame): DataFrame = {
+    val withHost = df.withColumn("host", urlHost(col(urlCol)))
+    // blocked HOSTS (not rows): the explode fans each distinct host into
+    // its suffixes, the blocklist broadcasts, and the distinct bounds
+    // the re-join key set. The final join is host-keyed (uniform) and
+    // left to AQE — the hit set is usually broadcastable but nothing
+    // above requires it.
+    val hits = withHost
+      .select(col("host")).distinct()
+      .select(col("host"), explode(domainSuffixes(col("host"))).as("domain"))
+      .join(broadcast(blocklist.select(col("domain"))), "domain")
+      .select(col("host")).distinct()
+      .withColumn("blocked", lit(true))
+    withHost
+      .join(hits, Seq("host"), "left")
+      .withColumn("blocked", coalesce(col("blocked"), lit(false)))
+  }
 }

@@ -127,6 +127,26 @@ object PrepQueries {
       .orderBy("id")
   }
 
+  /** Blocklist for the domain-kill gate (S4 literal): a registrable
+    * domain (subdomains must match), a multi-label domain, and an
+    * entry no fixture URL is under.
+    */
+  private val Blocklist: Seq[String] = Seq("example.com", "a.io", "blocked.org")
+
+  /** [[graft.ops.TextPrep.flagBlockedDomains]] over the URL fixture:
+    * exact-domain and subdomain hits flagged, lookalike hosts
+    * (news.org vs blocked.org, sub.example.com IS under example.com)
+    * decided correctly by the suffix join.
+    */
+  def qBlocklist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val urls = s.createDataFrame(UrlFixture).toDF("id", "url")
+    val bl = Blocklist.toDF("domain")
+    TextPrep.flagBlockedDomains(urls, "url", bl)
+      .select("id", "host", "blocked")
+      .orderBy("id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_chunks" -> (qChunks _),
     "q_redact" -> (qRedact _),
@@ -137,6 +157,7 @@ object PrepQueries {
     "q_url_canon" -> (qUrlCanon _),
     "q_zipf" -> (qZipf _),
     "q_normalize" -> (qNormalize _),
+    "q_blocklist" -> (qBlocklist _),
   )
 
   private def redactSql: String =
@@ -212,6 +233,18 @@ object PrepQueries {
         O.r6("(k*sxy - sx*sy) / (k*sxx - sx*sx)") + " AS slope, " +
         O.r6("(sy - (k*sxy - sx*sy) / (k*sxx - sx*sx) * sx) / k") + " AS intercept " +
         "FROM m ORDER BY source"),
+    // oracle spells the SEMANTICS (exact match or ends-with at a label
+    // boundary) via EXISTS + LIKE — the engine's suffix-explode
+    // equi-join must agree row-for-row
+    "q_blocklist" ->
+      (s"WITH u AS (SELECT * FROM ($urlFixtureSql) AS t(id, url)), " +
+        "bl AS (SELECT * FROM (VALUES " +
+        Blocklist.map(d => s"('$d')").mkString(", ") + ") AS b(domain)), " +
+        "h AS (SELECT id, regexp_replace(regexp_replace(lower(regexp_extract(" +
+        "regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^([^/?#]*)', 1)), " +
+        "':[0-9]+$', ''), '^www\\.', '') AS host FROM u) " +
+        "SELECT id, host, EXISTS (SELECT 1 FROM bl WHERE bl.domain = h.host " +
+        "OR h.host LIKE '%.' || bl.domain) AS blocked FROM h ORDER BY id"),
     // DuckDB's utf8proc nfc_normalize/strip_accents implement the same
     // UCD algorithms as java.text.Normalizer — fully specified, no
     // engine freedom, so the strings hash-check exactly

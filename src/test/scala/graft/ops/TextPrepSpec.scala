@@ -167,6 +167,24 @@ class TextPrepSpec extends SparkTestBase {
     assert(viaSql == ((precomposed, "Cafe menu")))
   }
 
+  test("flagBlockedDomains: exact + subdomain hit, lookalikes survive") {
+    val urls = Seq(
+      (1, "https://example.com/a"),        // exact
+      (2, "https://sub.example.com/b"),    // subdomain
+      (3, "https://notexample.com/c"),     // LOOKALIKE — must survive
+      (4, "http://www.example.com:80/d"),  // www + port still the domain
+      (5, "https://clean.org/e"),
+    ).toDF("id", "url")
+    val bl = Seq("example.com").toDF("domain")
+    val got = TextPrep.flagBlockedDomains(urls, "url", bl)
+      .select("id", "blocked").as[(Int, Boolean)].collect().toMap
+    assert(got == Map(1 -> true, 2 -> true, 3 -> false, 4 -> true, 5 -> false))
+    // suffix enumeration itself
+    val sfx = Seq(Tuple1("a.b.co")).toDF("h")
+      .select(TextPrep.domainSuffixes(col("h"))).as[Seq[String]].head()
+    assert(sfx == Seq("a.b.co", "b.co", "co"))
+  }
+
   test("zipfFit: exact power law recovers its slope; uniform counts fit 0") {
     // counts 16, 4 at ranks 1, 2: ln c = ln 16 + s·ln r with s = -2
     val text = (Seq.fill(16)("aa") ++ Seq.fill(4)("bb")).mkString(" ")
