@@ -309,6 +309,29 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SinglePartition"), "sharded packing still plans a global window")
   }
 
+  test("blocklist: suffix equi-join broadcasts the blocklist, no cartesian") {
+    import spark.implicits._
+    val urls = (1 to 100).map(i => (i, s"https://h$i.example$i.com/p")).toDF("id", "url")
+    val p = plan(graft.ops.TextPrep.flagBlockedDomains(
+      urls, "url", Seq("example7.com").toDF("domain")))
+    assert(p.contains("BroadcastHashJoin"), s"blocklist not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"blocklist planned a product join:\n$p")
+  }
+
+  test("overlap sketch: signature aggregate is partial+final (map-side combined)") {
+    val docs = Tables.table(spark, Sf0001, "documents")
+    val p = plan(graft.ops.Corpus.sourceOverlapSketch(
+      docs, "source", "text", n = 3, numHashes = 8))
+    // the (src, i) min must pre-reduce map-side: partial + final around
+    // one exchange — the property that makes the shuffle sources × k
+    // instead of per-shingle
+    assert(p.contains("HashAggregate"), s"no hash aggregate:\n$p")
+    val aggCount = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggCount >= 2, s"expected partial+final aggregation:\n$p")
+    assert(!p.contains("CartesianProduct"), s"sketch pair join degenerated:\n$p")
+  }
+
   test("partitioned parquet layout prunes by partition key on read") {
     val dir = tmpDir("plan_part")
     Tables.events(spark, Sf0001)
