@@ -223,6 +223,25 @@ object ExtQueries {
       .withColumn("cos", r6(col("cos")))
       .orderBy("id_a", "id_b")
 
+  /** Matryoshka-style truncation recall: retrieval quality when the
+    * 64-dim embeddings are cut to their 16-dim prefix (4× storage and
+    * bandwidth cut; renormalization is a no-op under cosine ranking,
+    * so the operator IS the slice). The same recall arithmetic as
+    * q_ann_recall, with the truncated top-k as the approximate side —
+    * the number that decides whether the cheap prefix index is good
+    * enough to serve as the coarse stage of a two-stage search.
+    */
+  def qAnnRecallTrunc(s: SparkSession, dir: String): DataFrame = {
+    val tq = queriesDf(s, dir).withColumn("qe", slice(col("qe"), 1, 16))
+    val tc = candsDf(s, dir).withColumn("ce", slice(col("ce"), 1, 16))
+    Similarity
+      .recallAtK(
+        Similarity.cosineTopK(tq, tc, k = 10, scoreRounding = r6),
+        Similarity.cosineTopK(queriesDf(s, dir), candsDf(s, dir),
+          k = 10, scoreRounding = r6))
+      .orderBy("qid")
+  }
+
   /** Same result contract as [[qSimTopk]] via the bounded-heap typed
     * aggregator — sharing q_sim_topk's oracle SQL makes the cross-engine
     * gate prove the two execution strategies agree.
@@ -1004,6 +1023,7 @@ object ExtQueries {
     "q_sim_lsh" -> (qSimLsh _),
     "q_ann_recall" -> (qAnnRecall _),
     "q_ann_recall_ivf" -> (qAnnRecallIvf _),
+    "q_ann_recall_trunc" -> (qAnnRecallTrunc _),
     "q_sim_ivf" -> (qSimIvf _),
     "q_sim_topk_agg" -> (qSimTopkAgg _),
     "q_embed_binary" -> (qEmbedBinary _),
@@ -1462,6 +1482,26 @@ object ExtQueries {
         "r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rnk FROM s) " +
         "SELECT qid, cid, score, rnk::INT AS rank FROM r WHERE rnk <= 10 " +
         "ORDER BY qid, rank"),
+    // exact chain twice — full vectors and the 16-dim prefix — then the
+    // identical overlap/recall join as q_ann_recall
+    "q_ann_recall_trunc" ->
+      ("WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5), " +
+        "c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings), " +
+        s"s AS (SELECT qid, cid, ${O.r6(cosSql("qe", "ce"))} AS score " +
+        "FROM q JOIN c ON qid != cid), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rnk FROM s), " +
+        "e AS (SELECT qid, cid FROM r WHERE rnk <= 10), " +
+        "qt AS (SELECT qid, qe[1:16] AS qe FROM q), " +
+        "ct AS (SELECT cid, ce[1:16] AS ce FROM c), " +
+        s"sa AS (SELECT qid, cid, ${O.r6(cosSql("qe", "ce"))} AS score " +
+        "FROM qt JOIN ct ON qid != cid), " +
+        "ra AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rnk FROM sa), " +
+        "a AS (SELECT qid, cid, 1 AS _hit FROM ra WHERE rnk <= 10) " +
+        "SELECT e.qid, count(*) AS n_exact, " +
+        "CAST(sum(coalesce(a._hit, 0)) AS BIGINT) AS n_hit, " +
+        "CAST(sum(coalesce(a._hit, 0)) AS DOUBLE) / count(*) AS recall " +
+        "FROM e LEFT JOIN a ON e.qid = a.qid AND e.cid = a.cid " +
+        "GROUP BY 1 ORDER BY 1"),
     "q_sim_lsh" ->
       (s"WITH q AS (SELECT vec_id AS qid, embedding AS qe, ${bucketSql("embedding", 4)} AS bucket " +
         "FROM embeddings WHERE vec_id < 5), " +
