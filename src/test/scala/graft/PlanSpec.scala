@@ -201,14 +201,15 @@ class PlanSpec extends SparkTestBase {
     // (q_neg_sample: the broadcast negative-pool theta join — the pool
     // is poolSize rows by construction)
     // (q_ann_recall: composes q_sim_topk's broadcast-query cross join —
-    // the exact side of the recall comparison)
+    // the exact side of the recall comparison; _ivf and _trunc compose
+    // the same exact side)
     val bnljByDesign = Set("q_sim_topk", "q_sim_topk_agg", "q_top_tokens",
       "q_tfidf", "q_asof", "q_sim_ivf", "q_surprisal", "q_kmeans",
       "q_text_knn", // brute-force top-k: broadcast query side, like q_sim_topk
       "q_histogram", "q_pagerank", "q_decay", "q_semdedup", "q_sim_ivfpq",
       "q_sim_hamming", "q_dsir", "q_ppl_band", "q_mix_temp", "q_tpch_q22",
       "q_tpch_q11", "q_tpch_q15", "q_kl_drift", "q_chi2", "q_bm25",
-      "q_neg_sample", "q_ann_recall", "q_ann_recall_ivf")
+      "q_neg_sample", "q_ann_recall", "q_ann_recall_ivf", "q_ann_recall_trunc")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = plan(fn(spark, Sf0001))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
