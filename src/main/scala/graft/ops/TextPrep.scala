@@ -187,12 +187,9 @@ object TextPrep {
     * not ports).
     */
   def urlHost(url: Column): Column = {
-    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val rest = regexp_replace(url, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
     val authority = regexp_extract(rest, "^([^/?#]*)", 1)
-    val hostport = lower(authority)
-    val noPort = regexp_replace(hostport, ":[0-9]+$", "")
-    val _ = scheme // host extraction is scheme-independent
+    val noPort = regexp_replace(lower(authority), ":[0-9]+$", "")
     regexp_replace(noPort, "^www\\.", "")
   }
 
