@@ -181,6 +181,60 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("canonicalUrl: idempotent with clean invariants on generated URLs") {
+    import spark.implicits._
+    val genLabel = Gen.choose(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    val genHost = for {
+      www <- Gen.oneOf("", "www.")
+      labels <- Gen.choose(2, 4).flatMap(n => Gen.listOfN(n, genLabel))
+    } yield www + labels.mkString(".")
+    val genParam = for {
+      tracking <- Gen.oneOf(true, false)
+      name <- if (tracking) Gen.oneOf("utm_source", "utm_x", "gclid", "ref")
+        else genLabel
+      value <- genLabel
+    } yield s"$name=$value"
+    val genUrl = for {
+      scheme <- Gen.oneOf("http", "https", "HTTP", "Https")
+      host <- genHost
+      port <- Gen.oneOf("", ":80", ":443", ":8080")
+      segs <- Gen.choose(0, 3).flatMap(n => Gen.listOfN(n, genLabel))
+      trailing <- Gen.oneOf("", "/", "//")
+      params <- Gen.choose(0, 4).flatMap(n => Gen.listOfN(n, genParam))
+      frag <- Gen.oneOf("", "#x", "#a/b?c=1")
+    } yield {
+      val path = if (segs.isEmpty) "" else segs.mkString("/", "/", "")
+      val query = if (params.isEmpty) "" else params.mkString("?", "&", "")
+      s"$scheme://$host$port$path$trailing$query$frag"
+    }
+    val urls = (1 to 300).map(i => sample(genUrl, 0xCAFE + i))
+    def canonAll(in: Seq[String]): Seq[String] =
+      in.toDF("url").select(graft.ops.TextPrep.canonicalUrl(col("url")))
+        .as[String].collect().toSeq
+    val once = canonAll(urls)
+    // idempotence: canonicalizing a canonical URL is the identity
+    assert(canonAll(once) == once)
+    once.foreach { u =>
+      assert(!u.contains("#"), s"fragment survived: $u")
+      assert(!u.contains("utm_") && !u.contains("gclid=") && !u.contains("ref="),
+        s"tracking param survived: $u")
+      assert(!u.contains("://www."), s"www survived: $u")
+      // scheme-matched default ports must be gone; a MISmatched default
+      // (https on :80) and real ports (:8080) legitimately survive
+      if (u.startsWith("http://"))
+        assert(!u.contains(":80/"), s"http default port survived: $u")
+      if (u.startsWith("https://"))
+        assert(!u.contains(":443/"), s"https default port survived: $u")
+      assert(u.matches("^(http|https)://.*"), s"scheme not lowercased: $u")
+      // query params sorted
+      val q = u.split("\\?", 2)
+      if (q.length == 2)
+        assert(q(1).split("&").toSeq == q(1).split("&").toSeq.sorted,
+          s"params unsorted: $u")
+    }
+  }
+
   test("approx_percentile tracks the exact discrete median per group") {
     // at accuracy 1000 on these group sizes, the sketch answer must be an
     // actual data value close to the exact quantile_disc median
