@@ -24,10 +24,13 @@ import org.apache.spark.sql.SparkSession
   *
   * Semantics matched, skin original: the reference's Jinja template
   * (`src/webapp/templates/index.html`) pulls Bootstrap, Chart.js and
-  * Leaflet from CDNs for a gauge and a map — presentation chrome with no
-  * analytics content. This page serves the same form fields (same
-  * names/constraints, same six payment-type options) and the same result
-  * data in plain self-contained HTML. Field coercion reuses the Python
+  * Leaflet from CDNs for its result chrome. This page serves the same
+  * form fields (same names/constraints, same six payment-type options),
+  * the same result data, AND the same chrome content — the semicircular
+  * fare gauge ([[gaugeSvg]]: yellow arc within the `maxFare = 80`
+  * reference range, `index.html:216-245`) and the illustrative NYC
+  * area map ([[MapSvg]], `index.html:246+`) — as server-rendered inline
+  * SVG in self-contained HTML: no CDN, no JavaScript, no tile fetches. Field coercion reuses the Python
   * `float()`/`int()` string grammar from [[HttpScoring]] (form values
   * always arrive as strings), and a missing field renders as Python's
   * `str(KeyError)` — the quoted field name — matching what Flask's
@@ -78,6 +81,52 @@ object WebScoring {
     1 -> "Credit Card", 2 -> "Cash", 3 -> "No Charge",
     4 -> "Dispute", 5 -> "Unknown", 6 -> "Voided trip")
 
+  /** The reference's fare-range ceiling for the gauge
+    * (`index.html:221`: `maxFare = 80` — "rango de referencia").
+    */
+  private val GaugeMaxFare = 80.0
+
+  /** The reference's semicircular fare gauge (`index.html:216-245`:
+    * a Chart.js doughnut, yellow arc = fare within an 80-dollar
+    * reference range) as SERVER-RENDERED inline SVG — same visual
+    * content, no CDN, no JavaScript. Arc endpoint computed here instead
+    * of by a charting library.
+    */
+  private[serve] def gaugeSvg(fare: Double): String = {
+    val frac = math.min(math.max(fare / GaugeMaxFare, 0.0), 1.0)
+    val (cx, cy, r) = (100.0, 100.0, 80.0)
+    val theta = math.Pi * frac
+    val endX = cx - r * math.cos(theta)
+    val endY = cy - r * math.sin(theta)
+    val arc =
+      if (frac < 0.005) "" // zero-length arc paths render as artifacts
+      else f"""  <path d="M 20 100 A 80 80 0 0 1 $endX%.2f $endY%.2f" fill="none" stroke="#ffd60a" stroke-width="16" stroke-linecap="round"/>"""
+    s"""<svg class="gauge" viewBox="0 0 200 112" role="img" aria-label="Fare gauge: $$$fare of $$${GaugeMaxFare.toInt} reference range">
+       |  <path d="M 20 100 A 80 80 0 0 1 180 100" fill="none" stroke="#333" stroke-width="16" stroke-linecap="round"/>
+       |$arc
+       |  <text x="100" y="92" text-anchor="middle" class="gauge-num">$$${esc(fare.toString)}</text>
+       |</svg>""".stripMargin
+  }
+
+  /** The reference's "Mapa ilustrativo NYC" (`index.html:246-…`: a
+    * Leaflet/OSM tile map centered on 40.75,−73.98, explicitly labeled
+    * illustrative — no per-trip data on it) as a static inline-SVG
+    * sketch of the yellow-cab operating area: stylized Manhattan
+    * between the Hudson and East rivers, marker at the reference's map
+    * center. Same informational content (an illustrative locator, not
+    * a data visualization), zero tiles fetched.
+    */
+  private[serve] val MapSvg: String =
+    """<svg class="map" viewBox="0 0 220 160" role="img" aria-label="Illustrative map of the NYC yellow-cab operating area">
+      |  <rect width="220" height="160" fill="#dce9f2"/>
+      |  <path d="M 0 30 C 60 20 120 40 220 24 L 220 0 L 0 0 Z" fill="#c6d8b5"/>
+      |  <path d="M 150 160 C 160 110 170 80 220 60 L 220 160 Z" fill="#c6d8b5"/>
+      |  <path d="M 60 160 C 75 110 85 70 95 30 L 120 34 C 112 75 105 120 96 160 Z" fill="#f3e9c8" stroke="#b9a95f" stroke-width="1.5"/>
+      |  <circle cx="104" cy="72" r="6" fill="#b00020"/>
+      |  <circle cx="104" cy="72" r="2.4" fill="#fff"/>
+      |  <text x="10" y="152" class="map-label">Manhattan &amp; surroundings (illustrative)</text>
+      |</svg>""".stripMargin
+
   /** Render the page. `result` carries (prediction, distance,
     * passengers, hour, durationEst); `error` the failure message.
     * Fidelity note: the reference's `{% if prediction %}` treats a 0.0
@@ -99,6 +148,18 @@ object WebScoring {
            |    <li>Hour: $hour h</li>
            |    <li>Estimated duration: ${esc(dur.toString)} min</li>
            |  </ul>
+           |  <div class="panels">
+           |    <figure>
+           |      <figcaption>Fare gauge</figcaption>
+           |${gaugeSvg(pred)}
+           |      <small>The yellow arc places your fare within a $$${GaugeMaxFare.toInt} reference range.</small>
+           |    </figure>
+           |    <figure>
+           |      <figcaption>NYC area</figcaption>
+           |$MapSvg
+           |      <small>Approximate yellow-cab operating zone (Manhattan and surroundings).</small>
+           |    </figure>
+           |  </div>
            |</section>""".stripMargin
     }.getOrElse("")
     val options = PaymentOptions.map { case (code, label) =>
@@ -119,6 +180,13 @@ object WebScoring {
        |    .fare { font-size: 2rem; margin: .25rem 0; }
        |    .trip li { margin: .15rem 0; }
        |    .error { color: #b00020; }
+       |    .panels { display: flex; gap: 1rem; flex-wrap: wrap; }
+       |    .panels figure { flex: 1 1 14rem; margin: 0; }
+       |    .panels figcaption { font-weight: 600; margin-bottom: .25rem; }
+       |    .panels small { color: #555; }
+       |    .gauge, .map { width: 100%; height: auto; }
+       |    .gauge-num { font: 700 1.1rem system-ui, sans-serif; }
+       |    .map-label { font: .55rem system-ui, sans-serif; fill: #555; }
        |  </style>
        |</head>
        |<body>

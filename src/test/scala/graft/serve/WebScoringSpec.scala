@@ -66,7 +66,24 @@ class WebScoringSpec extends SparkTestBase {
       assert(html.contains(s"${WebScoring.round1(durationEst)} min"))
       assert(html.contains("3.2 mi") && html.contains("Passengers: 1")
         && html.contains("Hour: 18 h"))
+      // the reference's result chrome, dependency-free: gauge + map SVGs
+      assert(html.contains("class=\"gauge\"") && html.contains("#ffd60a"),
+        "fare gauge SVG missing from the result page")
+      assert(html.contains("class=\"map\""), "NYC map SVG missing")
+      assert(!html.contains("<script") && !html.contains("cdn"),
+        "result chrome must stay self-contained (no JS/CDN)")
     }
+  }
+
+  test("gaugeSvg: arc endpoint tracks the fare fraction, clamped at range") {
+    // half range → arc ends at the top of the semicircle (100, 20)
+    val half = WebScoring.gaugeSvg(40.0)
+    assert(half.contains("A 80 80 0 0 1 100.00 20.00"), half)
+    // over range → clamped to the full arc (180, 100)
+    val over = WebScoring.gaugeSvg(200.0)
+    assert(over.contains("A 80 80 0 0 1 180.00 100.00"), over)
+    // zero fare → no yellow arc path at all (degenerate arc suppressed)
+    assert(!WebScoring.gaugeSvg(0.0).contains("#ffd60a"))
   }
 
   test("POST /predict_web: missing field renders str(KeyError) at 500") {
