@@ -10,12 +10,21 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: classic BPE operates on the WORD VOCABULARY with
   * occurrence counts, not the corpus — one corpus-sized aggregate up
-  * front (uniform word keys), then every iteration touches only the
-  * vocabulary frame: a narrow pair-explode, one vocabulary-bounded
-  * aggregate, a 1-row TakeOrdered for the winner (broadcast back), and
-  * a narrow `replace` projection. Nothing after the first group-by is
-  * proportional to corpus bytes, which is what makes learning a vocab
-  * on 100 TB feasible.
+  * front (uniform word keys, cached), then every iteration touches only
+  * the vocabulary frame: a narrow pair-explode, one vocabulary-bounded
+  * aggregate, and a 1-row TakeOrdered winner collected to the driver
+  * (the k-means-centroid pattern — BPE is inherently sequential, so the
+  * per-step driver round-trip of one 3-field row is the floor, not an
+  * anti-pattern). The winner is applied as a LITERAL string `replace`
+  * projection, so consecutive steps are plain nested projections that
+  * CollapseProject fuses — no per-step join, no broadcast, no
+  * checkpoint machinery, and plan size linear in nMerges (the round-5
+  * broadcast-join + lazy-localCheckpoint formulation re-referenced the
+  * previous vocab twice per step — 2^n plan growth without truncation —
+  * and its leaked block-manager state made the query's cost depend on
+  * what ran before it in the same JVM). Nothing after the first
+  * group-by is proportional to corpus bytes, which is what makes
+  * learning a vocab on 100 TB feasible.
   *
   * Determinism & the cross-engine oracle: words are encoded as
   * separator-wrapped symbol strings (`tok` → `_t__o__k_`), so applying
@@ -40,8 +49,11 @@ object Bpe {
   def learnMerges(
       docs: DataFrame,
       textCol: String,
-      nMerges: Int): DataFrame =
-    run(docs, textCol, nMerges)._1
+      nMerges: Int): DataFrame = {
+    val (merges, _, vocab0) = run(docs, textCol, nMerges)
+    vocab0.unpersist() // merge table is driver-local; nothing lazy remains
+    merges
+  }
 
   /** Tokenize with the learned vocabulary: per-document whitespace-word
     * count, character count, and the REAL post-merge BPE token count
@@ -56,6 +68,9 @@ object Bpe {
       idCol: String,
       textCol: String,
       nMerges: Int): DataFrame = {
+    // the returned frame joins through the final vocab, so the cached
+    // corpus aggregate stays alive behind it (vocabulary-sized; evicted
+    // LRU like any cache)
     val vocab = run(docs, textCol, nMerges)._2
     val wordSyms = vocab.select(col("w"),
       size(split(expr("substring(enc, 2, length(enc) - 2)"), "__")).as("nsym"))
@@ -70,14 +85,19 @@ object Bpe {
         graft.queries.Det.r6(col("n_chars") / col("n_bpe")))
   }
 
-  /** The shared iteration: returns (merge table, final vocab state
-    * (w, enc, cnt)).
+  /** The shared iteration: returns (merge table (driver-local rows),
+    * final vocab state (w, enc, cnt), cached initial vocab for the
+    * caller to unpersist when nothing lazy depends on it). Eager: the
+    * merges are learned when this is called, one vocabulary-scale job
+    * plus one 1-row collect per step.
     */
   private def run(
       docs: DataFrame,
       textCol: String,
-      nMerges: Int): (DataFrame, DataFrame) = {
-    var vocab = docs
+      nMerges: Int): (DataFrame, DataFrame, DataFrame) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab0 = docs
       .select(explode(split(col(textCol), " ")).as("w"))
       .filter(col("w").rlike("^[a-z0-9]+$"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
@@ -86,9 +106,15 @@ object Bpe {
           concat_ws("__", regexp_extract_all(col("w"), lit("."), lit(0))),
           lit("_")).as("enc"),
         col("cnt"))
-    val steps = (1 to nMerges).map { step =>
+      .cache() // re-read once per merge step (SCALE.md §10b: cache the
+               // expensively-derived loop input, not the raw scan)
+    var vocab = vocab0
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= nMerges && !exhausted) {
       val syms = split(expr("substring(enc, 2, length(enc) - 2)"), "__")
-      val pairs = vocab
+      val best = vocab
         .select(col("cnt"),
           explode(zip_with(
             slice(syms, lit(1), greatest(size(syms) - 1, lit(0))),
@@ -96,31 +122,25 @@ object Bpe {
             (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum("cnt").as("pc"))
-      val best = pairs
         .orderBy(col("pc").desc, col("a"), col("b"))
-        .limit(1)
-      // LEFT join (1-row broadcast side), not crossJoin: when nMerges
-      // exceeds the available merges the pair table is EMPTY, and a
-      // cross join would silently wipe the vocabulary — every later
-      // step and encodedCounts would return empty/wrong results. With
-      // the left join an exhausted step keeps the vocab unchanged and
-      // contributes no merge row, i.e. "return the merges learned so
-      // far".
-      vocab = vocab.join(broadcast(best), lit(true), "left")
-        .select(col("w"),
-          when(col("a").isNull, col("enc")).otherwise(replace(col("enc"),
-            concat(lit("_"), col("a"), lit("__"), col("b"), lit("_")),
-            concat(lit("_"), col("a"), col("b"), lit("_")))).as("enc"),
-          col("cnt"))
-        // truncate the per-iteration lineage: each round's plan would
-        // otherwise embed all previous rounds' aggregates twice (once
-        // via pairs, once via the applied vocab)
-        .localCheckpoint(eager = false)
-      best.select(lit(step).as("step"), col("a").as("sym_a"),
-        col("b").as("sym_b"), concat(col("a"), col("b")).as("merged"),
-        col("pc").as("pair_count"))
+        .take(1)
+      if (best.isEmpty) {
+        // no adjacent pairs left (nMerges exceeds the available merges):
+        // later steps would be identically empty — "return the merges
+        // learned so far", vocab unchanged
+        exhausted = true
+      } else {
+        val (a, b, pc) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((step, a, b, a + b, pc))
+        vocab = vocab.withColumn("enc",
+          replace(col("enc"), lit(s"_${a}__${b}_"), lit(s"_${a}${b}_")))
+        step += 1
+      }
     }
-    (steps.reduce(_ unionByName _), vocab)
+    val mergeDf = merges.result()
+      .toDF("step", "sym_a", "sym_b", "merged", "pair_count")
+    (mergeDf, vocab, vocab0)
   }
 
   /** Generated DuckDB oracle for [[learnMerges]] over `documents.text`
