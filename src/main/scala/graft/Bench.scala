@@ -85,8 +85,15 @@ object Bench {
           catch { case scala.util.control.NonFatal(_) => () }
           timed(name)(fn(spark, sfDir).count())
         }
-      val qs0 = times.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-      println(s"""{"metric":"total","value":${times.values.sum},"unit":"sec","queries":$qs0,"sf":"$sfDir"}""")
+      // same errors discipline as the full path: a throwing query keeps
+      // its `errors` entry but is dropped from the timings — a fail-fast
+      // wall-clock would otherwise read as a phantom speedup
+      val ok0 = times.filterNot { case (k, _) => errors.contains(k) }
+      val qs0 = ok0.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+      val errs0 = errors.map { case (k, v) =>
+        s"${graft.serve.Json.quote(k)}:${graft.serve.Json.quote(v)}"
+      }.mkString("{", ",", "}")
+      println(s"""{"metric":"total","value":${ok0.values.sum},"unit":"sec","queries":$qs0,"errors":$errs0,"sf":"$sfDir"}""")
       spark.stop()
       return
     }
@@ -177,8 +184,8 @@ object Bench {
     // from the timings map — a fail-fast 0.05s "timing" next to real
     // measurements reads as a phantom 40× speedup in round-over-round
     // comparisons (round-4 advice)
-    val qs = times.filterNot { case (k, _) => errors.contains(k) }
-      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val ok = times.filterNot { case (k, _) => errors.contains(k) }
+    val qs = ok.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val total = times.values.sum
     val gbtStats = gbt // Json.format: NaN/Inf → null, keeps the line valid JSON
       .map(m => s""""gbt_rmse":${graft.serve.Json.format(m.rmse)},""" +
@@ -187,17 +194,42 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""errors":${jmap(errors)},"slice_rows":$sliceRows,$gbtStats"sf":"$sfDir"}"""
-    println(line)
-    // the driver's BENCH_r{N}.json keeps only a stdout tail, which has
-    // truncated the alphabetically-early stage metrics in past rounds —
-    // persist the whole line so every stage/query is comparable across
-    // rounds (SPARK_GRAFT_BENCH_OUT overrides; empty disables)
+    // every stage/query at full precision → BENCH_full.json (the
+    // cross-round comparison artifact; SPARK_GRAFT_BENCH_OUT overrides;
+    // empty disables)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
     if (out.nonEmpty)
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] could not write $out: ${e.getMessage}")
       }
+    // stdout gets a COMPACT line: the driver's BENCH_r{N}.json keeps only
+    // a 2000-char stdout tail, and the full ~170-query line (4.6 KB in
+    // round 5) overflows it — the tail then holds a truncated fragment
+    // and the round artifact carries parsed=null (round-5 verdict item
+    // 4). Budgeted to ≤1900 chars: stage metrics + errors always, then
+    // queries slowest-first (the ones worth auditing) until the budget
+    // is spent; the full map lives in BENCH_full.json.
+    def d3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val stageKeys = Seq("read", "read_typed", "clean", "write", "train_gbt")
+    val stageEntries =
+      stageKeys.flatMap(k => ok.get(k).map(v => s""""$k":${d3(v)}"""))
+    val restEntries = ok.toSeq.filterNot(e => stageKeys.contains(e._1))
+      .sortBy(-_._2).map { case (k, v) => s""""$k":${d3(v)}""" }
+    val prefix = s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":"""
+    def suffixStr(omitted: Int) =
+      s""","errors":${jmap(errors)},"slice_rows":$sliceRows,$gbtStats""" +
+        s""""queries_omitted":$omitted,"full":"BENCH_full.json","sf":"$sfDir"}"""
+    val budget = 1900 - prefix.length - suffixStr(9999).length - 2 // {}
+    val picked = scala.collection.mutable.ArrayBuffer(stageEntries: _*)
+    var used = stageEntries.map(_.length + 1).sum
+    var omitted = 0
+    restEntries.foreach { e =>
+      if (used + e.length + 1 <= budget) { picked += e; used += e.length + 1 }
+      else omitted += 1
+    }
+    println(prefix + picked.mkString("{", ",", "}") + suffixStr(omitted))
     spark.stop()
     // the staged CSV + write sinks are ~1.6 GB per run; don't leak them
     // across rounds
