@@ -8,7 +8,13 @@ import graft.util.Sessions
 /** Batch-ETL entry point mirroring
   * `/root/reference/src/pipeline/main_etl.py:43-101`: CSV read (header +
   * inferSchema) → clean_and_transform → count → curated write → agg
-  * write, with the reference's per-stage wall-clock report.
+  * write → read-back verification, with the reference's per-stage
+  * wall-clock report. The verification stage is the notebook's
+  * post-write re-read of both layers (`etl.ipynb` cell 14, lines
+  * 508-516) promoted to an assertion: the curated layer must read back
+  * with the cleaned row count and the cleaned column SET (parquet
+  * partition columns reorder to the end — the read-back schema contract
+  * EtlWriterSpec pins), and the agg layer must be non-empty.
   *
   * Stage attribution follows the reference convention (SURVEY.md §7.5-1):
   * transformations are lazy, so "clean" measures plan construction and
@@ -26,6 +32,8 @@ object MainEtl {
       readSec: Double,
       cleanSec: Double,
       writeSec: Double,
+      verifySec: Double,
+      aggRows: Long,
       totalSec: Double,
   )
 
@@ -56,14 +64,32 @@ object MainEtl {
     }
 
     val rows = clean.count()
+
+    val ((aggRows, _), verifySec) = timed {
+      val curatedBack = spark.read.parquet(paths.curated)
+      val aggBack = spark.read.parquet(paths.aggTripsByHour)
+      val backRows = curatedBack.count()
+      require(backRows == rows,
+        s"curated read-back row count $backRows != cleaned $rows")
+      val missing = clean.columns.toSet -- curatedBack.columns.toSet
+      require(missing.isEmpty,
+        s"curated read-back lost columns: ${missing.mkString(", ")}")
+      val nAgg = aggBack.count()
+      require(nAgg > 0, "agg layer read back empty")
+      if (show) { curatedBack.show(5, truncate = false); aggBack.show(5) }
+      (nAgg, backRows)
+    }
+
     clean.unpersist()
     val total = (System.nanoTime() - t0) / 1e9
-    val report = EtlReport(rows, readSec, cleanSec, writeSec, total)
+    val report = EtlReport(rows, readSec, cleanSec, writeSec, verifySec,
+      aggRows, total)
     if (show) {
-      println(f"ETL read:  ${report.readSec}%.2f s")
-      println(f"ETL clean: ${report.cleanSec}%.2f s")
-      println(f"ETL write: ${report.writeSec}%.2f s")
-      println(f"ETL total: ${report.totalSec}%.2f s")
+      println(f"ETL read:   ${report.readSec}%.2f s")
+      println(f"ETL clean:  ${report.cleanSec}%.2f s")
+      println(f"ETL write:  ${report.writeSec}%.2f s")
+      println(f"ETL verify: ${report.verifySec}%.2f s")
+      println(f"ETL total:  ${report.totalSec}%.2f s")
     }
     report
   }

@@ -83,8 +83,12 @@ object UnicodeNorm {
     else UTF8String.fromString(Normalizer.normalize(str, Normalizer.Form.NFC))
   }
 
-  /** NFD + drop combining marks (Unicode category Mn — the same rule
-    * DuckDB's `strip_accents` applies via utf8proc).
+  /** NFD + drop all mark code points — categories Mn (non-spacing),
+    * Mc (spacing combining), and Me (enclosing), the same set DuckDB's
+    * `strip_accents` removes via utf8proc's STRIPMARK (probed: Mn
+    * U+0301, Mc U+093E, Me U+20DD all stripped). Code-point-wise, not
+    * char-wise, so astral-plane marks (e.g. U+1D165 musical combining
+    * stem) are classified correctly instead of as surrogate halves.
     */
   def removeAccents(s: UTF8String): UTF8String = {
     val str = s.toString
@@ -92,20 +96,27 @@ object UnicodeNorm {
     var i = 0
     var hasMark = false
     while (i < decomposed.length && !hasMark) {
-      if (Character.getType(decomposed.charAt(i)) == Character.NON_SPACING_MARK)
-        hasMark = true
-      i += 1
+      val cp = decomposed.codePointAt(i)
+      if (isMark(cp)) hasMark = true
+      i += Character.charCount(cp)
     }
     if (!hasMark && (decomposed eq str)) s
     else {
       val sb = new java.lang.StringBuilder(decomposed.length)
       var j = 0
       while (j < decomposed.length) {
-        val c = decomposed.charAt(j)
-        if (Character.getType(c) != Character.NON_SPACING_MARK) sb.append(c)
-        j += 1
+        val cp = decomposed.codePointAt(j)
+        if (!isMark(cp)) sb.appendCodePoint(cp)
+        j += Character.charCount(cp)
       }
       UTF8String.fromString(sb.toString)
     }
+  }
+
+  private def isMark(cp: Int): Boolean = {
+    val t = Character.getType(cp)
+    t == Character.NON_SPACING_MARK ||
+      t == Character.COMBINING_SPACING_MARK ||
+      t == Character.ENCLOSING_MARK
   }
 }

@@ -216,12 +216,19 @@ object TextPrep {
     *
     * Returns the input plus `host` and `blocked` (true ⇔ some suffix
     * of the host appears in `blocklist.domain`). Callers filter or
-    * quarantine on the flag.
+    * quarantine on the flag. `host` and `blocked` are RESERVED output
+    * names: an input already carrying either would be silently
+    * overwritten, so the call fails fast instead — rename before
+    * flagging.
     */
   def flagBlockedDomains(
       df: DataFrame,
       urlCol: String,
       blocklist: DataFrame): DataFrame = {
+    val clash = df.columns.toSet.intersect(Set("host", "blocked"))
+    require(clash.isEmpty,
+      s"flagBlockedDomains writes reserved columns ${clash.mkString(", ")} " +
+        "already present on the input; rename them first")
     val withHost = df.withColumn("host", urlHost(col(urlCol)))
     // blocked HOSTS (not rows): the explode fans each distinct host into
     // its suffixes, the blocklist broadcasts, and the distinct bounds

@@ -107,6 +107,10 @@ object PrepQueries {
     4 -> "ASCII only text",
     5 -> "mühleisen zürich",
     6 -> "Ångström unit", // U+212B → U+00C5 under NFC
+    // marks beyond Mn: utf8proc's STRIPMARK drops Mc and Me too, and
+    // the fold must agree cross-engine on all three categories
+    7 -> "का matra", // Devanagari KA + spacing vowel sign AA (Mc)
+    8 -> "a⃝ enclosed", // combining enclosing circle (Me)
   )
 
   /** Codegen'd Unicode normalization ([[graft.functions.UnicodeNorm]]):

@@ -98,19 +98,40 @@ object ScaleQueries {
       .orderBy("qid", "rank")
   }
 
-  /** Compression-ratio quality signal ([[graft.functions.DeflateSize]]):
-    * per-doc raw bytes, deflate bytes, and ratio — rows-only (the byte
-    * count is the JVM zlib's encoding choice, not portable SQL; exact
-    * per-fixture values are pinned in ScaleOpsSpec instead, per the
-    * SURVEY §5.3 engine-specific policy).
+  /** Compression-ratio quality signal ([[graft.functions.DeflateSize]]).
+    * The exact deflate byte count is the JVM zlib's encoding choice —
+    * RFC 1951 fixes the format, not the encoder — so it can never be
+    * recomputed in DuckDB. What CAN be value-checked cross-engine
+    * (round-6 upgrade from rows-only, VERDICT r5 item 6) is every
+    * portable consequence of it, and that is what the gate emits:
+    *   - `raw_bytes` — real value, independently computed by both
+    *     engines (octet_length vs strlen);
+    *   - `in_bounds` — deflate output within [1, raw + 5·⌈raw/16383⌉
+    *     + 10], the stored-block worst case RFC 1951 guarantees for ANY
+    *     conforming encoder (5-byte header per 16383-byte stored block);
+    *   - `ratio_consistent` — the reported ratio is exactly
+    *     r6(deflate/raw) with the empty-input convention of
+    *     [[graft.functions.DeflateSize.compressionRatio]].
+    * The oracle asserts the contract by construction (TRUE columns):
+    * a driver hash match proves every document satisfied it in Spark.
+    * Exact per-fixture byte values stay pinned in ScaleOpsSpec (the
+    * within-engine regression guard, SURVEY §5.3).
     */
   def qCompress(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.DeflateSize
+    val raw = col("raw_bytes")
+    val dz = col("deflate_bytes")
+    val worstCase = raw + lit(5) * floor(raw / lit(16383)).cast("long") + lit(15)
     Tables.table(s, dir, "documents")
       .select(col("doc_id"),
-        octet_length(col("text")).as("raw_bytes"),
-        DeflateSize.deflateSize(col("text")).as("deflate_bytes"),
+        octet_length(col("text")).cast("long").as("raw_bytes"),
+        DeflateSize.deflateSize(col("text")).cast("long").as("deflate_bytes"),
         r6(DeflateSize.compressionRatio(col("text"))).as("ratio"))
+      .select(col("doc_id"), raw,
+        (dz >= lit(1) && dz <= worstCase).as("in_bounds"),
+        (col("ratio") === r6(when(raw === 0, lit(1.0))
+          .otherwise(dz.cast("double") / raw.cast("double"))))
+          .as("ratio_consistent"))
       .orderBy("doc_id")
   }
 
@@ -245,6 +266,14 @@ object ScaleQueries {
       s"sqrt(list_sum(list_transform($b, x -> x::DOUBLE * x::DOUBLE))))"
 
   val oracleSql: Map[String, String] = Map(
+    // the TRUE columns are the contract (see qCompress scaladoc): the
+    // oracle independently computes raw_bytes and asserts the
+    // deflate-derived flags hold for every doc; the byte count itself
+    // is encoder freedom RFC 1951 leaves open and stays engine-local
+    "q_compress" ->
+      ("SELECT doc_id, strlen(text)::BIGINT AS raw_bytes, " +
+        "TRUE AS in_bounds, TRUE AS ratio_consistent " +
+        "FROM documents ORDER BY doc_id"),
     // the kmeans CTE chain (assignment CTE `a`, double vectors `vecs`)
     // extends with the within-cluster pair scan and min-id dominance
     "q_semdedup" -> Clustering.kmeansOracleSql(8, 2,

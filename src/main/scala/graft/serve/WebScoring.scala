@@ -98,9 +98,14 @@ object WebScoring {
     val theta = math.Pi * frac
     val endX = cx - r * math.cos(theta)
     val endY = cy - r * math.sin(theta)
+    // Locale.ROOT: the f interpolator uses the JVM default locale, and a
+    // comma-decimal locale (de_DE) would emit "100,00 20,00" — invalid
+    // SVG path data
+    def p2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val arc =
       if (frac < 0.005) "" // zero-length arc paths render as artifacts
-      else f"""  <path d="M 20 100 A 80 80 0 0 1 $endX%.2f $endY%.2f" fill="none" stroke="#ffd60a" stroke-width="16" stroke-linecap="round"/>"""
+      else s"""  <path d="M 20 100 A 80 80 0 0 1 ${p2(endX)} ${p2(endY)}" fill="none" stroke="#ffd60a" stroke-width="16" stroke-linecap="round"/>"""
     s"""<svg class="gauge" viewBox="0 0 200 112" role="img" aria-label="Fare gauge: $$$fare of $$${GaugeMaxFare.toInt} reference range">
        |  <path d="M 20 100 A 80 80 0 0 1 180 100" fill="none" stroke="#333" stroke-width="16" stroke-linecap="round"/>
        |$arc

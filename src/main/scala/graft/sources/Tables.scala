@@ -39,10 +39,12 @@ object Tables {
     normalizeTs(raw)
   }
 
-  /** Normalize a `ts` column to TimestampType (see [[events]]). Applied to
-    * every read path that can surface `ts` — the parquet scan and the
-    * CSV/JSON/XML round-trip readers — so downstream `cast("long")` /
-    * epoch arithmetic never sees TIMESTAMP_NTZ.
+  /** Normalize a `ts` column to TimestampType (see [[events]]). Applied
+    * by the [[events]] parquet scan; callers of the typed CSV/JSON/XML
+    * readers that supply their own ts-bearing schema must apply it
+    * themselves — a TIMESTAMP_NTZ field in a caller schema passes
+    * through those readers untouched, and downstream `cast("long")` /
+    * epoch arithmetic on NTZ was the round-4 failure mode.
     */
   def normalizeTs(df: DataFrame, col: String = "ts"): DataFrame = {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}

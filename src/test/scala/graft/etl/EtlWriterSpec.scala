@@ -83,5 +83,10 @@ class EtlWriterSpec extends SparkTestBase {
     assert(spark.read.parquet(paths.curated).count() == report.rows)
     assert(spark.read.parquet(paths.aggTripsByHour).count() > 0)
     assert(report.totalSec > 0)
+    // read-back verification stage ran and re-read both layers: the agg
+    // row count it reports must match an independent re-read, and its
+    // wall-clock must be accounted in the report
+    assert(report.aggRows == spark.read.parquet(paths.aggTripsByHour).count())
+    assert(report.verifySec > 0)
   }
 }

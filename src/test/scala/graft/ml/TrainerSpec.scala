@@ -52,8 +52,17 @@ class TrainerSpec extends SparkTestBase {
     // ~300k-row sample with maxDepth=5/maxIter=60/stepSize=0.1, seed 42.
     // SyntheticTaxi is calibrated to that regime; ±10% keeps the gate
     // meaningful (a broken pipeline misses by far more) without pinning
-    // exact GBT arithmetic. ~50 s on local[4]: the one full-size fit in
-    // the suite, exercising the real hyperparameters end-to-end.
+    // exact GBT arithmetic. Expected standing gap (round-5 verdict):
+    // RMSE lands BELOW baseline (~3.18) while MAE lands ~5% ABOVE
+    // (~1.19). That pattern is the error-profile difference between the
+    // real taxi data and SyntheticTaxi, not a training defect: the
+    // synthetic fare noise is lighter-tailed than real fares (fewer
+    // extreme outliers → lower RMSE, which squares tails) but more
+    // uniformly spread across rows (more small residuals → higher MAE,
+    // which weights all rows equally). Both metrics must still sit
+    // inside the ±10% band; a pipeline bug moves them together and far.
+    // ~50 s on local[4]: the one full-size fit in the suite, exercising
+    // the real hyperparameters end-to-end.
     val taxi = SyntheticTaxi.frame(spark, 300000)
     val (_, m) = Trainer.trainFareModel(taxi, "",
       Trainer.TrainConfig(sampleFraction = 1.0, maxRows = 0))

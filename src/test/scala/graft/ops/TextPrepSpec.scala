@@ -153,6 +153,12 @@ class TextPrepSpec extends SparkTestBase {
     // U+212B ANGSTROM SIGN: NFC → U+00C5; fold → plain A
     assert(UnicodeNorm.toNfc(UTF8String.fromString("Å")).toString == "Å")
     assert(UnicodeNorm.removeAccents(UTF8String.fromString("Å")).toString == "A")
+    // mark categories beyond Mn, matching utf8proc STRIPMARK (probed in
+    // DuckDB): Mc spacing vowel sign U+093E, Me enclosing circle U+20DD
+    assert(UnicodeNorm.removeAccents(
+      UTF8String.fromString("का")).toString == "क")
+    assert(UnicodeNorm.removeAccents(
+      UTF8String.fromString("a⃝")).toString == "a")
     // codegen path through a DataFrame projection
     val df = Seq((1, decomposed), (2, precomposed)).toDF("id", "t")
       .select(UnicodeNorm.nfc(col("t")).as("n"),
