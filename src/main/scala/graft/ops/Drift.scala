@@ -100,4 +100,76 @@ object Drift {
         r6((col("obs") - expn) * (col("obs") - expn) / expn).as("contrib"))
       .orderBy(colA, colB)
   }
+
+  /** Two-sample Kolmogorov–Smirnov statistic between groups `a` and `b`
+    * of `groupCol`, over the numeric `valueCol`: the maximum ECDF gap
+    * `D = max_v |F_a(v) − F_b(v)|`, the standard nonparametric "did
+    * this distribution move?" test a drift monitor runs next to
+    * [[tokenDivergence]] (KL needs binning for continuous measures; KS
+    * does not). One output row: group sizes, `ks`, and the smallest
+    * value attaining the max (`at_value` — WHERE the distributions
+    * diverge most, what the alert shows).
+    *
+    * Determinism: ECDF numerators/denominators are exact integer
+    * counts; each gap is r6-rounded before the max, and `at_value` is
+    * the min value among r6-equal maxima — total order, cross-engine
+    * exact.
+    *
+    * Scale shape: the corpus-sized work is ONE hash aggregate to the
+    * distinct-value grid (per value: count in a, count in b). The
+    * cumulative over the grid is a prefix sum, which wants a global
+    * order — the single-partition-window anti-pattern at scale — so it
+    * runs as the [[Corpus.tokenBudget]] distributed prefix sum with
+    * ORDER-PRESERVING buckets: `floor(v)` buckets (numeric order of
+    * bucket = order of values), per-bucket totals broadcast back as
+    * exclusive offsets, intra-bucket cumsum windowed per bucket. For
+    * heavily-skewed measures, production pre-bins the value (the usual
+    * KS-on-binned-ECDF practice) — the operator's grid is whatever
+    * granularity the caller feeds it.
+    */
+  def ksStatistic(
+      df: DataFrame,
+      valueCol: String,
+      groupCol: String,
+      a: String,
+      b: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ab = df
+      .filter(col(groupCol).isin(a, b))
+      .select(col(valueCol).as("v"),
+        when(col(groupCol) === a, 1L).otherwise(0L).as("ia"),
+        when(col(groupCol) === b, 1L).otherwise(0L).as("ib"))
+    val pv = ab.groupBy("v")
+      .agg(sum("ia").as("ca"), sum("ib").as("cb"))
+      .withColumn("_bkt", floor(col("v")).cast("long"))
+    val offsets = pv.groupBy("_bkt")
+      .agg(sum("ca").as("_ta"), sum("cb").as("_tb"))
+      .withColumn("_offa",
+        coalesce(sum("_ta").over(
+          Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .withColumn("_offb",
+        coalesce(sum("_tb").over(
+          Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("_bkt", "_offa", "_offb")
+    val wB = Window.partitionBy("_bkt").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = pv.agg(sum("ca").as("na"), sum("cb").as("nb"))
+    val dv = pv
+      .join(broadcast(offsets), "_bkt")
+      .withColumn("cum_a", sum("ca").over(wB) + col("_offa"))
+      .withColumn("cum_b", sum("cb").over(wB) + col("_offb"))
+      .crossJoin(broadcast(tot))
+      .select(col("v"), col("na"), col("nb"),
+        r6(abs(col("cum_a").cast("double") / col("na") -
+          col("cum_b").cast("double") / col("nb"))).as("d"))
+    val mx = dv.agg(max("d").as("_mx"))
+    dv.crossJoin(broadcast(mx))
+      .agg(
+        max("na").as("n_a"),
+        max("nb").as("n_b"),
+        max("d").as("ks"),
+        min(when(col("d") === col("_mx"), col("v"))).as("at_value"))
+  }
 }

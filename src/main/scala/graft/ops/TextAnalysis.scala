@@ -390,4 +390,90 @@ object TextAnalysis {
           (col("k") * col("_sxx") - col("_sx") * col("_sx")) * col("_sx")) /
           col("k")).as("intercept"))
   }
+
+  /** Corpus-level PMI collocations: the `topK` adjacent-bigram pairs by
+    * pointwise mutual information `ln(p(a,b) / (p(a)·p(b)))` among
+    * bigrams occurring at least `minCount` times. PMI is the classic
+    * collocation / phrase-mining score (word2vec's phrase pass, NPMI
+    * phrase detectors): high-PMI pairs are multi-word units a tokenizer
+    * or n-gram vocabulary should treat as one symbol.
+    *
+    * Determinism: all counts are exact integers off two aggregates of
+    * the same token stream; the single `ln` per surviving pair is
+    * r6-rounded, and the top-K order is (pmi DESC, w1, w2) — total, so
+    * the cut is cross-engine exact.
+    *
+    * Scale shape: one corpus-sized explode feeding two hash aggregates
+    * (bigram counts, unigram counts), then two vocabulary-keyed joins
+    * on the BIGRAM-DISTINCT table (vocab², bounded far below corpus
+    * size; the `minCount` filter prunes before the join), two 1-row
+    * broadcast totals, and a topK sort over surviving pairs. Nothing is
+    * ever corpus × vocab.
+    */
+  def pmiBigrams(
+      df: DataFrame,
+      textCol: String,
+      minCount: Long = 5,
+      topK: Int = 50): DataFrame = {
+    import graft.queries.Det.r6
+    val toks = df.select(tokens(col(textCol)).as("t"))
+    val uni = toks.select(explode(col("t")).as("w"))
+    val uc = uni.groupBy("w").agg(count(lit(1)).as("c_w"))
+    val ut = uni.agg(count(lit(1)).as("n_uni"))
+    val n = size(col("t"))
+    val big = toks
+      .select(explode(zip_with(
+        slice(col("t"), lit(1), n - lit(1)),
+        slice(col("t"), lit(2), n - lit(1)),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("z"))
+      .select(col("z.w1"), col("z.w2"))
+    val bc = big.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+    val bt = big.agg(count(lit(1)).as("n_bi"))
+    bc.filter(col("c_ab") >= minCount)
+      .join(uc.select(col("w").as("w1"), col("c_w").as("c_a")), "w1")
+      .join(uc.select(col("w").as("w2"), col("c_w").as("c_b")), "w2")
+      .crossJoin(broadcast(ut))
+      .crossJoin(broadcast(bt))
+      .select(col("w1"), col("w2"), col("c_ab"),
+        r6(log((col("c_ab").cast("double") / col("n_bi")) /
+          ((col("c_a").cast("double") / col("n_uni")) *
+            (col("c_b").cast("double") / col("n_uni"))))).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
+  /** Per-document unigram entropy and type–token ratio — the vocabulary
+    * -diversity quality signals: near-zero entropy means a document is
+    * one token repeated (boilerplate, padding), entropy ≈ ln(n_types)
+    * means every token is distinct. Quality filters band on these the
+    * same way they band on the repetition ratios.
+    *
+    * Determinism: counts are exact; each `−p·ln p` term is r6-rounded
+    * before the decimal sum (the [[TextPrep.bigramSurprisal]]
+    * discipline), so cross-engine log ulps cannot accumulate.
+    *
+    * Scale shape: explode → (doc, word) hash aggregate → per-doc
+    * re-aggregate; the join back is on the doc key the aggregate just
+    * produced. Linear in corpus tokens, output one row per document.
+    */
+  def unigramEntropy(
+      df: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    import graft.queries.Det.r6
+    val wc = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("w"))
+      .groupBy(idCol, "w").agg(count(lit(1)).as("c"))
+    val dn = wc.groupBy(idCol)
+      .agg(sum("c").as("n"), count(lit(1)).as("d"))
+    val p = col("c").cast("double") / col("n")
+    wc.join(dn, idCol)
+      .withColumn("_h", r6(-p * log(p)))
+      .groupBy(idCol)
+      .agg(
+        max(col("n")).as("n_tokens"),
+        max(col("d")).as("n_types"),
+        r6(max(col("d")).cast("double") / max(col("n"))).as("ttr"),
+        r6(sum(col("_h").cast("decimal(25,6)")).cast("double")).as("entropy"))
+  }
 }

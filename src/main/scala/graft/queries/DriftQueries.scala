@@ -63,12 +63,39 @@ object DriftQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** PMI collocations ([[TextAnalysis.pmiBigrams]]): top-50 adjacent
+    * bigrams by pointwise mutual information at min count 5 — the
+    * phrase-mining score whose cut order (r6(pmi) DESC, w1, w2) is
+    * total, so the top-K boundary is cross-engine exact.
+    */
+  def qPmi(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.pmiBigrams(docs(s, dir), "text", minCount = 5, topK = 50)
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+
+  /** Per-doc unigram entropy + type–token ratio
+    * ([[TextAnalysis.unigramEntropy]]) — vocabulary-diversity quality
+    * signals, r6-per-term before the decimal sum.
+    */
+  def qEntropy(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.unigramEntropy(docs(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** Two-sample KS drift ([[Drift.ksStatistic]]) between the click and
+    * purchase `value` distributions: max ECDF gap + where it occurs.
+    */
+  def qKsDrift(s: SparkSession, dir: String): DataFrame =
+    Drift.ksStatistic(Tables.table(s, dir, "events"),
+      "value", "event_type", "click", "purchase")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_kl_drift" -> (qKlDrift _),
     "q_chi2" -> (qChi2 _),
     "q_editsim" -> (qEditsim _),
     "q_bm25" -> (qBm25 _),
     "q_containment" -> (qContainment _),
+    "q_pmi" -> (qPmi _),
+    "q_entropy" -> (qEntropy _),
+    "q_ks_drift" -> (qKsDrift _),
   )
 
   private val ln2 = "0.6931471805599453"
@@ -111,6 +138,60 @@ object DriftQueries {
           "(_ra * _cb / _n)") + " AS contrib " +
         "FROM cells JOIN ra USING (lang) JOIN cb USING (source), nn " +
         "ORDER BY lang, source"),
+    // bigram stream via list_zip of the shifted token list — the same
+    // adjacent pairing as Spark's zip_with(slice, slice)
+    "q_pmi" ->
+      ("WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents), " +
+        "uni AS (SELECT unnest(t) AS w FROM toks), " +
+        "uc AS (SELECT w, count(*) AS c_w FROM uni GROUP BY 1), " +
+        "ut AS (SELECT CAST(count(*) AS BIGINT) AS n_uni FROM uni), " +
+        "big AS (SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS z " +
+        "FROM toks), " +
+        "bc AS (SELECT z[1] AS w1, z[2] AS w2, count(*) AS c_ab " +
+        "FROM big GROUP BY 1, 2), " +
+        "bt AS (SELECT CAST(count(*) AS BIGINT) AS n_bi FROM big), " +
+        "scored AS (SELECT w1, w2, c_ab, " +
+        O.r6("ln((CAST(c_ab AS DOUBLE) / n_bi) / " +
+          "((CAST(a.c_w AS DOUBLE) / n_uni) * " +
+          "(CAST(b.c_w AS DOUBLE) / n_uni)))") + " AS pmi " +
+        "FROM bc JOIN uc a ON bc.w1 = a.w JOIN uc b ON bc.w2 = b.w, ut, bt " +
+        "WHERE c_ab >= 5) " +
+        "SELECT w1, w2, c_ab, pmi FROM scored " +
+        "ORDER BY pmi DESC, w1, w2 LIMIT 50"),
+    "q_entropy" ->
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w " +
+        "FROM documents), " +
+        "wc AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2), " +
+        "dn AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, " +
+        "count(*) AS d FROM wc GROUP BY 1), " +
+        "terms AS (SELECT wc.doc_id, n, d, " +
+        O.r6("-(CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)") +
+        " AS h_t FROM wc JOIN dn USING (doc_id)) " +
+        "SELECT doc_id, max(n) AS n_tokens, max(d) AS n_types, " +
+        O.r6("CAST(max(d) AS DOUBLE) / max(n)") + " AS ttr, " +
+        O.r6(dsumT("h_t")) + " AS entropy " +
+        "FROM terms GROUP BY 1 ORDER BY doc_id"),
+    // ECDF over the distinct-value grid; gaps r6-rounded before the
+    // max, at_value = min value among r6-equal maxima (total order)
+    "q_ks_drift" ->
+      ("WITH ab AS (SELECT value AS v, " +
+        "CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia, " +
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ib " +
+        "FROM events WHERE event_type IN ('click', 'purchase')), " +
+        "pv AS (SELECT v, CAST(sum(ia) AS BIGINT) AS ca, " +
+        "CAST(sum(ib) AS BIGINT) AS cb FROM ab GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na, " +
+        "CAST(sum(cb) AS BIGINT) AS nb FROM pv), " +
+        "ecdf AS (SELECT v, sum(ca) OVER (ORDER BY v ROWS BETWEEN " +
+        "UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a, " +
+        "sum(cb) OVER (ORDER BY v ROWS BETWEEN " +
+        "UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b FROM pv), " +
+        "dv AS (SELECT v, na, nb, " +
+        O.r6("abs(CAST(cum_a AS DOUBLE) / na - CAST(cum_b AS DOUBLE) / nb)") +
+        " AS d FROM ecdf, tot), " +
+        "mx AS (SELECT max(d) AS mxd FROM dv) " +
+        "SELECT max(na) AS n_a, max(nb) AS n_b, max(d) AS ks, " +
+        "min(CASE WHEN d = mxd THEN v END) AS at_value FROM dv, mx"),
     "q_editsim" -> // brute force: proves the deletion-key join's recall
       ("SELECT a.c_name AS w1, b.c_name AS w2 " +
         "FROM customer a, customer b " +

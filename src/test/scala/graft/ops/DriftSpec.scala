@@ -135,4 +135,50 @@ class DriftSpec extends SparkTestBase {
     } yield (ia, ib)).toSet
     assert(got == want, s"missing: ${want -- got}; spurious: ${got -- want}")
   }
+
+  test("pmiBigrams: hand-computed PMI, ordering, and minCount filter") {
+    import spark.implicits._
+    // one doc "a b a b ...": 10 tokens (a×5, b×5), 9 bigrams
+    // ((a,b)×5, (b,a)×4) → pmi(a,b) = ln((5/9)/(0.5·0.5)),
+    // pmi(b,a) = ln((4/9)/0.25)
+    val d = Seq(Tuple1("a b a b a b a b a b")).toDF("text")
+    val out = TextAnalysis.pmiBigrams(d, "text", minCount = 2, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getDouble(3)))
+    assert(out.length == 2, out.mkString(", "))
+    val (w1, w2, c, p) = out.head
+    assert((w1, w2, c) == ("a", "b", 5L))
+    assert(math.abs(p - math.log((5.0 / 9) / 0.25)) < 1e-5, p.toString)
+    assert(math.abs(out(1)._4 - math.log((4.0 / 9) / 0.25)) < 1e-5)
+    // rare pair below minCount never surfaces
+    val d2 = Seq(Tuple1("a b a b a b a b a b"), Tuple1("z q")).toDF("text")
+    val pairs = TextAnalysis.pmiBigrams(d2, "text", minCount = 2, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(!pairs.contains(("z", "q")), pairs.toString)
+  }
+
+  test("unigramEntropy: zero for constant docs, ln(n) for all-distinct") {
+    import spark.implicits._
+    val d = Seq((1L, "a a a a"), (2L, "a b c d")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramEntropy(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out(1L) == ((4L, 1L, 0.25, 0.0)), out(1L).toString)
+    val (n, t, ttr, h) = out(2L)
+    assert((n, t, ttr) == ((4L, 4L, 1.0)))
+    assert(math.abs(h - math.log(4.0)) < 1e-5, h.toString)
+  }
+
+  test("ksStatistic: 0 for equal samples, 1 for disjoint, 0.5 half-shift") {
+    import spark.implicits._
+    def ks(a: Seq[Double], b: Seq[Double]) = {
+      val df = (a.map(_ -> "a") ++ b.map(_ -> "b")).toDF("v", "g")
+      val r = Drift.ksStatistic(df, "v", "g", "a", "b").collect()(0)
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+    }
+    assert(ks(Seq(1, 2, 3), Seq(1, 2, 3)) == ((3L, 3L, 0.0, 1.0)))
+    assert(ks(Seq(1, 2), Seq(10, 11)) == ((2L, 2L, 1.0, 2.0)))
+    // a=(1..4), b=(3..6): max gap 0.5 first attained at v=2
+    assert(ks(Seq(1, 2, 3, 4), Seq(3, 4, 5, 6)) == ((4L, 4L, 0.5, 2.0)))
+  }
 }
