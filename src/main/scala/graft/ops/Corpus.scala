@@ -472,6 +472,39 @@ object Corpus {
         graft.queries.Det.r6(col("n_common") / col("n_shingles")))
   }
 
+  /** Per-document novelty: the fraction of a doc's distinct n-gram
+    * shingles that appear in NO other document — the inverse signal of
+    * [[contamination]]. Low novelty means the doc is assembled from
+    * n-grams the corpus already has (template/boilerplate/near-dup
+    * survivors); data-selection recipes upweight high-novelty docs
+    * and memorization audits flag low-novelty ones. Docs with fewer
+    * than `n` tokens have no shingles and are excluded (both engines
+    * spell the same exclusion).
+    *
+    * Scale shape: shingle explode → shingle-keyed df aggregate → one
+    * equi-join back on the shingle → per-doc re-aggregate. Linear in
+    * corpus shingles, the same exchange [[contamination]] uses; no
+    * pairwise anything. The df frame is vocabulary-sized (distinct
+    * shingles), and the join key is the shingle string — hash-uniform.
+    */
+  def noveltyScores(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3): DataFrame = {
+    val sh = Dedup.shingleTable(df, idCol, textCol, n)
+    // shingles are per-doc distinct, so count(*) IS document frequency
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("_df"))
+    val novel = when(col("_df") === 1, 1L).otherwise(0L)
+    sh.join(dfreq, "shingle")
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(novel).as("n_novel"),
+        graft.queries.Det.r6(
+          sum(novel).cast("double") / count(lit(1))).as("novelty"))
+  }
+
   /** Inverted index: token → document frequency + (capped) sorted
     * posting list. Tokens are de-duplicated per document first (df
     * counts documents, not occurrences).

@@ -660,6 +660,14 @@ object ExtQueries {
       .orderBy("eval_id", "train_id")
   }
 
+  /** Per-doc shingle novelty ([[graft.ops.Corpus.noveltyScores]]): the
+    * fraction of each doc's distinct 3-gram shingles appearing in no
+    * other document — contamination's inverse signal.
+    */
+  def qNovelty(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Corpus.noveltyScores(docs(s, dir), "doc_id", "text", n = 3)
+      .orderBy("doc_id")
+
   /** Morton/Z-order key derivation ([[Layout.zValue]]): the exact
     * bit-interleave both engines can compute — the gate checks the key
     * itself; the layout benefit (both dimensions prune) is asserted in
@@ -918,6 +926,25 @@ object ExtQueries {
         col("user_id"), col("n_events"), col("sum_value"))
       .orderBy("user_id", "session_start")
 
+  /** Batch HOPPING-window aggregation — `window(ts, 2h, 1h)`: each event
+    * lands in duration/slide = 2 overlapping windows, the smoothing
+    * window shape dashboards and rate-limiters use. Epoch-aligned 1-hour
+    * slides mean a window start is `date_trunc('hour', ts) − k·1h` for
+    * k ∈ {0, 1}, which is exactly how the oracle fans each event out
+    * (an `unnest([0,1])` cross — the relational spelling of Spark's
+    * window-assignment expand). Purely narrow expand + one hash
+    * aggregate; output is windows × types, never events × windows
+    * materialized wide.
+    */
+  def qWindowHop(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(
+        col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("w_start", "event_type")
+
   // ---- skew -----------------------------------------------------------
 
   /** Salted two-phase aggregation vs the DuckDB direct group-by: the
@@ -1041,6 +1068,7 @@ object ExtQueries {
     "q_text_embed" -> (qTextEmbed _),
     "q_text_knn" -> (qTextKnn _),
     "q_sessions" -> (qSessions _),
+    "q_window_hop" -> (qWindowHop _),
     "q_tfidf" -> (qTfidf _),
     "q_window" -> (qWindow _),
     "q_setops" -> (qSetOps _),
@@ -1061,6 +1089,7 @@ object ExtQueries {
     "q_cdc_apply" -> (qCdcApply _),
     "q_zorder" -> (qZorder _),
     "q_contamination" -> (qContamination _),
+    "q_novelty" -> (qNovelty _),
     "q_rollup" -> (qRollup _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_arrays" -> (qArrays _),
@@ -1367,6 +1396,17 @@ object ExtQueries {
         "SELECT o_orderstatus, count(*) AS n, " + O.dsum("o_totalprice") +
         " AS sum_price, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key " +
         "FROM a GROUP BY 1 ORDER BY 1"),
+    // per-doc distinct shingles (shCte) → corpus df → df=1 fraction;
+    // the len(w) >= 3 guard excludes shingle-less docs on both engines
+    "q_novelty" ->
+      (s"WITH $wCte, $shCte, " +
+        "x AS (SELECT doc_id, u.g AS shingle FROM s, unnest(s.sh) AS u(g)), " +
+        "dfq AS (SELECT shingle, count(*) AS df FROM x GROUP BY 1) " +
+        "SELECT doc_id, count(*) AS n_shingles, " +
+        "CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel, " +
+        O.r6("CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) " +
+          "/ count(*)") + " AS novelty " +
+        "FROM x JOIN dfq USING (shingle) GROUP BY 1 ORDER BY doc_id"),
     "q_contamination" ->
       (s"WITH $wCte, $shCte, " +
         "x AS (SELECT doc_id, u.g AS shingle FROM s, unnest(s.sh) AS u(g)), " +
@@ -1792,6 +1832,15 @@ object ExtQueries {
         "SELECT min(t) AS session_start, max(t) + INTERVAL 6 HOUR AS session_end, " +
         "user_id, count(*) AS n_events, " + O.dsum("value") + " AS sum_value " +
         "FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"),
+    // epoch-aligned hop assignment: start = hour-floor(ts) − k·1h for
+    // k ∈ {0,1} — the relational spelling of Spark's window expand
+    "q_window_hop" ->
+      ("WITH h AS (SELECT date_trunc('hour', ts::TIMESTAMP) " +
+        "- t.k * INTERVAL 1 HOUR AS w_start, event_type, value " +
+        "FROM events, unnest([0, 1]) AS t(k)) " +
+        "SELECT w_start, w_start + INTERVAL 2 HOUR AS w_end, event_type, " +
+        "count(*) AS n_events, " + O.dsum("value") + " AS sum_value " +
+        "FROM h GROUP BY 1, 2, 3 ORDER BY w_start, event_type"),
     "q_top_tokens" ->
       ("WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents), " +
         "v AS (SELECT count(DISTINCT token) AS vocab_size FROM t) " +

@@ -203,13 +203,17 @@ class PlanSpec extends SparkTestBase {
     // (q_ann_recall: composes q_sim_topk's broadcast-query cross join —
     // the exact side of the recall comparison; _ivf and _trunc compose
     // the same exact side)
+    // (q_pmi: 1-row unigram/bigram total broadcasts)
+    // (q_ks_drift: 1-row group-size and max-gap broadcasts; the bucket
+    // offsets join is an equi-join, not a BNLJ)
     val bnljByDesign = Set("q_sim_topk", "q_sim_topk_agg", "q_top_tokens",
       "q_tfidf", "q_asof", "q_sim_ivf", "q_surprisal", "q_kmeans",
       "q_text_knn", // brute-force top-k: broadcast query side, like q_sim_topk
       "q_histogram", "q_pagerank", "q_decay", "q_semdedup", "q_sim_ivfpq",
       "q_sim_hamming", "q_dsir", "q_ppl_band", "q_mix_temp", "q_tpch_q22",
       "q_tpch_q11", "q_tpch_q15", "q_kl_drift", "q_chi2", "q_bm25",
-      "q_neg_sample", "q_ann_recall", "q_ann_recall_ivf", "q_ann_recall_trunc")
+      "q_neg_sample", "q_ann_recall", "q_ann_recall_ivf", "q_ann_recall_trunc",
+      "q_pmi", "q_ks_drift")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = plan(fn(spark, Sf0001))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")

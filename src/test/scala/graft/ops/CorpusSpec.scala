@@ -420,4 +420,21 @@ class CorpusSpec extends SparkTestBase {
     // disjoint pairs estimate at (or very near) zero
     assert(est.filter(t => t._2 == "C" || t._1 == "C").forall(_._3 <= 0.1))
   }
+
+  test("noveltyScores: 0 for a duplicated doc, 1 for a unique one, short docs excluded") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e"), // identical to doc 2 → every shingle shared
+      (2L, "a b c d e"),
+      (3L, "p q r s"),   // entirely corpus-unique shingles
+      (4L, "x y"),       // < 3 tokens: no shingles, excluded
+    ).toDF("doc_id", "text")
+    val out = Corpus.noveltyScores(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L), out.keySet.toString)
+    assert(out(1L) == ((3L, 0L, 0.0)), out(1L).toString)
+    assert(out(2L) == ((3L, 0L, 0.0)))
+    assert(out(3L) == ((2L, 2L, 1.0)), out(3L).toString)
+  }
 }
