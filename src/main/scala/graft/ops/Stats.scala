@@ -75,4 +75,42 @@ object Stats {
       .filter(abs(col("zscore")) > zThreshold)
       .select(col(keyCol), col("day"), col("cnt"), r6(col("zscore")).as("zscore"))
   }
+
+  /** KMV (k-minimum-values) distinct-count sketch per group — the
+    * cardinality estimator whose ESTIMATE is hash-checkable exactly,
+    * unlike HLL (q_vocab_sketch gates HLL within a band; KMV's state is
+    * the k smallest md5 values, so two engines computing it get the
+    * same bits). Estimator (Bar-Yossef et al. 2002): with u_k = the
+    * k-th smallest hash mapped into (0,1), estimate = (k−1)/u_k; a
+    * group with fewer than k distinct values short-circuits to its
+    * exact count. Relative std error ≈ 1/√(k−2).
+    *
+    * Output per group: `n_kept` (≤ k), `est` (r6). Callers wanting an
+    * accuracy gate join the exact distinct count themselves — the
+    * sketch never needs it.
+    *
+    * Scale shape: ONE narrow md5 projection into the bounded
+    * [[graft.functions.BottomKStrings]] aggregator — partial buffers of
+    * ≤ k hashes per map task, a shuffle of groups × k strings, no
+    * distinct-exchange of the full value domain (that exchange is
+    * exactly what the sketch exists to avoid at 100 TB). The 60-bit
+    * hash-to-fraction map reuses the [[Profile.tableChecksum]]
+    * `conv(substr(md5, 1, 15))` spelling.
+    */
+  def kmvDistinct(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      k: Int = 128): DataFrame = {
+    val bk = udaf(new graft.functions.BottomKStrings(k))
+    val uK = conv(substring(element_at(col("_sk"), k), 1, 15), 16, 10)
+      .cast("double") / lit(math.pow(2, 60))
+    df.select(col(groupCol), md5(col(valueCol)).as("_h"))
+      .groupBy(groupCol)
+      .agg(bk(col("_h")).as("_sk"))
+      .select(col(groupCol),
+        size(col("_sk")).cast("long").as("n_kept"),
+        when(size(col("_sk")) < k, size(col("_sk")).cast("double"))
+          .otherwise(r6(lit((k - 1).toDouble) / uK)).as("est"))
+  }
 }

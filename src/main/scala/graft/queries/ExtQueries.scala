@@ -668,6 +668,26 @@ object ExtQueries {
     graft.ops.Corpus.noveltyScores(docs(s, dir), "doc_id", "text", n = 3)
       .orderBy("doc_id")
 
+  /** KMV distinct-count sketch ([[graft.ops.Stats.kmvDistinct]]) over
+    * per-source 3-gram shingles (~1.2k distinct per source at the gate
+    * scale, well past k=128 so the ESTIMATION path runs). Unlike the
+    * HLL gate (q_vocab_sketch, banded rows-only registers), KMV's md5
+    * determinism lets the estimate itself hash-check exactly; the
+    * in_band flag (3σ = 3/√126 ≈ 0.27) additionally asserts the
+    * estimator is ACCURATE, not just reproduced.
+    */
+  def qKmv(s: SparkSession, dir: String): DataFrame = {
+    val sh = graft.ops.Dedup.shingleTable(docs(s, dir), "source", "text", 3)
+    val exact = sh.groupBy("source")
+      .agg(countDistinct(col("shingle")).as("n_exact"))
+    graft.ops.Stats.kmvDistinct(sh, "source", "shingle", k = 128)
+      .join(exact, "source")
+      .select(col("source"), col("n_exact"), col("n_kept"), col("est"),
+        (abs(col("est") - col("n_exact")) / col("n_exact") <= lit(0.27))
+          .as("in_band"))
+      .orderBy("source")
+  }
+
   /** Morton/Z-order key derivation ([[Layout.zValue]]): the exact
     * bit-interleave both engines can compute — the gate checks the key
     * itself; the layout benefit (both dimensions prune) is asserted in
@@ -1090,6 +1110,7 @@ object ExtQueries {
     "q_zorder" -> (qZorder _),
     "q_contamination" -> (qContamination _),
     "q_novelty" -> (qNovelty _),
+    "q_kmv" -> (qKmv _),
     "q_rollup" -> (qRollup _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_arrays" -> (qArrays _),
@@ -1396,6 +1417,29 @@ object ExtQueries {
         "SELECT o_orderstatus, count(*) AS n, " + O.dsum("o_totalprice") +
         " AS sum_price, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key " +
         "FROM a GROUP BY 1 ORDER BY 1"),
+    // the k-th smallest md5 via row_number; the estimate reuses the
+    // checksum gate's 15-hex-chars → BIGINT → double/2^60 spelling, and
+    // the exact-path CASE mirrors kmvDistinct's n_kept < k short-circuit
+    "q_kmv" ->
+      ("WITH w AS (SELECT source, string_split(text, ' ') AS t FROM documents), " +
+        "sh AS (SELECT source, list_distinct(list_transform(" +
+        "range(greatest(len(t) - 2, 0)), " +
+        "j -> t[j+1] || ' ' || t[j+2] || ' ' || t[j+3])) AS sh " +
+        "FROM w WHERE len(t) >= 3), " +
+        "x AS (SELECT DISTINCT source, u.g AS g FROM sh, unnest(sh.sh) AS u(g)), " +
+        "r AS (SELECT source, md5(g) AS h, " +
+        "row_number() OVER (PARTITION BY source ORDER BY md5(g)) AS rn FROM x), " +
+        "c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_exact, " +
+        "CAST(least(count(*), 128) AS BIGINT) AS n_kept FROM x GROUP BY 1), " +
+        "kth AS (SELECT source, h FROM r WHERE rn = 128), " +
+        "e AS (SELECT c.source, n_exact, n_kept, " +
+        "CASE WHEN n_exact < 128 THEN CAST(n_exact AS DOUBLE) ELSE " +
+        O.r6("127.0 / (CAST(('0x' || substr(h, 1, 15)) AS BIGINT) " +
+          "/ 1152921504606846976.0)") +
+        " END AS est FROM c LEFT JOIN kth ON c.source = kth.source) " +
+        "SELECT source, n_exact, n_kept, est, " +
+        "abs(est - n_exact) / n_exact <= 0.27 AS in_band " +
+        "FROM e ORDER BY source"),
     // per-doc distinct shingles (shCte) → corpus df → df=1 fraction;
     // the len(w) >= 3 guard excludes shingle-less docs on both engines
     "q_novelty" ->

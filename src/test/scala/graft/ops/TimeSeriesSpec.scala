@@ -73,4 +73,26 @@ class TimeSeriesSpec extends SparkTestBase {
       .as[(Long, Long, Long)].collect().toSeq
     assert(got == Seq((1L, 9 * day, 20L)))
   }
+
+  test("kmvDistinct: exact below k, banded estimate above k, duplicate-proof") {
+    import spark.implicits._
+    // group "small": 5 distinct values each duplicated 3× → exact path
+    // must report 5, NOT be biased by the duplicates occupying slots;
+    // group "big": 5000 distinct values → estimation path at k=64
+    val rows = (1 to 5).flatMap(i => Seq.fill(3)(("small", s"v$i"))) ++
+      (1 to 5000).map(i => ("big", s"x$i"))
+    val out = Stats.kmvDistinct(rows.toDF("g", "v"), "g", "v", k = 64)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(out("small") == ((5L, 5.0)), out("small").toString)
+    val (kept, est) = out("big")
+    assert(kept == 64L)
+    // 5σ at k=64: 5/sqrt(62) ≈ 0.635 — a generous but real accuracy gate
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.635, est.toString)
+    // partitioning-invariant: repartitioned input gives identical bits
+    val out2 = Stats.kmvDistinct(
+        rows.toDF("g", "v").repartition(13), "g", "v", k = 64)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(out2("big") == est && out2("small") == 5.0)
+  }
 }
