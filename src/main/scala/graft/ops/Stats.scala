@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -103,14 +103,52 @@ object Stats {
       valueCol: String,
       k: Int = 128): DataFrame = {
     val bk = udaf(new graft.functions.BottomKStrings(k))
-    val uK = conv(substring(element_at(col("_sk"), k), 1, 15), 16, 10)
-      .cast("double") / lit(math.pow(2, 60))
     df.select(col(groupCol), md5(col(valueCol)).as("_h"))
       .groupBy(groupCol)
       .agg(bk(col("_h")).as("_sk"))
-      .select(col(groupCol),
-        size(col("_sk")).cast("long").as("n_kept"),
-        when(size(col("_sk")) < k, size(col("_sk")).cast("double"))
-          .otherwise(r6(lit((k - 1).toDouble) / uK)).as("est"))
+      .select(col(groupCol) +: estCols(col("_sk"), k): _*)
+  }
+
+  /** `(n_kept, est)` from a KMV sketch array — shared by the per-group
+    * sketch and any merge of sketches.
+    */
+  private def estCols(sk: Column, k: Int): Seq[Column] = {
+    val uK = conv(substring(element_at(sk, k), 1, 15), 16, 10)
+      .cast("double") / lit(math.pow(2, 60))
+    Seq(
+      size(sk).cast("long").as("n_kept"),
+      when(size(sk) < k, size(sk).cast("double"))
+        .otherwise(r6(lit((k - 1).toDouble) / uK)).as("est"))
+  }
+
+  /** KMV sketch MERGE — the property that makes a sketch a 100 TB tool:
+    * per-partition (per-day, per-source) sketches pre-aggregate once,
+    * and any later union's cardinality comes from merging the k-string
+    * states (union, dedupe, keep the k smallest) with NO re-scan of the
+    * underlying data. Emits one row per unordered group pair with the
+    * union estimate — e.g. "how many distinct shingles would sources A
+    * and B cover together", the mixing-recipe coverage question.
+    *
+    * The merge is declarative array algebra over the sketch frame
+    * (groups × k strings — driver-scale), so the pair join is trivially
+    * broadcastable; the corpus-sized work happened once in
+    * [[kmvDistinct]]'s bounded aggregate.
+    */
+  def kmvUnionEstimate(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      k: Int = 128): DataFrame = {
+    val bk = udaf(new graft.functions.BottomKStrings(k))
+    val sk = df.select(col(groupCol), md5(col(valueCol)).as("_h"))
+      .groupBy(groupCol)
+      .agg(bk(col("_h")).as("_sk"))
+    val a = sk.select(col(groupCol).as("g_a"), col("_sk").as("_ska"))
+    val b = sk.select(col(groupCol).as("g_b"), col("_sk").as("_skb"))
+    val merged = slice(
+      array_sort(array_distinct(concat(col("_ska"), col("_skb")))), 1, k)
+    a.join(broadcast(b), col("g_a") < col("g_b"))
+      .withColumn("_sk", merged)
+      .select(col("g_a") +: col("g_b") +: estCols(col("_sk"), k): _*)
   }
 }

@@ -688,6 +688,34 @@ object ExtQueries {
       .orderBy("source")
   }
 
+  /** KMV sketch MERGE ([[graft.ops.Stats.kmvUnionEstimate]]): per-pair
+    * source-union shingle cardinality from merging the two k-string
+    * sketch states — no re-scan. The exact union (|A|+|B|−|A∩B| via the
+    * shingle-keyed equi-join, q_overlap's shape) rides along for the 3σ
+    * in_band accuracy flag; the estimate itself hash-checks exactly.
+    */
+  def qKmvUnion(s: SparkSession, dir: String): DataFrame = {
+    val sh = graft.ops.Dedup.shingleTable(docs(s, dir), "source", "text", 3)
+      .distinct()
+    val exact = sh.groupBy("source")
+      .agg(count(lit(1)).as("n_exact"))
+    val common = sh.select(col("source").as("g_a"), col("shingle"))
+      .join(sh.select(col("source").as("g_b"), col("shingle")), "shingle")
+      .filter(col("g_a") < col("g_b"))
+      .groupBy("g_a", "g_b").agg(count(lit(1)).as("n_common"))
+    graft.ops.Stats.kmvUnionEstimate(sh, "source", "shingle", k = 128)
+      .join(exact.select(col("source").as("g_a"), col("n_exact").as("n_a")), "g_a")
+      .join(exact.select(col("source").as("g_b"), col("n_exact").as("n_b")), "g_b")
+      .join(common, Seq("g_a", "g_b"), "left")
+      .withColumn("union_exact",
+        col("n_a") + col("n_b") - coalesce(col("n_common"), lit(0L)))
+      .select(col("g_a"), col("g_b"), col("union_exact"), col("n_kept"),
+        col("est"),
+        (abs(col("est") - col("union_exact")) / col("union_exact")
+          <= lit(0.27)).as("in_band"))
+      .orderBy("g_a", "g_b")
+  }
+
   /** Morton/Z-order key derivation ([[Layout.zValue]]): the exact
     * bit-interleave both engines can compute — the gate checks the key
     * itself; the layout benefit (both dimensions prune) is asserted in
@@ -1111,6 +1139,7 @@ object ExtQueries {
     "q_contamination" -> (qContamination _),
     "q_novelty" -> (qNovelty _),
     "q_kmv" -> (qKmv _),
+    "q_kmv_union" -> (qKmvUnion _),
     "q_rollup" -> (qRollup _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_arrays" -> (qArrays _),
@@ -1440,6 +1469,40 @@ object ExtQueries {
         "SELECT source, n_exact, n_kept, est, " +
         "abs(est - n_exact) / n_exact <= 0.27 AS in_band " +
         "FROM e ORDER BY source"),
+    // per-source k-lists merged with list algebra — the same union,
+    // dedupe, keep-k-smallest the Spark side spells with array functions
+    "q_kmv_union" ->
+      ("WITH w AS (SELECT source, string_split(text, ' ') AS t FROM documents), " +
+        "sh AS (SELECT source, list_distinct(list_transform(" +
+        "range(greatest(len(t) - 2, 0)), " +
+        "j -> t[j+1] || ' ' || t[j+2] || ' ' || t[j+3])) AS sh " +
+        "FROM w WHERE len(t) >= 3), " +
+        "x AS (SELECT DISTINCT source, u.g AS g FROM sh, unnest(sh.sh) AS u(g)), " +
+        "r AS (SELECT source, md5(g) AS h, " +
+        "row_number() OVER (PARTITION BY source ORDER BY md5(g)) AS rn FROM x), " +
+        "sk AS (SELECT source, list(h ORDER BY h) AS sk FROM r " +
+        "WHERE rn <= 128 GROUP BY 1), " +
+        "c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_exact " +
+        "FROM x GROUP BY 1), " +
+        "cm AS (SELECT a.source AS g_a, b.source AS g_b, " +
+        "CAST(count(*) AS BIGINT) AS n_common FROM x a JOIN x b " +
+        "ON a.g = b.g AND a.source < b.source GROUP BY 1, 2), " +
+        "p AS (SELECT sa.source AS g_a, sb.source AS g_b, " +
+        "list_sort(list_distinct(sa.sk || sb.sk))[1:128] AS m " +
+        "FROM sk sa JOIN sk sb ON sa.source < sb.source), " +
+        "e AS (SELECT g_a, g_b, CAST(len(m) AS BIGINT) AS n_kept, " +
+        "CASE WHEN len(m) < 128 THEN CAST(len(m) AS DOUBLE) ELSE " +
+        O.r6("127.0 / (CAST(('0x' || substr(m[128], 1, 15)) AS BIGINT) " +
+          "/ 1152921504606846976.0)") +
+        " END AS est FROM p), " +
+        "u AS (SELECT e.g_a, e.g_b, " +
+        "ca.n_exact + cb.n_exact - coalesce(n_common, 0) AS union_exact, " +
+        "n_kept, est FROM e " +
+        "JOIN c ca ON e.g_a = ca.source JOIN c cb ON e.g_b = cb.source " +
+        "LEFT JOIN cm ON e.g_a = cm.g_a AND e.g_b = cm.g_b) " +
+        "SELECT g_a, g_b, union_exact, n_kept, est, " +
+        "abs(est - union_exact) / union_exact <= 0.27 AS in_band " +
+        "FROM u ORDER BY g_a, g_b"),
     // per-doc distinct shingles (shCte) → corpus df → df=1 fraction;
     // the len(w) >= 3 guard excludes shingle-less docs on both engines
     "q_novelty" ->

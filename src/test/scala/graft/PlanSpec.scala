@@ -206,6 +206,8 @@ class PlanSpec extends SparkTestBase {
     // (q_pmi: 1-row unigram/bigram total broadcasts)
     // (q_ks_drift: 1-row group-size and max-gap broadcasts; the bucket
     // offsets join is an equi-join, not a BNLJ)
+    // (q_kmv_union: the g_a < g_b pair theta-join over the SKETCH frame
+    // — groups × k strings, broadcast by construction)
     val bnljByDesign = Set("q_sim_topk", "q_sim_topk_agg", "q_top_tokens",
       "q_tfidf", "q_asof", "q_sim_ivf", "q_surprisal", "q_kmeans",
       "q_text_knn", // brute-force top-k: broadcast query side, like q_sim_topk
@@ -213,7 +215,7 @@ class PlanSpec extends SparkTestBase {
       "q_sim_hamming", "q_dsir", "q_ppl_band", "q_mix_temp", "q_tpch_q22",
       "q_tpch_q11", "q_tpch_q15", "q_kl_drift", "q_chi2", "q_bm25",
       "q_neg_sample", "q_ann_recall", "q_ann_recall_ivf", "q_ann_recall_trunc",
-      "q_pmi", "q_ks_drift")
+      "q_pmi", "q_ks_drift", "q_kmv_union")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = plan(fn(spark, Sf0001))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")

@@ -95,4 +95,24 @@ class TimeSeriesSpec extends SparkTestBase {
       .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
     assert(out2("big") == est && out2("small") == 5.0)
   }
+
+  test("kmvUnionEstimate: merge of sketches == sketch of the union, exactly") {
+    import spark.implicits._
+    // overlapping value sets: A = x1..x400, B = x200..x600
+    val rows = (1 to 400).map(i => ("A", s"x$i")) ++
+      (200 to 600).map(i => ("B", s"x$i"))
+    val df = rows.toDF("g", "v")
+    val merged = Stats.kmvUnionEstimate(df, "g", "v", k = 64).collect()(0)
+    assert((merged.getString(0), merged.getString(1)) == (("A", "B")))
+    // the defining KMV property: bottom-k(bottom-k(A) ∪ bottom-k(B)) =
+    // bottom-k(A ∪ B), so the merged estimate must BIT-EQUAL the
+    // estimate of a sketch built over the union directly
+    val direct = Stats.kmvDistinct(
+        df.withColumn("g", lit("U")), "g", "v", k = 64)
+      .collect()(0).getDouble(2)
+    assert(merged.getDouble(3) == direct,
+      s"merged=${merged.getDouble(3)} direct=$direct")
+    // and it lands within the band of the exact union (600 distinct)
+    assert(math.abs(merged.getDouble(3) - 600.0) / 600.0 < 0.635)
+  }
 }
