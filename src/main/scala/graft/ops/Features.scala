@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.queries.Det.r6
+
+/** Feature-engineering operators for model training over pipeline data
+  * — the step between curated tables and a trainer's feature columns.
+  * Deterministic by the engine's usual discipline: exact integer/decimal
+  * aggregates, identical final double arithmetic both engines, r6 on
+  * every emitted double.
+  */
+object Features {
+
+  /** Leave-one-out target encoding of a categorical column: each row
+    * gets the mean of `targetCol` over the OTHER rows of its category —
+    * `(sum_c − t_i) / (n_c − 1)` — the standard high-cardinality
+    * categorical encoding that avoids leaking a row's own label into
+    * its feature. Singleton categories (no "other rows") fall back to
+    * the global mean over all other rows, `(sum − t_i) / (n − 1)`.
+    *
+    * Determinism: both sums ride DECIMAL (exact, order-independent);
+    * each row's encoding is ONE double subtraction/division chain off
+    * exact numerators, then r6.
+    *
+    * Scale shape: one per-category aggregate (categories ≪ rows), a
+    * category-keyed join back (broadcast when the category table is
+    * small, hash otherwise — the planner's call), and a 1-row global
+    * broadcast. Narrow per-row arithmetic after that; nothing is
+    * per-row-windowed.
+    */
+  def targetEncodeLoo(
+      df: DataFrame,
+      catCol: String,
+      targetCol: String): DataFrame = {
+    val t = col(targetCol).cast("decimal(25,6)")
+    val cat = df.groupBy(catCol)
+      .agg(sum(t).as("_csum"), count(lit(1)).as("_cn"))
+    val glob = df.agg(sum(t).as("_gsum"), count(lit(1)).as("_gn"))
+    df.join(cat, catCol)
+      .crossJoin(broadcast(glob))
+      .withColumn(s"${catCol}_enc",
+        when(col("_cn") > 1,
+          r6((col("_csum") - t).cast("double") / (col("_cn") - 1)))
+          .otherwise(
+            r6((col("_gsum") - t).cast("double") / (col("_gn") - 1))))
+      .drop("_csum", "_cn", "_gsum", "_gn")
+  }
+
+  /** Per-group winsorization summary: clip `valueCol` into the group's
+    * [p_lo, p_hi] exact-discrete percentiles and report, per group, the
+    * row count, how many rows clipped at each side, and the decimal sum
+    * of the winsorized values — the robust-statistics pre-pass that
+    * keeps a fat-tailed measure from dominating a feature or a metric.
+    *
+    * The cut values use `percentile_disc` (the SQL-standard "smallest
+    * value whose cume_dist ≥ p" — the q_ppl_band contract, spelled via
+    * cume_dist in the DuckDB oracle since DuckDB's quantile_disc rounds
+    * differently). Cut values are DATA values, not arithmetic, so they
+    * are engine-exact by construction.
+    *
+    * Scale shape: one percentile aggregate per group (the same shape as
+    * [[Profile]]'s quartiles), broadcast of the groups × 2 cut frame,
+    * then a narrow clip + re-aggregate.
+    */
+  def winsorizeSummary(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      pLo: Double = 0.05,
+      pHi: Double = 0.95): DataFrame = {
+    require(0 <= pLo && pLo < pHi && pHi <= 1, s"bad band: [$pLo, $pHi]")
+    val cuts = df.groupBy(groupCol).agg(
+      expr(s"percentile_disc($pLo) WITHIN GROUP (ORDER BY $valueCol)")
+        .as("_lo"),
+      expr(s"percentile_disc($pHi) WITHIN GROUP (ORDER BY $valueCol)")
+        .as("_hi"))
+    val v = col(valueCol)
+    val w = when(v < col("_lo"), col("_lo"))
+      .when(v > col("_hi"), col("_hi")).otherwise(v)
+    df.join(broadcast(cuts), groupCol)
+      .groupBy(groupCol)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(v < col("_lo"), 1L).otherwise(0L)).as("n_clip_lo"),
+        sum(when(v > col("_hi"), 1L).otherwise(0L)).as("n_clip_hi"),
+        max(col("_lo")).as("cut_lo"),
+        max(col("_hi")).as("cut_hi"),
+        r6(sum(w.cast("decimal(25,6)")).cast("double")).as("sum_winsorized"))
+  }
+}

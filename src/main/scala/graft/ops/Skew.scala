@@ -95,4 +95,34 @@ object Skew {
       "_salt", explode(sequence(lit(0), lit(nSalts - 1))))
     saltedFact.join(replicatedBuild, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** Join-skew audit: BEFORE running an equi-join, name the keys that
+    * would dominate it. Per key: left/right row counts, the join fanout
+    * `n_left · n_right` (rows that key will emit), and its share of the
+    * total output — the number that tells you whether [[saltedJoin]]
+    * (or a key blacklist) is needed and for WHICH keys. Top `topN` by
+    * fanout, deterministic tiebreak on the key.
+    *
+    * Scale shape: two per-key hash aggregates (each side once) and an
+    * inner join of the two KEY-CARDINALITY frames — distinct-key-sized,
+    * orders below either input; the 1-row total broadcasts back. The
+    * audit never executes the skewed join it measures.
+    */
+  def joinSkewAudit(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      topN: Int = 20): DataFrame = {
+    import graft.queries.Det.r6
+    val l = left.groupBy(key).agg(count(lit(1)).as("n_left"))
+    val r = right.groupBy(key).agg(count(lit(1)).as("n_right"))
+    val fan = l.join(r, key)
+      .withColumn("fanout", col("n_left") * col("n_right"))
+    val tot = fan.agg(sum("fanout").as("_tot"))
+    fan.crossJoin(broadcast(tot))
+      .select(col(key), col("n_left"), col("n_right"), col("fanout"),
+        r6(col("fanout").cast("double") / col("_tot")).as("share"))
+      .orderBy(col("fanout").desc, col(key))
+      .limit(topN)
+  }
 }

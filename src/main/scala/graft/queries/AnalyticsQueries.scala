@@ -94,6 +94,37 @@ object AnalyticsQueries {
       .select(col("x").as("vertex"), r6(col("r") * lit(1000.0)).as("rank_k"))
       .orderBy("vertex")
 
+  /** Join-skew audit ([[graft.ops.Skew.joinSkewAudit]]) over the
+    * co-purchase self-join that motivated the q_triangles strategy
+    * work: top-20 order keys by `n_left · n_right` fanout — the keys a
+    * salting/blacklist decision targets, measured without running the
+    * skewed join.
+    */
+  def qSkewAudit(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.table(s, dir, "lineitem")
+    graft.ops.Skew.joinSkewAudit(li, li, "l_orderkey", topN = 20)
+  }
+
+  /** Leave-one-out target encoding
+    * ([[graft.ops.Features.targetEncodeLoo]]) of event_type by `value`
+    * — each row's feature is the mean of the OTHER rows of its
+    * category, the leak-free high-cardinality encoding.
+    */
+  def qTargetEnc(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Features.targetEncodeLoo(
+        Tables.events(s, dir), "event_type", "value")
+      .select("event_id", "event_type", "value", "event_type_enc")
+      .orderBy("event_id")
+
+  /** Winsorization summary ([[graft.ops.Features.winsorizeSummary]]):
+    * per-type [p05, p95] exact-discrete cuts, clip counts, and the
+    * winsorized decimal sum — robust-statistics pre-pass.
+    */
+  def qWinsorize(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Features.winsorizeSummary(
+        Tables.events(s, dir), "event_type", "value", pLo = 0.05, pHi = 0.95)
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_retention" -> (qRetention _),
     "q_funnel" -> (qFunnel _),
@@ -105,6 +136,9 @@ object AnalyticsQueries {
     "q_triangles" -> (qTriangles _),
     "q_decay" -> (qDecay _),
     "q_pagerank" -> (qPageRank _),
+    "q_skew_audit" -> (qSkewAudit _),
+    "q_target_enc" -> (qTargetEnc _),
+    "q_winsorize" -> (qWinsorize _),
   )
 
   private def coPurchaseEdgesSql: String =
@@ -113,6 +147,56 @@ object AnalyticsQueries {
       "AND a.l_partkey < b.l_partkey"
 
   val oracleSql: Map[String, String] = Map(
+    "q_skew_audit" ->
+      ("WITH l AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_left " +
+        "FROM lineitem GROUP BY 1), " +
+        "r AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_right " +
+        "FROM lineitem GROUP BY 1), " +
+        "f AS (SELECT l_orderkey, n_left, n_right, " +
+        "n_left * n_right AS fanout FROM l JOIN r USING (l_orderkey)), " +
+        "t AS (SELECT CAST(sum(fanout) AS BIGINT) AS tot FROM f) " +
+        "SELECT l_orderkey, n_left, n_right, fanout, " +
+        Oracle.r6("fanout / tot") + " AS share FROM f, t " +
+        "ORDER BY fanout DESC, l_orderkey LIMIT 20"),
+    // decimal numerators subtracted exactly, ONE double division, r6 —
+    // the same chain Features.targetEncodeLoo spells
+    "q_target_enc" ->
+      ("WITH c AS (SELECT event_type, " +
+        "sum(CAST(value AS DECIMAL(25,6))) AS csum, " +
+        "CAST(count(*) AS BIGINT) AS cn FROM events GROUP BY 1), " +
+        "g AS (SELECT sum(CAST(value AS DECIMAL(25,6))) AS gsum, " +
+        "CAST(count(*) AS BIGINT) AS gn FROM events) " +
+        "SELECT event_id, event_type, value, " +
+        "CASE WHEN cn > 1 THEN " +
+        Oracle.r6("CAST(csum - CAST(value AS DECIMAL(25,6)) AS DOUBLE) " +
+          "/ (cn - 1)") +
+        " ELSE " +
+        Oracle.r6("CAST(gsum - CAST(value AS DECIMAL(25,6)) AS DOUBLE) " +
+          "/ (gn - 1)") +
+        " END AS event_type_enc " +
+        "FROM events JOIN c USING (event_type), g ORDER BY event_id"),
+    // percentile_disc spelled as its SQL-standard cume_dist definition
+    // (the q_ppl_band discipline); cut values are data, not arithmetic
+    "q_winsorize" ->
+      ("WITH cd AS (SELECT event_type, value AS v, " +
+        "cume_dist() OVER (PARTITION BY event_type ORDER BY value) AS cd " +
+        "FROM events), " +
+        "lo AS (SELECT event_type, min(v) AS cut_lo FROM cd " +
+        "WHERE cd >= 0.05 GROUP BY 1), " +
+        "hi AS (SELECT event_type, min(v) AS cut_hi FROM cd " +
+        "WHERE cd >= 0.95 GROUP BY 1), " +
+        "j AS (SELECT e.event_type, value, cut_lo, cut_hi FROM events e " +
+        "JOIN lo USING (event_type) JOIN hi USING (event_type)) " +
+        "SELECT event_type, count(*) AS n, " +
+        "CAST(sum(CASE WHEN value < cut_lo THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_clip_lo, " +
+        "CAST(sum(CASE WHEN value > cut_hi THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_clip_hi, " +
+        "max(cut_lo) AS cut_lo, max(cut_hi) AS cut_hi, " +
+        Oracle.r6("CAST(sum(CAST(CASE WHEN value < cut_lo THEN cut_lo " +
+          "WHEN value > cut_hi THEN cut_hi ELSE value END " +
+          "AS DECIMAL(25,6))) AS DOUBLE)") + " AS sum_winsorized " +
+        "FROM j GROUP BY 1 ORDER BY event_type"),
     "q_decay" ->
       ("WITH m AS (SELECT date_trunc('day', max(ts)) AS max_day FROM events), " +
         "e AS (SELECT user_id, value, pow(0.5, (date_diff('day', " +
