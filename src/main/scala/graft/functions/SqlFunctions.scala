@@ -18,6 +18,7 @@ import org.apache.spark.sql.types.IntegerType
   *  - `deflate_size(text)`               — compressed byte count
   *  - `nfc_normalize(text)`              — Unicode NFC composition
   *  - `strip_accents(text)`              — NFD + combining-mark drop
+  *  - `jaro_winkler(a, b)`               — Jaro–Winkler similarity
   *
   * Arity/type errors surface at analysis time (the builders throw
   * `IllegalArgumentException`, which Spark wraps into an analysis
@@ -73,6 +74,10 @@ object SqlFunctions {
     "strip_accents" -> { args =>
       arity(args, 1, "strip_accents")
       StripAccentsExpr(args.head)
+    },
+    "jaro_winkler" -> { args =>
+      arity(args, 2, "jaro_winkler")
+      JaroWinklerExpr(args.head, args(1))
     },
   )
 

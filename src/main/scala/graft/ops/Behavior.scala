@@ -137,4 +137,37 @@ object Behavior {
         count(lit(1)).as("n_events"),
         dsum(col(valueCol)).as("sum_value"))
   }
+
+  /** First-order Markov transition matrix of per-entity event
+    * sequences: for each (state_from, state_to) adjacent pair in a
+    * user's (ts, tie)-ordered stream, the count and the row-normalized
+    * transition probability — the behavioral-model summary behind
+    * next-event prediction, anomaly scoring, and bot detection. A
+    * user's first event has no predecessor and contributes nothing.
+    *
+    * Ordering ties break on `tieCol` (unique), so adjacency — and the
+    * whole matrix — is deterministic under any partitioning.
+    *
+    * Scale shape: one lag window PARTITIONED BY the entity (per-user
+    * sequences, never a global order), then a states²-bounded hash
+    * aggregate and a states-bounded row-total join. The matrix size
+    * depends on the state alphabet, not the corpus.
+    */
+  def transitionMatrix(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      tieCol: String,
+      stateCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val pairs = events
+      .withColumn("_prev", lag(col(stateCol), 1).over(w))
+      .filter(col("_prev").isNotNull)
+      .groupBy(col("_prev").as("state_from"), col(stateCol).as("state_to"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("state_from").agg(sum(col("n")).as("_tot"))
+    pairs.join(broadcast(totals), "state_from")
+      .select(col("state_from"), col("state_to"), col("n"),
+        r6(col("n").cast("double") / col("_tot")).as("p"))
+  }
 }

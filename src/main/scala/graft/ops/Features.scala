@@ -89,4 +89,48 @@ object Features {
         max(col("_hi")).as("cut_hi"),
         r6(sum(w.cast("decimal(25,6)")).cast("double")).as("sum_winsorized"))
   }
+
+  /** Equi-depth discretization of a numeric column: `nBins` buckets of
+    * (approximately) equal row count, the feature-binning that survives
+    * fat tails where [[Stats.fixedWidthHistogram]]'s equal-width bins
+    * collapse into one. Emits one row per bin: its cut (upper edge),
+    * count, and min/max of the members.
+    *
+    * NOT ntile: a global ntile is one total-order window — the
+    * single-partition anti-pattern at 100 TB. Instead the nBins−1
+    * interior cuts come from ONE percentile aggregate (exact-discrete,
+    * the [[winsorizeSummary]] contract: cut k = smallest value whose
+    * cume_dist ≥ k/nBins — data values, engine-exact), the cuts
+    * broadcast, and bin assignment is a narrow per-row comparison
+    * (count of cuts < v, via the codegen'd array predicate). Ties at a
+    * cut all land in that cut's bin — equal VALUES never straddle a bin
+    * boundary, the property ntile does not give and the one that makes
+    * the assignment deterministic under any partitioning.
+    */
+  def equiDepthBins(
+      df: DataFrame,
+      valCol: String,
+      nBins: Int): DataFrame = {
+    require(nBins > 1, s"need ≥ 2 bins, got $nBins")
+    val fracs = (1 until nBins).map(k => k.toDouble / nBins)
+    val cuts = df.agg(
+      array(fracs.map(f =>
+        expr(s"percentile_disc($f) WITHIN GROUP (ORDER BY $valCol)")): _*)
+        .as("_cuts"))
+    val v = col(valCol)
+    df.filter(v.isNotNull)
+      .crossJoin(broadcast(cuts))
+      // bin = number of cuts strictly below v: v ≤ cut_k ⇒ bin ≤ k
+      .select(v.as("_v"),
+        size(filter(col("_cuts"), c => c < v)).cast("int").as("bin"),
+        col("_cuts"))
+      .groupBy("bin")
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("_v")).as("bin_min"),
+        max(col("_v")).as("bin_max"),
+        // the bin's nominal upper cut (last bin: no cut, NULL)
+        first(when(col("bin") < nBins - 1,
+          element_at(col("_cuts"), col("bin") + 1))).as("cut_hi"))
+  }
 }

@@ -91,4 +91,36 @@ object Profile {
         count(lit(1)).as("n_rows"),
         coalesce(sum(rowHash), lit(0).cast("decimal(38,0)")).as("checksum"))
   }
+
+  /** Data-skipping audit: per-partition min/max zone statistics for
+    * `valCol` plus, for the band predicate `valCol BETWEEN lo AND hi`,
+    * whether the partition is provably skippable (its whole range falls
+    * outside the band) and the scan-row bound a pruning reader would
+    * pay. This is THE 100 TB lever made inspectable: parquet/iceberg
+    * readers prune on exactly these stats, and this op quantifies — per
+    * partition, before running anything — how much of the table a given
+    * predicate actually has to touch. The output is partition-count
+    * sized; one hash aggregate over the partition key produces it.
+    *
+    * Nulls sit outside any band (SQL three-valued BETWEEN), matching
+    * what a stats-pruning reader assumes when null_count is tracked
+    * separately — `n_rows` counts them, min/max ignore them.
+    */
+  def pruneAudit(
+      df: DataFrame,
+      partCol: String,
+      valCol: String,
+      lo: Double,
+      hi: Double): DataFrame = {
+    require(lo <= hi, s"empty band: [$lo, $hi]")
+    df.groupBy(col(partCol))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col(valCol)).as("min_v"),
+        max(col(valCol)).as("max_v"))
+      .withColumn("skippable",
+        coalesce(col("max_v") < lit(lo) || col("min_v") > lit(hi), lit(true)))
+      .withColumn("scan_rows",
+        when(col("skippable"), lit(0L)).otherwise(col("n_rows")))
+  }
 }

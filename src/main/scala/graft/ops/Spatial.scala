@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Spatial operators for point data (the reference domain is NYC taxi
+  * pickups/dropoffs — `src/features/transformations.py`'s bounding-box
+  * filters are the degenerate form of these). The join primitive is
+  * grid bucketing: a radius join never runs points × queries — each
+  * side keys to a fixed lat/lon cell and candidates meet by equi-join
+  * on the cell id, with the exact haversine check applied only to the
+  * 3×3-neighborhood survivors.
+  *
+  * Scale shape: candidate generation is a hash equi-join whose fanout
+  * per query point is the occupancy of 9 cells (data-density bounded,
+  * never corpus-sized); the cell key partitions uniformly for
+  * real-world point sets, and a hot cell (a stadium, an airport) is
+  * exactly the salting case [[Skew.saltedJoin]] handles. At 100 TB the
+  * cell id doubles as the layout key: writing points cell-clustered
+  * ([[graft.etl.Layout.writeSorted]]) turns the probe side into a
+  * pruned scan.
+  *
+  * Determinism: cell assignment is `floor(deg / cellDeg)` — exact IEEE
+  * division+floor, identical cross-engine. The haversine itself uses
+  * sin/cos/asin, which IEEE 754 does NOT pin to the last ulp across
+  * libm implementations; the emitted distance is r6-rounded and the
+  * radius compare sits on a measure-zero boundary, the same accepted
+  * risk class as the engine's ln discipline (DECISIONS.md, q_kl_drift).
+  */
+object Spatial {
+
+  /** Mean Earth radius (IUGG), meters — the constant both engines
+    * interpolate into the same expression tree.
+    */
+  val EarthRadiusM = 6371008.8
+
+  /** Minimum meters per degree of latitude (at the equator, where the
+    * WGS84 flattening makes a latitude degree shortest) — the
+    * conservative bound the cell-size safety check uses.
+    */
+  private val MinMetersPerDegLat = 110574.0
+
+  /** Meters per degree of longitude at the equator; scales by cos(lat). */
+  private val MetersPerDegLonEq = 111320.0
+
+  /** Great-circle distance in meters between two (lat, lon) points,
+    * standard haversine. Spelled as one expression tree so the DuckDB
+    * oracle can replicate it token for token.
+    */
+  def haversineM(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+    // squares spelled as products, not pow(x, 2): * is correctly-rounded
+    // IEEE, pow is only within-1-ulp and differs between Math.pow and
+    // C libm — one avoidable cross-engine divergence fewer
+    val sLat = sin(radians(lat2 - lat1) / 2)
+    val sLon = sin(radians(lon2 - lon1) / 2)
+    val a = sLat * sLat +
+      cos(radians(lat1)) * cos(radians(lat2)) * sLon * sLon
+    lit(2 * EarthRadiusM) * asin(sqrt(a))
+  }
+
+  /** All points within `radiusM` meters of each query point, by grid
+    * bucketing: points key to their cell once; each query explodes to
+    * its 3×3 cell neighborhood; candidates meet by cell equi-join and
+    * only they pay the haversine. Returns (qId, pId, dist_m) with
+    * dist_m r6-rounded.
+    *
+    * `cellDeg` must make one cell cover the radius in BOTH axes so the
+    * 3×3 neighborhood is sufficient — checked against the conservative
+    * lat bound and the lon shrink at `maxAbsLatDeg` (the largest |lat|
+    * in either input; pass the bounding box you already know). A
+    * too-small cell is a CORRECTNESS error (silent false negatives),
+    * so it throws rather than warns.
+    */
+  def gridRadiusJoin(
+      points: DataFrame,
+      queries: DataFrame,
+      pId: String, pLat: String, pLon: String,
+      qId: String, qLat: String, qLon: String,
+      radiusM: Double,
+      cellDeg: Double,
+      maxAbsLatDeg: Double): DataFrame = {
+    require(radiusM > 0 && cellDeg > 0)
+    require(cellDeg * MinMetersPerDegLat >= radiusM,
+      s"cellDeg=$cellDeg spans < radius=$radiusM m in latitude; " +
+        "3x3 neighborhood would miss matches")
+    val lonM = cellDeg * MetersPerDegLonEq * math.cos(math.toRadians(maxAbsLatDeg))
+    require(lonM >= radiusM,
+      s"cellDeg=$cellDeg spans $lonM m < radius=$radiusM m in longitude " +
+        s"at |lat|=$maxAbsLatDeg; 3x3 neighborhood would miss matches")
+
+    def cellY(lat: Column) = floor(lat / cellDeg).cast("long")
+    def cellX(lon: Column) = floor(lon / cellDeg).cast("long")
+
+    val p = points.select(
+      col(pId), col(pLat).as("_plat"), col(pLon).as("_plon"),
+      cellY(col(pLat)).as("_cy"), cellX(col(pLon)).as("_cx"))
+    // each query covers its 9-cell neighborhood; the explode is 9×
+    // the QUERY side (the small side), never the point side
+    val q = queries.select(
+        col(qId), col(qLat).as("_qlat"), col(qLon).as("_qlon"),
+        cellY(col(qLat)).as("_qcy"), cellX(col(qLon)).as("_qcx"))
+      .withColumn("_dy", explode(sequence(lit(-1L), lit(1L))))
+      .withColumn("_dx", explode(sequence(lit(-1L), lit(1L))))
+      .select(col(qId), col("_qlat"), col("_qlon"),
+        (col("_qcy") + col("_dy")).as("_cy"),
+        (col("_qcx") + col("_dx")).as("_cx"))
+    val dist = haversineM(col("_qlat"), col("_qlon"), col("_plat"), col("_plon"))
+    q.join(p, Seq("_cy", "_cx"))
+      .filter(dist <= lit(radiusM))
+      .select(col(qId), col(pId),
+        graft.queries.Det.r6(dist).as("dist_m"))
+  }
+}

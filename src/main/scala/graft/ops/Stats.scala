@@ -151,4 +151,78 @@ object Stats {
       .withColumn("_sk", merged)
       .select(col("g_a") +: col("g_b") +: estCols(col("_sk"), k): _*)
   }
+
+  /** Count-min sketch bucket for hash row `r`: the [[Corpus.hashBucket]]
+    * md5 discipline with the row index mixed into the key, so the d hash
+    * functions are independent and both engines spell the identical
+    * integer — DuckDB:
+    * `('0x' || substr(md5(salt || '|' || r || '|' || item), 1, 8))::BIGINT % w`.
+    */
+  private def cmsBucket(item: Column, row: Column, w: Int, salt: String): Column =
+    conv(substring(
+        md5(concat_ws("|", lit(salt), row.cast("string"), item)), 1, 8), 16, 10)
+      .cast("long") % w
+
+  /** Count-min sketch (Cormode & Muthukrishnan 2005) over an item
+    * OCCURRENCE frame: the frequency estimator whose state is a fixed
+    * d×w integer table, mergeable by cellwise addition — the
+    * heavy-hitter counting sketch for streams and shards that, unlike
+    * [[graft.functions.MisraGries]] (which keeps exact survivors), can
+    * answer a point query for ANY item after the fact.
+    *
+    * State is a (row, bucket, cnt) frame of ≤ d·w rows. Each occurrence
+    * increments one bucket per hash row; md5-derived buckets make the
+    * table — and therefore every ESTIMATE — bit-identical cross-engine,
+    * so the gate hash-checks the estimator itself, not just a band.
+    *
+    * Scale shape: one explode(×d) feeding a hash aggregate whose
+    * distinct-key space is capped at d·w regardless of corpus size —
+    * map-side partial aggregation collapses each task to ≤ d·w rows, so
+    * the shuffle is constant-bounded: the sketch IS the reduction.
+    */
+  def cmsBuild(
+      occurrences: DataFrame,
+      itemCol: String,
+      d: Int = 4,
+      w: Int = 256,
+      salt: String = "cms"): DataFrame = {
+    require(d > 0 && w > 0)
+    occurrences
+      .select(col(itemCol).as("_it"),
+        explode(sequence(lit(0), lit(d - 1))).as("r"))
+      .groupBy(col("r"), cmsBucket(col("_it"), col("r"), w, salt).as("b"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-query the sketch: each query item reads its d buckets and
+    * takes the min — the CMS guarantee is est ≥ true count always,
+    * est ≤ true + εN with probability 1−δ (ε = e/w, δ = e^−d). Missing
+    * buckets count 0. The join is queries×d rows against the ≤ d·w-row
+    * sketch — broadcast-sized by construction.
+    */
+  def cmsEstimate(
+      sketch: DataFrame,
+      queries: DataFrame,
+      itemCol: String,
+      d: Int = 4,
+      w: Int = 256,
+      salt: String = "cms"): DataFrame = {
+    val q = queries
+      .select(col(itemCol),
+        explode(sequence(lit(0), lit(d - 1))).as("r"))
+      .withColumn("b", cmsBucket(col(itemCol), col("r"), w, salt))
+    q.join(broadcast(sketch), Seq("r", "b"), "left")
+      .groupBy(itemCol)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
+  /** Merge two CMS states built with the same (d, w, salt): cellwise
+    * addition. merge(build(A), build(B)) == build(A ∪ B) exactly — the
+    * per-shard/per-day pre-aggregation contract, spec-proven like
+    * [[kmvUnionEstimate]]'s.
+    */
+  def cmsMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy("r", "b")
+      .agg(sum(col("cnt")).as("cnt"))
 }

@@ -476,4 +476,56 @@ object TextAnalysis {
         r6(max(col("d")).cast("double") / max(col("n"))).as("ttr"),
         r6(sum(col("_h").cast("decimal(25,6)")).cast("double")).as("entropy"))
   }
+
+  /** Per-token syllable estimate: contiguous vowel groups (the standard
+    * dictionary-free heuristic), floored at 1 so consonant-only tokens
+    * still count one. Both engines spell it as
+    * `greatest(len(regexp_extract_all(tok, '[aeiouy]+')), 1)`.
+    */
+  def syllables(tok: Column): Column =
+    greatest(size(regexp_extract_all(tok, lit("[aeiouy]+"), lit(0))), lit(1))
+      .cast("long")
+
+  /** Per-document readability metrics — Flesch reading ease and
+    * Flesch–Kincaid grade from word, sentence, and heuristic syllable
+    * counts. A complexity-based quality signal orthogonal to
+    * [[qualityScore]]'s ratio features and [[unigramEntropy]]'s
+    * vocabulary diversity: training-data curricula and audience filters
+    * key on exactly these scores. Sentences are terminator runs
+    * ([.!?]+) floored at 1, so unpunctuated text degrades to the
+    * one-sentence convention rather than dividing by zero.
+    *
+    * Scale shape: explode to (doc, token), one hash aggregate back to
+    * doc granularity — linear in corpus tokens, no join, no window.
+    * Determinism: counts are exact integers; each score is double
+    * arithmetic off integer ratios spelled as one identical tree both
+    * engines, then r6.
+    */
+  def readability(
+      df: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    import graft.queries.Det.r6
+    val sentences = greatest(
+      size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0))), lit(1))
+      .cast("long")
+    val perTok = df
+      .select(col(idCol), sentences.as("_s"),
+        explode(tokens(col(textCol))).as("_w"))
+      .filter(length(col("_w")) > 0)
+    val agg = perTok
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_words"),
+        max(col("_s")).as("n_sentences"),
+        sum(syllables(col("_w"))).as("n_syllables"))
+    val wps = col("n_words").cast("double") / col("n_sentences")
+    val spw = col("n_syllables").cast("double") / col("n_words")
+    agg.select(
+      col(idCol), col("n_words"), col("n_sentences"), col("n_syllables"),
+      r6(lit(206.835) - lit(1.015) * wps - lit(84.6) * spw)
+        .as("flesch_ease"),
+      r6(lit(0.39) * wps + lit(11.8) * spw - lit(15.59))
+        .as("fk_grade"))
+  }
 }

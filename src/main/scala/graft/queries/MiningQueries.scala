@@ -1,0 +1,285 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Basket, Features, Profile, Spatial, Stats, TextAnalysis}
+import graft.queries.{Oracle => O}
+import graft.sources.Tables
+
+/** Gate queries for the round-6 mining/indexing family: grid-bucketed
+  * spatial radius join, count-min sketch, market-basket associations,
+  * the data-skipping prune audit, readability scoring, and equi-depth
+  * binning. All hash-checked against DuckDB; the operators carry
+  * fixture-level unit proofs in MiningSpec.
+  */
+object MiningQueries {
+
+  /** Deterministic NYC-ish point derivation shared verbatim with the
+    * oracle: events become points on a 0.004° lattice keyed by
+    * (user_id, event_id), nations become 25 query landmarks. Pure
+    * integer-mod + IEEE multiply-add, identical both engines.
+    */
+  private def eventPoints(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      col("event_id"),
+      (lit(40.5) + (col("user_id") % 97) * lit(0.004)).as("lat"),
+      (lit(-74.2) + (col("event_id") % 113) * lit(0.004)).as("lon"))
+
+  private def landmarkPoints(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "nation").select(
+      col("n_nationkey").as("landmark_id"),
+      (lit(40.52) + (col("n_nationkey") % 19) * lit(0.019)).as("qlat"),
+      (lit(-74.19) + (col("n_nationkey") % 23) * lit(0.019)).as("qlon"))
+
+  /** Grid-bucketed 500 m radius join ([[Spatial.gridRadiusJoin]]):
+    * events-as-points against 25 nation-derived landmarks. The oracle
+    * is the BRUTE-FORCE haversine cross join, so a hash match proves
+    * the 3×3 cell neighborhood generates every true candidate — the
+    * no-false-negative contract grid pruning must keep.
+    */
+  def qSpatial(s: SparkSession, dir: String): DataFrame =
+    Spatial.gridRadiusJoin(
+        eventPoints(s, dir), landmarkPoints(s, dir),
+        "event_id", "lat", "lon", "landmark_id", "qlat", "qlon",
+        radiusM = 500.0, cellDeg = 0.0065, maxAbsLatDeg = 41.0)
+      .orderBy("landmark_id", "event_id")
+
+  /** Count-min sketch ([[Stats.cmsBuild]]/[[Stats.cmsEstimate]]) over
+    * document token occurrences at d=4, w=16 — w chosen BELOW the
+    * 31-token vocabulary so bucket collisions actually occur and the
+    * min-over-rows estimator is exercised, not vacuous. md5 bucketing
+    * makes the table and every estimate bit-identical cross-engine:
+    * the oracle replays the sketch, so the ESTIMATOR is hash-checked,
+    * plus the exact count per token for the overestimate audit.
+    */
+  def qCms(s: SparkSession, dir: String): DataFrame = {
+    val occ = Tables.table(s, dir, "documents")
+      .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val sketch = Stats.cmsBuild(occ, "tok", d = 4, w = 16)
+    val exact = occ.groupBy("tok").agg(count(lit(1)).as("n_exact"))
+    Stats.cmsEstimate(sketch, exact.select("tok"), "tok", d = 4, w = 16)
+      .join(exact, "tok")
+      .select(col("tok"), col("n_exact"), col("est"),
+        (col("est") >= col("n_exact")).as("over_ok"))
+      .orderBy("tok")
+  }
+
+  /** Market-basket association mining ([[Basket.pairAssociations]]):
+    * top-50 co-purchased part pairs by lift over lineitem orders.
+    */
+  def qBasket(s: SparkSession, dir: String): DataFrame =
+    Basket.pairAssociations(
+      Tables.table(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+      minPairCount = 3, topN = 50)
+
+  /** Data-skipping prune audit ([[Profile.pruneAudit]]): per-day zone
+    * stats for events.value and the skippability verdict for the band
+    * [400, 500] — high enough that days whose daily max falls short
+    * are provably skippable, so both verdicts appear.
+    */
+  def qPrune(s: SparkSession, dir: String): DataFrame =
+    Profile.pruneAudit(
+        Tables.events(s, dir)
+          .withColumn("day", to_date(col("ts")).cast("string")),
+        "day", "value", lo = 400.0, hi = 500.0)
+      .orderBy("day")
+
+  /** Readability scoring ([[TextAnalysis.readability]]): Flesch ease +
+    * FK grade per document from vowel-group syllable counts.
+    */
+  def qReadability(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.readability(Tables.table(s, dir, "documents"),
+        "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** Equi-depth binning ([[Features.equiDepthBins]]): events.value into
+    * 8 equal-count bins via one percentile aggregate + broadcast cuts —
+    * never a global ntile window.
+    */
+  def qBins(s: SparkSession, dir: String): DataFrame =
+    Features.equiDepthBins(Tables.events(s, dir), "value", nBins = 8)
+      .orderBy("bin")
+
+  /** Jaro–Winkler similarity matrix over the 64 distinct part names —
+    * the record-linkage scoring pass, exercising the native codegen'd
+    * [[graft.functions.JaroWinkler]] expression against DuckDB's
+    * rapidfuzz `jaro_winkler_similarity` on every pair above 0.7. The
+    * pair frame is the distinct-NAME table squared (vocabulary-sized,
+    * 64×63/2 — never the fact table squared), so the broadcast
+    * self-join is the intended plan, the q_ann_recall-oracle precedent.
+    */
+  def qJaro(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.JaroWinkler
+    val names = Tables.table(s, dir, "part")
+      .select(col("p_name").as("name")).distinct()
+    val jw = JaroWinkler.jw(col("name_a"), col("name_b"))
+    names.select(col("name").as("name_a"))
+      .join(broadcast(names.select(col("name").as("name_b"))),
+        col("name_a") < col("name_b"))
+      .filter(jw >= lit(0.7))
+      .select(col("name_a"), col("name_b"), graft.queries.Det.r6(jw).as("jw"))
+      .orderBy("name_a", "name_b")
+  }
+
+  /** First-order Markov transition matrix
+    * ([[graft.ops.Behavior.transitionMatrix]]) of per-user event-type
+    * sequences, (ts, event_id)-ordered.
+    */
+  def qMarkov(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Behavior.transitionMatrix(
+        Tables.events(s, dir), "user_id", "ts", "event_id", "event_type")
+      .orderBy("state_from", "state_to")
+
+  /** Bitmap-index audience overlap ([[graft.ops.Bitmap]]): per-type
+    * user bitmaps (63 ids per word), pairwise AND/OR popcount
+    * cardinalities. The oracle spells the SET semantics (distinct
+    * membership + key self-join), so a hash match proves the bit
+    * algebra computes exactly the relational answer.
+    */
+  def qBitmap(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Bitmap.overlap(
+        graft.ops.Bitmap.build(Tables.events(s, dir), "event_type", "user_id"))
+      .orderBy("g_a", "g_b")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_spatial" -> (qSpatial _),
+    "q_cms" -> (qCms _),
+    "q_basket" -> (qBasket _),
+    "q_prune" -> (qPrune _),
+    "q_readability" -> (qReadability _),
+    "q_bins" -> (qBins _),
+    "q_jaro" -> (qJaro _),
+    "q_markov" -> (qMarkov _),
+    "q_bitmap" -> (qBitmap _),
+  )
+
+  /** The haversine expression tree, token-for-token the Spark spelling
+    * in [[Spatial.haversineM]] (products, not pow; same association).
+    */
+  private def havSql(lat1: String, lon1: String, lat2: String, lon2: String): String = {
+    val sLat = s"sin(radians($lat2 - $lat1) / 2)"
+    val sLon = s"sin(radians($lon2 - $lon1) / 2)"
+    s"2 * 6371008.8 * asin(sqrt($sLat * $sLat + " +
+      s"cos(radians($lat1)) * cos(radians($lat2)) * $sLon * $sLon))"
+  }
+
+  private val cmsBucketSql =
+    // r and tok bound in the surrounding CTE
+    "('0x' || substr(md5('cms' || '|' || r::VARCHAR || '|' || tok), 1, 8))::BIGINT % 16"
+
+  val oracleSql: Map[String, String] = Map(
+    // every literal ::DOUBLE: DuckDB would otherwise run the point
+    // derivation in exact DECIMAL (0.004 parses as DECIMAL(4,3)) while
+    // Spark accumulates double roundings — coordinates a few ulps apart
+    // move haversine by ~1e-9 m, enough to flip r6 on some rows
+    "q_spatial" ->
+      ("WITH p AS (SELECT event_id, " +
+        "40.5::DOUBLE + (user_id % 97) * 0.004::DOUBLE AS lat, " +
+        "-74.2::DOUBLE + (event_id % 113) * 0.004::DOUBLE AS lon FROM events), " +
+        "q AS (SELECT n_nationkey AS landmark_id, " +
+        "40.52::DOUBLE + (n_nationkey % 19) * 0.019::DOUBLE AS qlat, " +
+        "-74.19::DOUBLE + (n_nationkey % 23) * 0.019::DOUBLE AS qlon FROM nation) " +
+        "SELECT landmark_id, event_id, " +
+        O.r6(havSql("qlat", "qlon", "lat", "lon")) + " AS dist_m " +
+        "FROM q CROSS JOIN p " +
+        "WHERE " + havSql("qlat", "qlon", "lat", "lon") + " <= 500.0 " +
+        "ORDER BY landmark_id, event_id"),
+    "q_cms" ->
+      ("WITH occ AS (SELECT unnest(string_split(text, ' ')) AS tok " +
+        "FROM documents), " +
+        "o AS (SELECT tok FROM occ WHERE length(tok) > 0), " +
+        "sk AS (SELECT r, " + cmsBucketSql + " AS b, count(*)::BIGINT AS cnt " +
+        "FROM o CROSS JOIN range(4) t(r) GROUP BY 1, 2), " +
+        "ex AS (SELECT tok, count(*)::BIGINT AS n_exact FROM o GROUP BY 1), " +
+        "est AS (SELECT tok, min(coalesce(cnt, 0))::BIGINT AS est FROM " +
+        "(SELECT ex.tok, r, " + cmsBucketSql + " AS b " +
+        "FROM ex CROSS JOIN range(4) t(r)) qq " +
+        "LEFT JOIN sk USING (r, b) GROUP BY tok) " +
+        "SELECT tok, n_exact, est, est >= n_exact AS over_ok " +
+        "FROM est JOIN ex USING (tok) ORDER BY tok"),
+    "q_basket" ->
+      ("WITH bi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it " +
+        "FROM lineitem), " +
+        "nb AS (SELECT count(DISTINCT bk)::BIGINT AS nb FROM bi), " +
+        "ic AS (SELECT it, count(*)::BIGINT AS n_item FROM bi GROUP BY 1), " +
+        "pr AS (SELECT x.it AS item_a, y.it AS item_b, count(*)::BIGINT AS n_ab " +
+        "FROM bi x JOIN bi y ON x.bk = y.bk AND x.it < y.it " +
+        "GROUP BY 1, 2 HAVING count(*) >= 3) " +
+        "SELECT item_a, item_b, n_ab, a.n_item AS n_a, b.n_item AS n_b, " +
+        O.r6("n_ab::DOUBLE / nb") + " AS support, " +
+        O.r6("n_ab::DOUBLE / a.n_item") + " AS confidence, " +
+        O.r6("(n_ab * nb)::DOUBLE / (a.n_item * b.n_item)::DOUBLE") + " AS lift " +
+        "FROM pr JOIN ic a ON pr.item_a = a.it " +
+        "JOIN ic b ON pr.item_b = b.it CROSS JOIN nb " +
+        "ORDER BY lift DESC, item_a, item_b LIMIT 50"),
+    "q_prune" ->
+      ("SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, " +
+        "count(*)::BIGINT AS n_rows, min(value) AS min_v, max(value) AS max_v, " +
+        "coalesce(max(value) < 400.0 OR min(value) > 500.0, TRUE) AS skippable, " +
+        "CASE WHEN coalesce(max(value) < 400.0 OR min(value) > 500.0, TRUE) " +
+        "THEN 0 ELSE count(*) END::BIGINT AS scan_rows " +
+        "FROM events GROUP BY 1 ORDER BY day"),
+    "q_readability" ->
+      ("WITH t AS (SELECT doc_id, " +
+        "greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::BIGINT AS s, " +
+        "unnest(string_split(text, ' ')) AS w FROM documents), " +
+        "f AS (SELECT * FROM t WHERE length(w) > 0), " +
+        "a AS (SELECT doc_id, count(*)::BIGINT AS n_words, max(s) AS n_sentences, " +
+        "sum(greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1))::BIGINT " +
+        "AS n_syllables FROM f GROUP BY 1) " +
+        "SELECT doc_id, n_words, n_sentences, n_syllables, " +
+        O.r6("206.835 - 1.015 * (n_words::DOUBLE / n_sentences) - " +
+          "84.6 * (n_syllables::DOUBLE / n_words)") + " AS flesch_ease, " +
+        O.r6("0.39 * (n_words::DOUBLE / n_sentences) + " +
+          "11.8 * (n_syllables::DOUBLE / n_words) - 15.59") + " AS fk_grade " +
+        "FROM a ORDER BY doc_id"),
+    // interior cuts via the SQL-standard cume_dist spelling of
+    // percentile_disc (the q_winsorize discipline); bin = count of cuts
+    // strictly below v
+    "q_bins" ->
+      ("WITH cd AS (SELECT value AS v, " +
+        "cume_dist() OVER (ORDER BY value) AS cd FROM events), " +
+        "cuts AS (SELECT k, min(v) AS cut FROM cd " +
+        "CROSS JOIN range(1, 8) t(k) WHERE cd >= k / 8.0 GROUP BY k), " +
+        "asg AS (SELECT e.value AS v, " +
+        "(SELECT count(*) FROM cuts c WHERE c.cut < e.value)::INT AS bin " +
+        "FROM events e WHERE e.value IS NOT NULL) " +
+        "SELECT bin, count(*)::BIGINT AS n, min(v) AS bin_min, " +
+        "max(v) AS bin_max, " +
+        "(SELECT c.cut FROM cuts c WHERE c.k = bin + 1) AS cut_hi " +
+        "FROM asg GROUP BY bin ORDER BY bin"),
+    "q_jaro" ->
+      ("WITH n AS (SELECT DISTINCT p_name AS name FROM part) " +
+        "SELECT a.name AS name_a, b.name AS name_b, " +
+        O.r6("jaro_winkler_similarity(a.name, b.name)") + " AS jw " +
+        "FROM n a JOIN n b ON a.name < b.name " +
+        "WHERE jaro_winkler_similarity(a.name, b.name) >= 0.7 " +
+        "ORDER BY name_a, name_b"),
+    "q_markov" ->
+      ("WITH p AS (SELECT user_id, event_type, " +
+        "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) " +
+        "AS prev FROM events), " +
+        "c AS (SELECT prev AS state_from, event_type AS state_to, " +
+        "count(*)::BIGINT AS n FROM p WHERE prev IS NOT NULL GROUP BY 1, 2), " +
+        "t AS (SELECT state_from, sum(n)::BIGINT AS tot FROM c GROUP BY 1) " +
+        "SELECT state_from, state_to, n, " + O.r6("n::DOUBLE / tot") + " AS p " +
+        "FROM c JOIN t USING (state_from) ORDER BY state_from, state_to"),
+    // the SET spelling: distinct membership + id self-join — the bitmap
+    // algebra must reproduce exactly these cardinalities
+    "q_bitmap" ->
+      ("WITH m AS (SELECT DISTINCT event_type AS g, user_id AS u FROM events), " +
+        "s AS (SELECT g, count(*)::BIGINT AS n FROM m GROUP BY 1), " +
+        "c AS (SELECT x.g AS g_a, y.g AS g_b, count(*)::BIGINT AS nc " +
+        "FROM m x JOIN m y ON x.u = y.u AND x.g < y.g GROUP BY 1, 2) " +
+        "SELECT a.g AS g_a, b.g AS g_b, a.n AS n_a, b.n AS n_b, " +
+        "coalesce(nc, 0) AS n_common, " +
+        "a.n + b.n - coalesce(nc, 0) AS n_union, " +
+        O.r6("coalesce(nc, 0)::DOUBLE / (a.n + b.n - coalesce(nc, 0))") +
+        " AS jaccard " +
+        "FROM s a JOIN s b ON a.g < b.g " +
+        "LEFT JOIN c ON c.g_a = a.g AND c.g_b = b.g " +
+        "ORDER BY g_a, g_b"),
+  )
+}

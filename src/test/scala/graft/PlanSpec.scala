@@ -208,6 +208,15 @@ class PlanSpec extends SparkTestBase {
     // offsets join is an equi-join, not a BNLJ)
     // (q_kmv_union: the g_a < g_b pair theta-join over the SKETCH frame
     // — groups × k strings, broadcast by construction)
+    // (q_skew_audit: the 1-row fanout-total broadcast)
+    // (q_target_enc: the 1-row global-mean broadcast)
+    // (q_basket: the 1-row basket-count broadcast for the support ratio)
+    // (q_bins: the 1-row percentile-cuts frame broadcast for map-side
+    // bin assignment — the q_histogram shape)
+    // (q_jaro: the distinct-NAME pair matrix — vocabulary-sized theta
+    // join over a broadcast 64-row frame, the expression-parity gate)
+    // (q_bitmap: the groups × groups pair seed over the group-size
+    // frame — group-cardinality-sized by construction)
     val bnljByDesign = Set("q_sim_topk", "q_sim_topk_agg", "q_top_tokens",
       "q_tfidf", "q_asof", "q_sim_ivf", "q_surprisal", "q_kmeans",
       "q_text_knn", // brute-force top-k: broadcast query side, like q_sim_topk
@@ -215,7 +224,8 @@ class PlanSpec extends SparkTestBase {
       "q_sim_hamming", "q_dsir", "q_ppl_band", "q_mix_temp", "q_tpch_q22",
       "q_tpch_q11", "q_tpch_q15", "q_kl_drift", "q_chi2", "q_bm25",
       "q_neg_sample", "q_ann_recall", "q_ann_recall_ivf", "q_ann_recall_trunc",
-      "q_pmi", "q_ks_drift", "q_kmv_union")
+      "q_pmi", "q_ks_drift", "q_kmv_union", "q_skew_audit", "q_target_enc",
+      "q_basket", "q_bins", "q_jaro", "q_bitmap")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = plan(fn(spark, Sf0001))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")

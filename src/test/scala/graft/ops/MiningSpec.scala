@@ -1,0 +1,260 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Round-6 mining/indexing operator semantics on hand-computable
+  * fixtures: grid-join recall vs brute force, CMS guarantees and
+  * mergeability, association-rule arithmetic, prune-audit verdicts,
+  * syllable counting, and equi-depth bin invariants. The DuckDB gates
+  * (q_spatial / q_cms / q_basket / q_prune / q_readability / q_bins)
+  * pin the cross-engine numerics; these pin the algorithms.
+  */
+class MiningSpec extends SparkTestBase {
+
+  // ---- Spatial ----
+
+  test("gridRadiusJoin matches brute-force haversine on a random-ish lattice") {
+    import spark.implicits._
+    val points = (0 until 400).map { i =>
+      (i.toLong, 40.5 + (i % 23) * 0.003, -74.0 + (i % 29) * 0.003)
+    }.toDF("pid", "lat", "lon")
+    val queries = (0 until 7).map { i =>
+      (i.toLong, 40.51 + i * 0.009, -73.99 + i * 0.011)
+    }.toDF("qid", "qlat", "qlon")
+    val grid = Spatial.gridRadiusJoin(points, queries,
+        "pid", "lat", "lon", "qid", "qlat", "qlon",
+        radiusM = 400.0, cellDeg = 0.006, maxAbsLatDeg = 41.0)
+      .select("qid", "pid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = queries.crossJoin(points)
+      .filter(Spatial.haversineM(col("qlat"), col("qlon"), col("lat"), col("lon")) <= 400.0)
+      .select("qid", "pid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "fixture produced no matches — not a real test")
+    assert(grid == brute,
+      s"grid join diverged: missing=${(brute -- grid).take(5)} extra=${(grid -- brute).take(5)}")
+  }
+
+  test("gridRadiusJoin rejects a cell too small for the radius") {
+    import spark.implicits._
+    val df = Seq((1L, 40.5, -74.0)).toDF("id", "lat", "lon")
+    intercept[IllegalArgumentException] {
+      // 0.002° lon at 41° ≈ 168 m < 400 m radius → 3×3 would miss
+      Spatial.gridRadiusJoin(df, df, "id", "lat", "lon", "id", "lat", "lon",
+        radiusM = 400.0, cellDeg = 0.002, maxAbsLatDeg = 41.0)
+    }
+  }
+
+  // ---- Count-min sketch ----
+
+  test("CMS never underestimates, and is exact when w clears the vocabulary") {
+    import spark.implicits._
+    val occ = (Seq.fill(7)("a") ++ Seq.fill(3)("b") ++ Seq.fill(11)("c") ++
+      Seq("d")).toDF("it")
+    val exact = occ.groupBy("it").agg(count(lit(1)).as("n"))
+    // tiny w: collisions certain; estimates must still dominate
+    val tight = Stats.cmsEstimate(
+        Stats.cmsBuild(occ, "it", d = 3, w = 2), exact.select("it"),
+        "it", d = 3, w = 2)
+      .join(exact, "it").collect()
+    tight.foreach(r => assert(r.getAs[Long]("est") >= r.getAs[Long]("n"), r.toString))
+    // wide w: whp each of 4 items gets its own bucket in some row → exact
+    val wide = Stats.cmsEstimate(
+        Stats.cmsBuild(occ, "it", d = 4, w = 1024), exact.select("it"),
+        "it", d = 4, w = 1024)
+      .join(exact, "it").collect()
+    wide.foreach(r => assert(r.getAs[Long]("est") == r.getAs[Long]("n"), r.toString))
+  }
+
+  test("cmsMerge(build(A), build(B)) equals build(A union B) cellwise") {
+    import spark.implicits._
+    val a = Seq("x", "y", "x", "z").toDF("it")
+    val b = Seq("y", "y", "w").toDF("it")
+    val merged = Stats.cmsMerge(
+        Stats.cmsBuild(a, "it", d = 4, w = 8), Stats.cmsBuild(b, "it", d = 4, w = 8))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val direct = Stats.cmsBuild(a.unionAll(b), "it", d = 4, w = 8)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == direct, s"merged=$merged direct=$direct")
+  }
+
+  // ---- Market basket ----
+
+  test("pairAssociations: hand-computed support/confidence/lift; presence not multiplicity") {
+    import spark.implicits._
+    // baskets: 1{A,B}, 2{A,B}, 3{A,C}, 4{B} — and A duplicated in basket 1
+    // must count once
+    val df = Seq(
+      (1L, "A"), (1L, "A"), (1L, "B"),
+      (2L, "A"), (2L, "B"),
+      (3L, "A"), (3L, "C"),
+      (4L, "B"),
+    ).toDF("bk", "it")
+    val r = Basket.pairAssociations(df, "bk", "it", minPairCount = 2, topN = 10)
+      .collect()
+    assert(r.length == 1) // only (A,B) reaches 2 baskets
+    val ab = r(0)
+    assert(ab.getAs[String]("item_a") == "A" && ab.getAs[String]("item_b") == "B")
+    assert(ab.getAs[Long]("n_ab") == 2 && ab.getAs[Long]("n_a") == 3 &&
+      ab.getAs[Long]("n_b") == 3)
+    assert(ab.getAs[Double]("support") == 0.5)      // 2/4
+    assert(math.abs(ab.getAs[Double]("confidence") - 2.0 / 3) < 1e-6)
+    assert(math.abs(ab.getAs[Double]("lift") - 8.0 / 9) < 1e-6) // (2·4)/(3·3)
+  }
+
+  // ---- Prune audit ----
+
+  test("pruneAudit: skippable verdicts incl. the all-null partition") {
+    import spark.implicits._
+    val df = Seq(
+      ("p1", Some(1.0)), ("p1", Some(5.0)),   // overlaps [4,10] → scan
+      ("p2", Some(11.0)), ("p2", Some(20.0)), // min 11 > 10 → skip
+      ("p3", Some(1.0)), ("p3", Some(3.0)),   // max 3 < 4 → skip
+      ("p4", None), ("p4", None),             // stats-less → skip
+    ).toDF("part", "v")
+    val out = Profile.pruneAudit(df, "part", "v", lo = 4.0, hi = 10.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Boolean]("skippable"), r.getAs[Long]("scan_rows"))).toMap
+    assert(out("p1") == (false, 2L), out.toString)
+    assert(out("p2") == (true, 0L))
+    assert(out("p3") == (true, 0L))
+    assert(out("p4") == (true, 0L))
+  }
+
+  // ---- Readability ----
+
+  test("readability: vowel-group syllables, sentence floor, known scores") {
+    import spark.implicits._
+    // "table" → a,e = 2 syllables; "row" → o = 1; "xyz" → floor 1
+    val df = Seq((1L, "table row xyz")).toDF("doc_id", "text")
+    val r = TextAnalysis.readability(df, "doc_id", "text").collect()(0)
+    assert(r.getAs[Long]("n_words") == 3)
+    assert(r.getAs[Long]("n_sentences") == 1) // no terminators → floor
+    assert(r.getAs[Long]("n_syllables") == 4)
+    val wps = 3.0; val spw = 4.0 / 3
+    val expected = math.floor((0.39 * wps + 11.8 * spw - 15.59) * 1e6 + 0.5) / 1e6
+    assert(math.abs(r.getAs[Double]("fk_grade") - expected) < 1e-9)
+  }
+
+  test("readability: sentence terminators counted as runs") {
+    import spark.implicits._
+    val df = Seq((1L, "a b. c d! e f?? g")).toDF("doc_id", "text")
+    val r = TextAnalysis.readability(df, "doc_id", "text").collect()(0)
+    // ".", "!", "??" → 3 terminator runs; tokens "b." "d!" "f??" keep
+    // their punctuation (whitespace tokenization), words = 7
+    assert(r.getAs[Long]("n_sentences") == 3)
+    assert(r.getAs[Long]("n_words") == 7)
+  }
+
+  // ---- Jaro–Winkler ----
+
+  test("JaroWinkler: textbook values, edge conventions, codegen path") {
+    import spark.implicits._
+    import graft.functions.JaroWinkler
+    // the canonical examples every implementation is judged on
+    assert(math.abs(JaroWinkler.similarity("martha", "marhta") - 0.9611111111111111) < 1e-12)
+    assert(math.abs(JaroWinkler.similarity("dwayne", "duane") - 0.84) < 1e-12)
+    assert(math.abs(JaroWinkler.similarity("dixon", "dicksonx") - 0.8133333333333332) < 1e-12)
+    // DuckDB/rapidfuzz conventions: empty sides (incl. both) score 0;
+    // odd transposition count floors
+    assert(JaroWinkler.similarity("", "") == 0.0)
+    assert(JaroWinkler.similarity("a", "") == 0.0)
+    assert(math.abs(JaroWinkler.similarity("abcdef", "bcadef") - 0.9444444444444445) < 1e-12)
+    // identical strings boost to exactly 1.0
+    assert(JaroWinkler.similarity("same", "same") == 1.0)
+    // the q_jaro threshold-boundary pair: both engines compute EXACTLY
+    // one ulp above double(0.7) (0x1.6666666666667p-1) because they
+    // spell the identical op sequence — pin the bits so a reassociation
+    // that silently flips the >= 0.7 filter fails here first
+    assert(JaroWinkler.similarity("blue gear", "small gear")
+      == java.lang.Double.parseDouble("0x1.6666666666667p-1"))
+    // expression path (codegen) equals the static function
+    val df = Seq(("martha", "marhta"), ("dwayne", "duane"), ("", ""))
+      .toDF("a", "b")
+    val rows = df.select(JaroWinkler.jw(col("a"), col("b")).as("jw"))
+      .collect().map(_.getDouble(0))
+    assert(math.abs(rows(0) - 0.9611111111111111) < 1e-12)
+    assert(math.abs(rows(1) - 0.84) < 1e-12)
+    assert(rows(2) == 0.0)
+    // SQL surface registration
+    df.createOrReplaceTempView("jw_pairs")
+    val viaSql = spark.sql("SELECT jaro_winkler(a, b) FROM jw_pairs")
+      .collect().map(_.getDouble(0))
+    assert(viaSql.toSeq == rows.toSeq)
+  }
+
+  // ---- Markov transitions ----
+
+  test("transitionMatrix: hand-computed counts and row-normalized probabilities") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(m: Int) = new java.sql.Timestamp(ts0.getTime + m * 60000L)
+    // user 1: a→b→a→c ; user 2: a→b ; first events contribute no pair
+    val df = Seq(
+      (1L, t(0), 1L, "a"), (1L, t(1), 2L, "b"), (1L, t(2), 3L, "a"),
+      (1L, t(3), 4L, "c"),
+      (2L, t(0), 5L, "a"), (2L, t(1), 6L, "b"),
+    ).toDF("u", "ts", "eid", "st")
+    val out = Behavior.transitionMatrix(df, "u", "ts", "eid", "st")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(out.size == 3)
+    // from a: b twice, c once (3 exits) — r6 of the thirds
+    assert(out(("a", "b")) == (2L, 0.666667), out.toString)
+    assert(out(("a", "c")) == (1L, 0.333333))
+    assert(out(("b", "a")) == (1L, 1.0)) // b exits once, to a
+  }
+
+  // ---- Bitmap set algebra ----
+
+  test("Bitmap overlap equals distinct-set intersection/union, incl. word boundaries") {
+    import spark.implicits._
+    // ids straddle the 63-bit word boundary (62, 63, 64) and repeat
+    val df = Seq(
+      ("x", 0L), ("x", 62L), ("x", 63L), ("x", 64L), ("x", 64L),
+      ("y", 62L), ("y", 64L), ("y", 200L),
+      ("z", 300L), // disjoint from x and y
+    ).toDF("g", "id")
+    val out = Bitmap.overlap(Bitmap.build(df, "g", "id"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out(("x", "y")) == (4L, 3L, 2L, 5L)) // common {62,64}, union 5
+    assert(out(("x", "z")) == (4L, 1L, 0L, 5L)) // disjoint pair still reported
+    assert(out(("y", "z")) == (3L, 1L, 0L, 4L))
+  }
+
+  // ---- Equi-depth bins ----
+
+  test("equiDepthBins: equal counts on a uniform ramp, nulls excluded, edges honest") {
+    import spark.implicits._
+    val df = ((1 to 80).map(i => Some(i.toDouble)) ++ Seq(None, None))
+      .toDF("v")
+    val bins = Features.equiDepthBins(df, "v", nBins = 8)
+      .orderBy("bin").collect()
+    assert(bins.length == 8)
+    assert(bins.forall(_.getAs[Long]("n") == 10L),
+      bins.map(_.getAs[Long]("n")).mkString(","))
+    assert(bins.map(_.getAs[Long]("n")).sum == 80L) // nulls not binned
+    // bins partition the range in order without overlap
+    val pairs = bins.sliding(2).toSeq
+    pairs.foreach { case Array(lo, hi) =>
+      assert(lo.getAs[Double]("bin_max") < hi.getAs[Double]("bin_min"))
+    }
+    // cut_hi of bin k is bin k's max on this tie-free ramp; last is null
+    assert(bins.last.isNullAt(bins.last.fieldIndex("cut_hi")))
+  }
+
+  test("equiDepthBins: tied values never straddle a bin boundary") {
+    import spark.implicits._
+    // 30 copies of 1.0, 10 of 2.0: with 4 bins the tie block must land
+    // entirely in one bin
+    val df = (Seq.fill(30)(1.0) ++ Seq.fill(10)(2.0)).toDF("v")
+    val bins = Features.equiDepthBins(df, "v", nBins = 4)
+      .orderBy("bin").collect()
+    val byBin = bins.map(r => r.getAs[Int]("bin") ->
+      (r.getAs[Long]("n"), r.getAs[Double]("bin_min"), r.getAs[Double]("bin_max"))).toMap
+    assert(byBin.size == 2, byBin.toString)
+    assert(byBin.values.exists { case (n, mn, mx) => n == 30 && mn == 1.0 && mx == 1.0 })
+    assert(byBin.values.exists { case (n, mn, mx) => n == 10 && mn == 2.0 && mx == 2.0 })
+  }
+}
