@@ -172,4 +172,57 @@ object Drift {
         max("d").as("ks"),
         min(when(col("d") === col("_mx"), col("v"))).as("at_value"))
   }
+
+  /** Population Stability Index between a reference and a current
+    * distribution of `valCol` — the model-monitoring drift number
+    * ([[tokenDivergence]] covers categorical token space; PSI is the
+    * standard for a NUMERIC feature/score). Bins are the reference's
+    * equi-depth cuts ([[Features.equiDepthBins]] discipline:
+    * percentile_disc data values, broadcast, count-of-cuts-below
+    * assignment), so every reference bin is populated by construction.
+    * Emits one row per bin — n_ref, n_cur, the two fractions, and the
+    * r6'd PSI term `(p−q)·ln(p/q)` — plus the term column's decimal sum
+    * is the caller's PSI (the gate spells it as a final aggregate). A
+    * bin the current side never hits (q = 0) yields a NULL term rather
+    * than ±∞: the report NAMES the vanished bin and the total PSI over
+    * defined terms still summarizes, the same explicit-violation stance
+    * as [[DataQuality.audit]].
+    *
+    * Scale shape: one percentile aggregate on the reference, a
+    * broadcast cuts row, one narrow bin assignment + hash aggregate per
+    * side, and a nBins-row join. Nothing is corpus-sized after the two
+    * aggregates. Determinism: counts exact; fractions and the single ln
+    * ride the r6-before-sum discipline (q_kl_drift).
+    */
+  def psi(
+      ref: DataFrame,
+      cur: DataFrame,
+      valCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins > 1)
+    val fracs = (1 until nBins).map(k => k.toDouble / nBins)
+    val cuts = ref.agg(
+      array(fracs.map(f =>
+        expr(s"percentile_disc($f) WITHIN GROUP (ORDER BY $valCol)")): _*)
+        .as("_cuts"))
+    def binned(df: DataFrame, outN: String) = {
+      val v = col(valCol)
+      df.filter(v.isNotNull)
+        .crossJoin(broadcast(cuts))
+        .select(size(filter(col("_cuts"), c => c < v)).cast("int").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as(outN))
+    }
+    val r = binned(ref, "n_ref")
+    val c = binned(cur, "n_cur")
+    val joined = r.join(c, Seq("bin"), "left")
+      .na.fill(0L, Seq("n_cur"))
+    val tot = joined.agg(
+      sum(col("n_ref")).as("_tr"), sum(col("n_cur")).as("_tc"))
+    val p = col("n_ref").cast("double") / col("_tr")
+    val q = col("n_cur").cast("double") / col("_tc")
+    joined.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        r6(p).as("p_ref"), r6(q).as("p_cur"),
+        when(col("n_cur") > 0, r6((p - q) * log(p / q))).as("psi_term"))
+  }
 }

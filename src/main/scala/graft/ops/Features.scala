@@ -133,4 +133,43 @@ object Features {
         first(when(col("bin") < nBins - 1,
           element_at(col("_cuts"), col("bin") + 1))).as("cut_hi"))
   }
+
+  /** Quantile normalization of `valCol` across groups: each row maps to
+    * the GLOBAL distribution's value at its within-group rank — the
+    * transform that removes per-source scale/shape bias (microarray
+    * quantile normalization, per-source score calibration) so
+    * downstream thresholds mean the same thing for every source.
+    *
+    * Mechanics: within-group rank r = cume_dist (a window PARTITIONED
+    * BY group — per-source sorts, never a global order), quantized to
+    * grid point k = min(⌈r·nGrid⌉, nGrid), joined to the global
+    * k/nGrid-th percentile_disc value via a broadcast nGrid-row cut
+    * table. Output values are DATA values (percentile_disc), so the
+    * mapping is engine-exact; the ⌈r·nGrid⌉ double is the same
+    * expression tree both engines (ties in cume_dist are peer-counted
+    * identically), making even rounding-boundary grid assignment
+    * deterministic cross-engine.
+    */
+  def quantileNormalize(
+      df: DataFrame,
+      groupCol: String,
+      valCol: String,
+      nGrid: Int = 8): DataFrame = {
+    require(nGrid > 1)
+    val grid = df.agg(
+      array((1 to nGrid).map(k =>
+        expr(s"percentile_disc(${k.toDouble / nGrid}) " +
+          s"WITHIN GROUP (ORDER BY $valCol)")): _*).as("_grid"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(valCol))
+    df.filter(col(valCol).isNotNull)
+      // k stays LONG (Spark ceil's type) — the oracle spells ::BIGINT,
+      // keeping the emitted grid index the same width in both engines
+      .withColumn("_k",
+        least(ceil(cume_dist().over(w) * nGrid), lit(nGrid.toLong)))
+      .crossJoin(broadcast(grid))
+      .withColumn("norm_" + valCol,
+        element_at(col("_grid"), col("_k").cast("int")))
+      .drop("_grid")
+  }
 }

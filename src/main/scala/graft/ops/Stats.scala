@@ -225,4 +225,51 @@ object Stats {
     a.unionByName(b)
       .groupBy("r", "b")
       .agg(sum(col("cnt")).as("cnt"))
+
+  /** A/B test readout: two-proportion z-test on a per-unit binary
+    * outcome, with the variant assigned by the [[Corpus.hashBucket]]
+    * md5 split — deterministic, uniform, reproducible across reruns and
+    * engines (the experiment-assignment discipline every hash-split op
+    * here shares). One output row: unit and conversion counts per arm,
+    * rates, absolute lift, and the pooled z statistic
+    * `(p_a − p_b) / sqrt(p̂(1−p̂)(1/n_a + 1/n_b))`.
+    *
+    * Determinism: all counts are exact integers; the z expression is
+    * one identical double tree (divisions, sqrt — correctly-rounded
+    * IEEE ops) off those integers, then r6. No ln, no transcendentals.
+    *
+    * Scale shape: one per-unit aggregate (max of the outcome flag), one
+    * 2-row aggregate, one 1-row pivot — after the first hash exchange
+    * on the unit key, nothing is data-sized.
+    */
+  def abTest(
+      df: DataFrame,
+      unitCol: String,
+      outcomeCol: String,
+      salt: String = "ab"): DataFrame = {
+    val perUnit = df.groupBy(col(unitCol))
+      .agg(max(col(outcomeCol).cast("int")).as("_conv"))
+      .withColumn("_arm", Corpus.hashBucket(col(unitCol), salt, 2))
+    val arms = perUnit.groupBy("_arm")
+      .agg(count(lit(1)).as("_n"), sum(col("_conv")).as("_c"))
+    val one = arms.agg(
+      max(when(col("_arm") === 0, col("_n"))).as("n_a"),
+      max(when(col("_arm") === 0, col("_c"))).as("conv_a"),
+      max(when(col("_arm") === 1, col("_n"))).as("n_b"),
+      max(when(col("_arm") === 1, col("_c"))).as("conv_b"))
+    val pa = col("conv_a").cast("double") / col("n_a")
+    val pb = col("conv_b").cast("double") / col("n_b")
+    val pooled = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b"))
+    one.select(
+      col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      r6(pa).as("rate_a"), r6(pb).as("rate_b"),
+      r6(pa - pb).as("lift"),
+      // a degenerate experiment (nobody or everybody converted) has no
+      // defined z — NULL, not a division by zero under ANSI mode
+      when(col("conv_a") + col("conv_b") > 0 &&
+          col("conv_a") + col("conv_b") < col("n_a") + col("n_b"),
+        r6((pa - pb) / sqrt(pooled * (lit(1.0) - pooled) *
+          (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))))).as("z"))
+  }
 }

@@ -143,7 +143,49 @@ object MiningQueries {
         graft.ops.Bitmap.build(Tables.events(s, dir), "event_type", "user_id"))
       .orderBy("g_a", "g_b")
 
+  /** Population Stability Index ([[graft.ops.Drift.psi]]): events
+    * values of the first 15 days (reference window) vs the rest
+    * (current), reference-equi-depth 10-bin report. Day 16 splits the
+    * 30-day synthetic window evenly.
+    */
+  def qPsi(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val cutDay = to_date(lit("2024-01-16"))
+    graft.ops.Drift.psi(
+        ev.filter(to_date(col("ts")) < cutDay),
+        ev.filter(to_date(col("ts")) >= cutDay),
+        "value", nBins = 10)
+      .orderBy("bin")
+  }
+
+  /** Quantile normalization ([[Features.quantileNormalize]]): event
+    * values mapped onto the global distribution at their within-type
+    * rank, 8-point grid. Emits the (row, source-rank grid point,
+    * normalized value) triple per event.
+    */
+  def qQuantileNorm(s: SparkSession, dir: String): DataFrame =
+    Features.quantileNormalize(
+        Tables.events(s, dir), "event_type", "value", nGrid = 8)
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("_k").as("k"), col("norm_value"))
+      .orderBy("event_id")
+
+  /** A/B readout ([[Stats.abTest]]): users hash-split into two arms,
+    * outcome = "made a purchase over 150" (67 of 150 users — every user
+    * makes SOME purchase in the synthetic stream, which would pool to
+    * p̂ = 1 and a degenerate z).
+    */
+  def qAbTest(s: SparkSession, dir: String): DataFrame =
+    Stats.abTest(
+      Tables.events(s, dir)
+        .withColumn("converted",
+          (col("event_type") === "purchase" && col("value") > 150).cast("int")),
+      "user_id", "converted")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_psi" -> (qPsi _),
+    "q_quantile_norm" -> (qQuantileNorm _),
+    "q_abtest" -> (qAbTest _),
     "q_spatial" -> (qSpatial _),
     "q_cms" -> (qCms _),
     "q_basket" -> (qBasket _),
@@ -170,6 +212,61 @@ object MiningQueries {
     "('0x' || substr(md5('cms' || '|' || r::VARCHAR || '|' || tok), 1, 8))::BIGINT % 16"
 
   val oracleSql: Map[String, String] = Map(
+    // reference-side equi-depth cuts via the cume_dist spelling of
+    // percentile_disc (q_winsorize discipline); ln under r6-before-use
+    // (q_kl_drift discipline); a vanished current-side bin yields NULL
+    "q_psi" ->
+      ("WITH ref AS (SELECT value AS v FROM events " +
+        "WHERE CAST(ts AS DATE) < DATE '2024-01-16' AND value IS NOT NULL), " +
+        "cur AS (SELECT value AS v FROM events " +
+        "WHERE CAST(ts AS DATE) >= DATE '2024-01-16' AND value IS NOT NULL), " +
+        "cd AS (SELECT v, cume_dist() OVER (ORDER BY v) AS cd FROM ref), " +
+        "cuts AS (SELECT k, min(v) AS cut FROM cd " +
+        "CROSS JOIN range(1, 10) t(k) WHERE cd >= k / 10.0 GROUP BY k), " +
+        "rb AS (SELECT (SELECT count(*) FROM cuts c WHERE c.cut < r.v)::INT " +
+        "AS bin, count(*)::BIGINT AS n_ref FROM ref r GROUP BY 1), " +
+        "cb AS (SELECT (SELECT count(*) FROM cuts c WHERE c.cut < u.v)::INT " +
+        "AS bin, count(*)::BIGINT AS n_cur FROM cur u GROUP BY 1), " +
+        "j AS (SELECT bin, n_ref, coalesce(n_cur, 0) AS n_cur " +
+        "FROM rb LEFT JOIN cb USING (bin)), " +
+        "t AS (SELECT sum(n_ref)::BIGINT AS tr, sum(n_cur)::BIGINT AS tc FROM j) " +
+        "SELECT bin, n_ref, n_cur, " +
+        O.r6("n_ref::DOUBLE / tr") + " AS p_ref, " +
+        O.r6("n_cur::DOUBLE / tc") + " AS p_cur, " +
+        "CASE WHEN n_cur > 0 THEN " +
+        O.r6("(n_ref::DOUBLE / tr - n_cur::DOUBLE / tc) * " +
+          "ln((n_ref::DOUBLE / tr) / (n_cur::DOUBLE / tc))") +
+        " END AS psi_term FROM j, t ORDER BY bin"),
+    "q_quantile_norm" ->
+      ("WITH cd AS (SELECT value AS v, cume_dist() OVER (ORDER BY value) " +
+        "AS cd FROM events WHERE value IS NOT NULL), " +
+        "g AS (SELECT k, min(v) AS gv FROM cd " +
+        "CROSS JOIN range(1, 9) t(k) WHERE cd >= k / 8.0 GROUP BY k), " +
+        "r AS (SELECT event_id, event_type, value, " +
+        "least(ceil(cume_dist() OVER (PARTITION BY event_type " +
+        "ORDER BY value) * 8)::BIGINT, 8::BIGINT) AS k " +
+        "FROM events WHERE value IS NOT NULL) " +
+        "SELECT event_id, event_type, value, k, " +
+        "(SELECT gv FROM g WHERE g.k = r.k) AS norm_value " +
+        "FROM r ORDER BY event_id"),
+    "q_abtest" ->
+      ("WITH u AS (SELECT user_id, " +
+        "max(CASE WHEN event_type = 'purchase' AND value > 150 " +
+        "THEN 1 ELSE 0 END) AS conv, " +
+        "('0x' || substr(md5('ab' || user_id::VARCHAR), 1, 8))::BIGINT % 2 " +
+        "AS arm FROM events GROUP BY user_id), " +
+        "p AS (SELECT count(*) FILTER (WHERE arm = 0)::BIGINT AS n_a, " +
+        "sum(conv) FILTER (WHERE arm = 0)::BIGINT AS conv_a, " +
+        "count(*) FILTER (WHERE arm = 1)::BIGINT AS n_b, " +
+        "sum(conv) FILTER (WHERE arm = 1)::BIGINT AS conv_b FROM u) " +
+        "SELECT n_a, conv_a, n_b, conv_b, " +
+        O.r6("conv_a::DOUBLE / n_a") + " AS rate_a, " +
+        O.r6("conv_b::DOUBLE / n_b") + " AS rate_b, " +
+        O.r6("conv_a::DOUBLE / n_a - conv_b::DOUBLE / n_b") + " AS lift, " +
+        O.r6("(conv_a::DOUBLE / n_a - conv_b::DOUBLE / n_b) / " +
+          "sqrt((conv_a + conv_b)::DOUBLE / (n_a + n_b) * " +
+          "(1.0 - (conv_a + conv_b)::DOUBLE / (n_a + n_b)) * " +
+          "(1.0 / n_a + 1.0 / n_b))") + " AS z FROM p"),
     // every literal ::DOUBLE: DuckDB would otherwise run the point
     // derivation in exact DECIMAL (0.004 parses as DECIMAL(4,3)) while
     // Spark accumulates double roundings — coordinates a few ulps apart

@@ -223,6 +223,70 @@ class MiningSpec extends SparkTestBase {
     assert(out(("y", "z")) == (3L, 1L, 0L, 4L))
   }
 
+  // ---- PSI drift ----
+
+  test("psi: identical distributions score zero; a shifted one does not") {
+    import spark.implicits._
+    val ref = (1 to 100).map(_.toDouble).toDF("v")
+    val same = Drift.psi(ref, ref, "v", nBins = 5).collect()
+    assert(same.length == 5)
+    same.foreach { r =>
+      assert(r.getAs[Long]("n_ref") == 20L && r.getAs[Long]("n_cur") == 20L)
+      assert(r.getAs[Double]("psi_term") == 0.0, r.toString)
+    }
+    // current shifted up: mass leaves low bins — terms sum positive
+    val cur = (51 to 150).map(_.toDouble).toDF("v")
+    val drift = Drift.psi(ref, cur, "v", nBins = 5).collect()
+    val total = drift.flatMap(r =>
+      Option(r.getAs[java.lang.Double]("psi_term")).map(_.toDouble)).sum
+    assert(total > 0.1, s"expected clear drift, got $total")
+    // bins the current side vacated report NULL terms, not infinities
+    assert(drift.count(_.isNullAt(drift.head.fieldIndex("psi_term"))) == 2)
+  }
+
+  // ---- Quantile normalization ----
+
+  test("quantileNormalize maps a biased group onto the global scale") {
+    import spark.implicits._
+    // group a: 1..8 (low-scoring source), group b: 101..108 (high) —
+    // after normalization both groups traverse the SAME global values
+    val df = ((1 to 8).map(i => ("a", i.toDouble)) ++
+      (1 to 8).map(i => ("b", 100.0 + i))).toDF("g", "v")
+    val out = Features.quantileNormalize(df, "g", "v", nGrid = 8)
+    val byGroup = out.collect()
+      .groupBy(_.getAs[String]("g"))
+      .map { case (g, rows) => g -> rows.map(_.getAs[Double]("norm_v")).sorted.toSeq }
+    // both groups hit all 8 global grid values (2,4,6,8,102,104,106,108
+    // = global even ranks over the 16 pooled values)
+    assert(byGroup("a") == byGroup("b"), byGroup.toString)
+    assert(byGroup("a") == Seq(2.0, 4.0, 6.0, 8.0, 102.0, 104.0, 106.0, 108.0))
+  }
+
+  // ---- A/B z-test ----
+
+  test("abTest: hand-computed pooled z on a crafted assignment") {
+    import spark.implicits._
+    val df = (0 until 40).map(i => (i.toLong, if (i % 4 == 0) 1 else 0))
+      .toDF("uid", "conv")
+    val r = Stats.abTest(df, "uid", "conv").collect()(0)
+    val (na, ca) = (r.getAs[Long]("n_a"), r.getAs[Long]("conv_a"))
+    val (nb, cb) = (r.getAs[Long]("n_b"), r.getAs[Long]("conv_b"))
+    assert(na + nb == 40 && ca + cb == 10)
+    val pa = ca.toDouble / na; val pb = cb.toDouble / nb
+    val pool = (ca + cb).toDouble / 40
+    val z = (pa - pb) / math.sqrt(pool * (1.0 - pool) * (1.0 / na + 1.0 / nb))
+    assert(math.abs(r.getAs[Double]("z") -
+      math.floor(z * 1e6 + 0.5) / 1e6) < 1e-9)
+  }
+
+  test("abTest: degenerate experiments yield NULL z, not a division error") {
+    import spark.implicits._
+    val allConv = (0 until 10).map(i => (i.toLong, 1)).toDF("uid", "conv")
+    val r = Stats.abTest(allConv, "uid", "conv").collect()(0)
+    assert(r.isNullAt(r.fieldIndex("z")))
+    assert(r.getAs[Double]("lift") == 0.0)
+  }
+
   // ---- Equi-depth bins ----
 
   test("equiDepthBins: equal counts on a uniform ramp, nulls excluded, edges honest") {
