@@ -128,6 +128,41 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("heavy_hitters"))
   }
 
+  /** Windowed count-min sketch on the stream — [[graft.ops.Stats]]'s
+    * CMS state ((r, bucket, cnt) rows, md5 buckets) maintained as a
+    * streaming windowed aggregation: per open window the state is AT
+    * MOST d·w counter rows no matter how many distinct items flow
+    * through — the bounded-state property that makes a frequency
+    * sketch the streaming answer where per-item counts grow without
+    * bound. Complements [[windowedHeavyHitters]] the same way the
+    * batch ops complement each other: Misra–Gries keeps the few
+    * survivors, CMS can answer a point query for ANY item after the
+    * window closes. Watermark evicts closed windows; a closed window's
+    * rows merge with other shards/days by cellwise addition
+    * ([[graft.ops.Stats.cmsMerge]]), spec-proven equal to the batch
+    * build over the same events.
+    */
+  def windowedCms(
+      events: DataFrame,
+      itemCol: String,
+      watermark: String = "2 hours",
+      windowLen: String = "1 hour",
+      d: Int = 4,
+      w: Int = 64,
+  ): DataFrame = {
+    val bucket = conv(substring(
+        md5(concat_ws("|", lit("cms"), col("r").cast("string"), col(itemCol))),
+        1, 8), 16, 10).cast("long") % w
+    events
+      .withWatermark("ts", watermark)
+      .select(col("ts"), col(itemCol),
+        explode(sequence(lit(0), lit(d - 1))).as("r"))
+      .groupBy(window(col("ts"), windowLen), col("r"), bucket.as("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"),
+        col("r"), col("b"), col("cnt"))
+  }
+
   /** An admission event from [[streamingQuota]]. */
   case class QuotaAdmission(source: String, id: Long, score: Double)
 

@@ -113,6 +113,34 @@ class EventStreamsSpec extends SparkTestBase {
     assert(hh == Seq("click", "view"))
   }
 
+  test("windowed CMS: streaming sketch equals the batch build over the same window") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    // one hour-0 window fed across two micro-batches: the (r, b) counter
+    // state must accumulate, and the closed window's rows must equal
+    // the BATCH cmsBuild over the same events — the merge contract that
+    // lets closed streaming windows join per-day batch sketches
+    val evs = Seq(
+      Event(ts(0, 1), 1, "click", 1.0), Event(ts(0, 2), 2, "click", 1.0),
+      Event(ts(0, 3), 3, "view", 1.0), Event(ts(0, 5), 5, "click", 1.0),
+      Event(ts(0, 6), 6, "purchase", 1.0))
+    input.addData(evs.take(3))
+    input.addData(evs.drop(3))
+    EventStreams.runToMemory(
+      EventStreams.windowedCms(input.toDF(), "event_type", d = 4, w = 8),
+      "cms_stream", OutputMode.Complete())
+    val streamed = spark.table("cms_stream")
+      .select("r", "b", "cnt").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = graft.ops.Stats.cmsBuild(
+        evs.toDF().select(col("event_type")), "event_type", d = 4, w = 8)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    // bounded state: never more than d*w counter rows per window
+    assert(streamed.size <= 32)
+  }
+
   test("stateful running user totals accumulate across micro-batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
