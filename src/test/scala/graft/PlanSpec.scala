@@ -43,6 +43,24 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("HashAggregate"), "no map-side partial aggregate")
   }
 
+  test("spatial grid join: candidates meet by cell hash equi-join, haversine only post-join") {
+    // the radius join must plan as an equi-join on the (cy, cx) cell
+    // keys — a BNLJ/cartesian here would mean the theta distance
+    // predicate reached the join and the grid bucketing bought nothing
+    val p = plan(graft.queries.MiningQueries.qSpatial(spark, Sf0001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"spatial join lost its cell equi-keys:\n$p")
+    assert(p.contains("HashJoin"), s"expected a hash equi-join on cells:\n$p")
+  }
+
+  test("bitmap build: one hash aggregate keyed by (group, word), no window, no join") {
+    val p = plan(graft.ops.Bitmap.build(
+      Tables.events(spark, Sf0001), "event_type", "user_id"))
+    assert(p.contains("HashAggregate"), s"bitmap build not a hash aggregate:\n$p")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"bitmap build should be aggregate-only:\n$p")
+  }
+
   test("hot paths run inside whole-stage codegen, custom expressions included") {
     // the `*(n)` star marks a WholeStageCodegen span in the physical
     // plan string; a scan→filter→project chain outside one means a
@@ -217,6 +235,9 @@ class PlanSpec extends SparkTestBase {
     // join over a broadcast 64-row frame, the expression-parity gate)
     // (q_bitmap: the groups × groups pair seed over the group-size
     // frame — group-cardinality-sized by construction)
+    // (q_psi / q_quantile_norm: the 1-row totals and nBins/nGrid-row
+    // percentile-cut frames broadcast for map-side assignment — the
+    // q_histogram shape again)
     val bnljByDesign = Set("q_sim_topk", "q_sim_topk_agg", "q_top_tokens",
       "q_tfidf", "q_asof", "q_sim_ivf", "q_surprisal", "q_kmeans",
       "q_text_knn", // brute-force top-k: broadcast query side, like q_sim_topk
@@ -225,7 +246,7 @@ class PlanSpec extends SparkTestBase {
       "q_tpch_q11", "q_tpch_q15", "q_kl_drift", "q_chi2", "q_bm25",
       "q_neg_sample", "q_ann_recall", "q_ann_recall_ivf", "q_ann_recall_trunc",
       "q_pmi", "q_ks_drift", "q_kmv_union", "q_skew_audit", "q_target_enc",
-      "q_basket", "q_bins", "q_jaro", "q_bitmap")
+      "q_basket", "q_bins", "q_jaro", "q_bitmap", "q_psi", "q_quantile_norm")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = plan(fn(spark, Sf0001))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
