@@ -137,4 +137,43 @@ object Quantization {
       .filter(col("rank") <= k)
       .select("qid", "cid", "hd", "rank")
   }
+
+  /** Two-stage retrieval — the production architecture the pieces above
+    * exist for, composed end to end: the 32×-smaller binary codes
+    * generate `m` Hamming candidates per query ([[hammingTopK]]), and
+    * ONLY those m rows touch the float store for the exact cosine
+    * re-rank to top `k`. The scan cost is xor+popcount over packed
+    * words; exact scoring pays m·k-sized work instead of corpus-sized —
+    * at 100 TB the float store is read m-rows-per-query via the
+    * candidate equi-join, never scanned.
+    *
+    * Self-matches stay in (a query IS its own nearest neighbor —
+    * dropping it is the caller's filter). Returns
+    * (qid, cid, score r6, rank 1..k) with the (score DESC, cid) total
+    * order so the cut is deterministic cross-engine.
+    */
+  def twoStageTopK(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame, // (qid, qv: array<float>)
+      m: Int,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.queries.Det.r6
+    require(m >= k, s"candidate pool m=$m must cover k=$k")
+    val packed = quantizeBinary(corpus, idCol, vecCol)
+      .select(col(idCol).as("cid"), col("words").as("cw"))
+    val qPacked = quantizeBinary(queries, "qid", "qv")
+      .select(col("qid"), col("words").as("qw"))
+    val cands = hammingTopK(qPacked, packed, m).select("qid", "cid")
+    cands
+      .join(corpus.select(col(idCol).as("cid"), col(vecCol).as("ce")), "cid")
+      .join(broadcast(queries.select(col("qid"), col("qv").as("qe"))), "qid")
+      .withColumn("score", r6(Similarity.cosine(col("qe"), col("ce"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("score").desc, col("cid"))))
+      .filter(col("rank") <= k)
+      .select("qid", "cid", "score", "rank")
+  }
 }

@@ -278,6 +278,22 @@ object ExtQueries {
       .orderBy("qid", "rank")
   }
 
+  /** Two-stage retrieval ([[graft.ops.Quantization.twoStageTopK]]):
+    * binary Hamming candidates (m=50) exact-cosine re-ranked to top-10
+    * — the composed production architecture whose pieces q_sim_hamming
+    * and q_sim_topk gate separately. The oracle replays BOTH stages
+    * from the floats (sign-disagreement Hamming cut, then the cosine
+    * fold), so candidate generation, the m-boundary, re-rank scores,
+    * and the k-cut are hash-checked as one chain.
+    */
+  def qTwoStage(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Quantization.twoStageTopK(
+        emb(s, dir), "vec_id", "embedding",
+        emb(s, dir).filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        m = 50, k = 10)
+      .orderBy("qid", "rank")
+
   /** Distributed Lloyd k-means over the embeddings table
     * ([[graft.ops.Clustering.kmeans]]): k=8, 2 unrolled iterations,
     * deterministic md5 hash-sample init — hash-checked against the generated
@@ -1103,6 +1119,7 @@ object ExtQueries {
     "q_sim_topk_agg" -> (qSimTopkAgg _),
     "q_embed_binary" -> (qEmbedBinary _),
     "q_sim_hamming" -> (qSimHamming _),
+    "q_twostage" -> (qTwoStage _),
     "q_sim_lsh_multi" -> (qSimLshMulti _),
     "q_kmeans" -> (qKmeans _),
     "q_text_stats" -> (qTextStats _),
@@ -1747,6 +1764,23 @@ object ExtQueries {
         "THEN (1::BIGINT << b) ELSE 0 END))::BIGINT) AS words FROM w) " +
         "SELECT vec_id, array_to_string(list_transform(words, " +
         "x -> x::VARCHAR), ',') AS words FROM p ORDER BY vec_id"),
+    // both stages replayed from the floats: sign-disagreement Hamming
+    // m-cut, then the exact cosine fold and k-cut — one chained check
+    "q_twostage" ->
+      ("WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings " +
+        "WHERE vec_id < 5), " +
+        "s AS (SELECT qid, qe, vec_id AS cid, embedding AS ce, " +
+        "list_sum(list_transform(range(1, len(qe) + 1), i -> " +
+        "CASE WHEN (qe[i]::DOUBLE >= 0.0) != (embedding[i]::DOUBLE >= 0.0) " +
+        "THEN 1 ELSE 0 END))::BIGINT AS hd FROM q CROSS JOIN embeddings), " +
+        "c AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY hd, cid) " +
+        "AS hrnk FROM s), " +
+        s"r AS (SELECT qid, cid, ${O.r6(cosSql("qe", "ce"))} AS score " +
+        "FROM c WHERE hrnk <= 50), " +
+        "rr AS (SELECT *, row_number() OVER (PARTITION BY qid " +
+        "ORDER BY score DESC, cid) AS rank FROM r) " +
+        "SELECT qid, cid, score, rank::INT AS rank FROM rr " +
+        "WHERE rank <= 10 ORDER BY qid, rank"),
     // Hamming distance from FLOATS (count of sign disagreements) — the
     // engine's xor/popcount over packed words must agree exactly
     "q_sim_hamming" ->

@@ -223,6 +223,37 @@ class MiningSpec extends SparkTestBase {
     assert(out(("y", "z")) == (3L, 1L, 0L, 4L))
   }
 
+  // ---- Two-stage retrieval ----
+
+  test("twoStageTopK with a corpus-covering pool equals exact cosine top-k") {
+    import spark.implicits._
+    import graft.queries.Det.r6
+    val corpus = (0 until 60).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 7 + d * 3).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    // m = |corpus|: stage 1 admits everyone, so stage 2 IS exact top-k
+    val two = Quantization.twoStageTopK(corpus, "vec_id", "embedding",
+        queries, m = 60, k = 5)
+      .select("qid", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.cosineTopK(
+        queries.select(col("qid"), col("qv").as("qe")),
+        corpus.select(col("vec_id").as("cid"), col("embedding").as("ce")),
+        k = 5, scoreRounding = r6)
+      .select("qid", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // cosineTopK drops self-matches; two-stage keeps them — compare on
+    // the non-self survivors per query
+    val twoIds = two.filter { case (q, c) => q != c }
+    val exactIds = exact
+    // two-stage keeps self at rank 1, so its non-self tail is exact's top-4
+    assert(twoIds.subsetOf(exactIds),
+      s"two-stage diverged from exact: ${twoIds -- exactIds}")
+    assert(twoIds.size == 3 * 4)
+  }
+
   // ---- PSI drift ----
 
   test("psi: identical distributions score zero; a shifted one does not") {
