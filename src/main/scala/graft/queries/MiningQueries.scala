@@ -182,7 +182,35 @@ object MiningQueries {
           (col("event_type") === "purchase" && col("value") > 150).cast("int")),
       "user_id", "converted")
 
+  /** The deterministic typo derivation both engines share verbatim for
+    * the entity-resolution gate: per record, p_partkey % 4 selects
+    * no-op / char-3 deletion / char-2 duplication / leading-case flip.
+    */
+  private val erNameSql =
+    "CASE p_partkey % 4 " +
+      "WHEN 1 THEN concat(substring(p_name, 1, 2), substring(p_name, 4)) " +
+      "WHEN 2 THEN concat(substring(p_name, 1, 2), substring(p_name, 2, 1), " +
+      "substring(p_name, 3)) " +
+      "WHEN 3 THEN concat(upper(substring(p_name, 1, 1)), substring(p_name, 2)) " +
+      "ELSE p_name END"
+
+  /** Entity resolution end to end ([[graft.ops.Linkage]]): part records
+    * with deterministic typos, prefix-blocked Jaro–Winkler match edges
+    * at 0.9, min-label connected components, representative = the
+    * cluster's min-id name. The oracle replays blocking, scoring,
+    * threshold, the recursive closure, AND the representative rule —
+    * the whole record-linkage pipeline as one hash check.
+    */
+  def qEr(s: SparkSession, dir: String): DataFrame = {
+    val recs = Tables.table(s, dir, "part")
+      .select(col("p_partkey").as("rid"), expr(erNameSql).as("name"))
+    graft.ops.Linkage.resolveEntities(recs, "rid", "name",
+        threshold = 0.9, blockLen = 2)
+      .orderBy("rid")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_er" -> (qEr _),
     "q_psi" -> (qPsi _),
     "q_quantile_norm" -> (qQuantileNorm _),
     "q_abtest" -> (qAbTest _),
@@ -212,6 +240,28 @@ object MiningQueries {
     "('0x' || substr(md5('cms' || '|' || r::VARCHAR || '|' || tok), 1, 8))::BIGINT % 16"
 
   val oracleSql: Map[String, String] = Map(
+    // the whole blocked-ER pipeline replayed: typo derivation (shared
+    // string), md5 name ids, prefix blocks, rapidfuzz JW threshold,
+    // recursive closure, min-label representative
+    "q_er" ->
+      (s"WITH RECURSIVE rec AS (SELECT p_partkey AS rid, $erNameSql AS name " +
+        "FROM part), " +
+        "n AS (SELECT DISTINCT name FROM rec), " +
+        "ni AS (SELECT name, ('0x' || substr(md5(name), 1, 15))::BIGINT AS nid, " +
+        "lower(substring(name, 1, 2)) AS blk FROM n), " +
+        "pr AS (SELECT x.nid AS a, y.nid AS bb FROM ni x JOIN ni y " +
+        "ON x.blk = y.blk AND x.nid < y.nid " +
+        "WHERE jaro_winkler_similarity(x.name, y.name) >= 0.9), " +
+        "e AS (SELECT a AS src, bb AS dst FROM pr " +
+        "UNION ALL SELECT bb, a FROM pr), " +
+        "reach(id, r) AS (SELECT src, src FROM e " +
+        "UNION SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id), " +
+        "lab AS (SELECT id, min(r) AS label FROM reach GROUP BY id), " +
+        "fl AS (SELECT ni.name, ni.nid, coalesce(lab.label, ni.nid) AS label " +
+        "FROM ni LEFT JOIN lab ON lab.id = ni.nid), " +
+        "rep AS (SELECT nid AS label, name AS entity FROM ni) " +
+        "SELECT rid, rec.name, rep.entity FROM rec " +
+        "JOIN fl USING (name) JOIN rep USING (label) ORDER BY rid"),
     // reference-side equi-depth cuts via the cume_dist spelling of
     // percentile_disc (q_winsorize discipline); ln under r6-before-use
     // (q_kl_drift discipline); a vanished current-side bin yields NULL

@@ -238,6 +238,8 @@ class PlanSpec extends SparkTestBase {
     // (q_psi / q_quantile_norm: the 1-row totals and nBins/nGrid-row
     // percentile-cut frames broadcast for map-side assignment — the
     // q_histogram shape again)
+    // (q_twostage: stage 1 IS q_sim_hamming's broadcast-query packed
+    // scan; stage 2 joins only the m survivors)
     val bnljByDesign = Set("q_sim_topk", "q_sim_topk_agg", "q_top_tokens",
       "q_tfidf", "q_asof", "q_sim_ivf", "q_surprisal", "q_kmeans",
       "q_text_knn", // brute-force top-k: broadcast query side, like q_sim_topk
@@ -246,7 +248,8 @@ class PlanSpec extends SparkTestBase {
       "q_tpch_q11", "q_tpch_q15", "q_kl_drift", "q_chi2", "q_bm25",
       "q_neg_sample", "q_ann_recall", "q_ann_recall_ivf", "q_ann_recall_trunc",
       "q_pmi", "q_ks_drift", "q_kmv_union", "q_skew_audit", "q_target_enc",
-      "q_basket", "q_bins", "q_jaro", "q_bitmap", "q_psi", "q_quantile_norm")
+      "q_basket", "q_bins", "q_jaro", "q_bitmap", "q_psi", "q_quantile_norm",
+      "q_twostage")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = plan(fn(spark, Sf0001))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")

@@ -223,6 +223,38 @@ class MiningSpec extends SparkTestBase {
     assert(out(("y", "z")) == (3L, 1L, 0L, 4L))
   }
 
+  // ---- Entity resolution ----
+
+  test("resolveEntities: typos cluster to one entity, transitively; strangers stay apart") {
+    import spark.implicits._
+    val recs = Seq(
+      (1L, "acme corp"),   // base
+      (2L, "acme korp"),   // 1 substitution off base
+      (3L, "acme korpo"),  // near variant of 2 (chains to 1 transitively)
+      (4L, "zenith ltd"),  // unrelated entity, own block
+      (5L, "acme corp"),   // exact repeat of 1
+    ).toDF("rid", "name")
+    val out = Linkage.resolveEntities(recs, "rid", "name",
+        threshold = 0.9, blockLen = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // one entity for the acme cluster (whatever representative wins,
+    // it must be the SAME for 1, 2, 3, 5)
+    assert(Set(out(1L), out(2L), out(3L), out(5L)).size == 1, out.toString)
+    assert(out(4L) == "zenith ltd") // singleton represents itself
+    assert(out(1L) != out(4L))
+  }
+
+  test("resolveEntities: blocking is the contract — cross-block lookalikes do not match") {
+    import spark.implicits._
+    // same suffix, different 2-char prefix: JW-similar but never
+    // candidates under the declared block key
+    val recs = Seq((1L, "bolt works"), (2L, "colt works")).toDF("rid", "name")
+    val out = Linkage.resolveEntities(recs, "rid", "name",
+        threshold = 0.85, blockLen = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out(1L) == "bolt works" && out(2L) == "colt works")
+  }
+
   // ---- Two-stage retrieval ----
 
   test("twoStageTopK with a corpus-covering pool equals exact cosine top-k") {
