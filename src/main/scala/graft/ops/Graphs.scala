@@ -188,4 +188,42 @@ object Graphs {
       "r0 AS (SELECT x, 1.0 / nn.n AS r FROM verts CROSS JOIN nn), " +
       s"$steps $finalSelect"
   }
+
+  /** Two unrolled hops of neighborhood mean aggregation — GraphSAGE /
+    * message-passing feature propagation as relational algebra: hop 1
+    * gives each vertex the mean feature of its neighbors; hop 2 the
+    * mean of its neighbors' hop-1 means (information from two edges
+    * away, smoothed). The GNN-precompute shape: each hop is ONE
+    * edge-keyed join plus ONE vertex-keyed aggregate — at 100 TB the
+    * edge frame shuffles by dst once per hop, never materializing
+    * multi-hop path explosions (the k-hop JOIN CHAIN this op exists to
+    * avoid).
+    *
+    * Determinism: hop means are [[graft.queries.Det.davg]] (decimal sum
+    * → one division → r6); hop 2 averages the ALREADY-r6'd hop-1
+    * doubles, which are 6-dp values and therefore exact in
+    * DECIMAL(25,6) — no double-rounding ambiguity. Vertices without
+    * neighbors (absent from edges) report NULL hops.
+    */
+  def khopFeatureMeans(
+      edges: DataFrame, // (u, v), u < v canonical
+      features: DataFrame,
+      vertexCol: String,
+      featCol: String): DataFrame = {
+    import graft.queries.Det.davg
+    val sym = edges.select(col("u").as("src"), col("v").as("dst"))
+      .union(edges.select(col("v").as("src"), col("u").as("dst")))
+    val feats = features.select(
+      col(vertexCol).as("dst"), col(featCol).cast("double").as("_f"))
+    val h1 = sym.join(feats, "dst")
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n_neighbors"), davg(col("_f")).as("h1"))
+    val h2 = sym.join(
+        h1.select(col("src").as("dst"), col("h1").as("_h1d")), "dst")
+      .groupBy(col("src"))
+      .agg(davg(col("_h1d")).as("h2"))
+    features.select(col(vertexCol), col(featCol))
+      .join(h1.withColumnRenamed("src", vertexCol), Seq(vertexCol), "left")
+      .join(h2.withColumnRenamed("src", vertexCol), Seq(vertexCol), "left")
+  }
 }

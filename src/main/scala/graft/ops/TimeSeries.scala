@@ -106,4 +106,63 @@ object TimeSeries {
       .withColumn("recency",
         graft.queries.Det.r6(col("decayed_value") / col("sum_value")))
   }
+
+  /** Offline CUSUM change-point detection per key: the maximum absolute
+    * cumulative deviation of `valCol` from the key's own mean, and the
+    * earliest time attaining it — the classic single-change-point test
+    * statistic (a level shift makes the partial sums drift to a peak AT
+    * the change; a stable series random-walks near zero). Emits per
+    * key: n, the normalized statistic max|S_i|/n (r6), and `change_ts`.
+    *
+    * EXACT-arithmetic trick: instead of deviations from the double
+    * mean (whose rounding would contaminate every partial sum), the
+    * partial sums are computed n-SCALED — S'_i = n·prefix_i − i·total,
+    * all DECIMAL/integer ops — so the running values, the max, and the
+    * argmax tie-compare are bit-exact in both engines; the ONLY double
+    * op is the final /n² normalization, then r6. (S'_i = n²·(classic
+    * CUSUM_i), hence the squared normalizer.)
+    *
+    * Scale shape: one per-key aggregate for (n, total), a key-keyed
+    * join back, one prefix-sum window PARTITIONED BY the key (per-key
+    * sequences, never a global order), one final per-key aggregate.
+    */
+  def cusumChangePoint(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieCol: String,
+      valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = col(valCol).cast("decimal(25,6)")
+    val stats = events.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("_n"), sum(v).as("_tot"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val seq = events.join(stats, Seq(keyCol))
+      .withColumn("_pre", sum(v).over(
+        Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_i", count(lit(1)).over(w))
+      // explicit DECIMAL(12,0)×DECIMAL(24,6) operand casts: the product
+      // stays within precision 38 (exact, no decimal rounding) in BOTH
+      // engines — unbounded bigint×decimal(38,6) would overflow
+      // DuckDB's width rules
+      .withColumn("_s", abs(
+        col("_n").cast("decimal(12,0)") * col("_pre").cast("decimal(24,6)") -
+          col("_i").cast("decimal(12,0)") * col("_tot").cast("decimal(24,6)")))
+    val peak = seq.groupBy(col(keyCol))
+      .agg(max(col("_s")).as("_mx"), max(col("_n")).as("n"))
+    seq.join(peak, Seq(keyCol))
+      .filter(col("_s") === col("_mx"))
+      .groupBy(col(keyCol))
+      .agg(
+        max(col("n")).as("n"),
+        // double cast BEFORE the division: decimal÷bigint would round
+        // by decimal scale rules, which the two engines spell
+        // differently — one IEEE division is bit-portable
+        graft.queries.Det.r6(
+          max(col("_mx")).cast("double") /
+            (max(col("n")) * max(col("n"))).cast("double")).as("cusum"),
+        min(col(tsCol)).as("change_ts"))
+  }
 }

@@ -209,7 +209,31 @@ object MiningQueries {
       .orderBy("rid")
   }
 
+  /** CUSUM change-point detection
+    * ([[graft.ops.TimeSeries.cusumChangePoint]]): per-user max absolute
+    * cumulative deviation of `value` from the user's mean, n-scaled so
+    * every running value, the max, and the argmax tie-compare are exact
+    * DECIMAL — the one double op is the final /n² normalization.
+    */
+  def qCusum(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TimeSeries.cusumChangePoint(
+        Tables.events(s, dir), "user_id", "ts", "event_id", "value")
+      .orderBy("user_id")
+
+  /** Two-hop neighborhood feature propagation
+    * ([[graft.ops.Graphs.khopFeatureMeans]]) over the co-purchase
+    * graph, feature = p_retailprice.
+    */
+  def qKhop(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graphs.khopFeatureMeans(
+        graft.ops.Graphs.coOccurrenceEdges(
+          Tables.table(s, dir, "lineitem"), "l_orderkey", "l_partkey"),
+        Tables.table(s, dir, "part"), "p_partkey", "p_retailprice")
+      .orderBy("p_partkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cusum" -> (qCusum _),
+    "q_khop" -> (qKhop _),
     "q_er" -> (qEr _),
     "q_psi" -> (qPsi _),
     "q_quantile_norm" -> (qQuantileNorm _),
@@ -240,6 +264,41 @@ object MiningQueries {
     "('0x' || substr(md5('cms' || '|' || r::VARCHAR || '|' || tok), 1, 8))::BIGINT % 16"
 
   val oracleSql: Map[String, String] = Map(
+    // n-scaled partial sums: DECIMAL(12,0)×DECIMAL(24,6) operand casts
+    // keep the product exact within width 38 in both engines; the max
+    // and its argmax tie-compare happen on exact decimals, the final
+    // /n² is the single IEEE division
+    "q_cusum" ->
+      ("WITH st AS (SELECT user_id, count(*)::BIGINT AS n, " +
+        "sum(CAST(value AS DECIMAL(25,6))) AS tot FROM events GROUP BY 1), " +
+        "sq AS (SELECT e.user_id, e.ts, st.n, " +
+        "abs(CAST(st.n AS DECIMAL(12,0)) * " +
+        "CAST(sum(CAST(e.value AS DECIMAL(25,6))) OVER w AS DECIMAL(24,6)) - " +
+        "CAST(row_number() OVER w AS DECIMAL(12,0)) * " +
+        "CAST(st.tot AS DECIMAL(24,6))) AS s " +
+        "FROM events e JOIN st USING (user_id) " +
+        "WINDOW w AS (PARTITION BY e.user_id ORDER BY e.ts, e.event_id " +
+        "ROWS UNBOUNDED PRECEDING)), " +
+        "pk AS (SELECT user_id, max(s) AS mx FROM sq GROUP BY 1) " +
+        "SELECT user_id, max(sq.n) AS n, " +
+        O.r6("max(mx)::DOUBLE / (max(sq.n) * max(sq.n))::DOUBLE") + " AS cusum, " +
+        "min(ts) AS change_ts " +
+        "FROM sq JOIN pk USING (user_id) WHERE sq.s = pk.mx " +
+        "GROUP BY user_id ORDER BY user_id"),
+    "q_khop" ->
+      ("WITH eu AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v " +
+        "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey " +
+        "AND a.l_partkey < b.l_partkey), " +
+        "e AS (SELECT u AS src, v AS dst FROM eu " +
+        "UNION ALL SELECT v, u FROM eu), " +
+        "h1 AS (SELECT src, count(*)::BIGINT AS n_neighbors, " +
+        O.davg("p.p_retailprice") + " AS h1 " +
+        "FROM e JOIN part p ON p.p_partkey = e.dst GROUP BY src), " +
+        "h2 AS (SELECT e.src, " + O.davg("h1.h1") + " AS h2 " +
+        "FROM e JOIN h1 ON h1.src = e.dst GROUP BY e.src) " +
+        "SELECT p.p_partkey, p.p_retailprice, h1.n_neighbors, h1.h1, h2.h2 " +
+        "FROM part p LEFT JOIN h1 ON h1.src = p.p_partkey " +
+        "LEFT JOIN h2 ON h2.src = p.p_partkey ORDER BY p.p_partkey"),
     // the whole blocked-ER pipeline replayed: typo derivation (shared
     // string), md5 name ids, prefix blocks, rapidfuzz JW threshold,
     // recursive closure, min-label representative

@@ -25,8 +25,8 @@ class QueriesSmokeSpec extends SparkTestBase {
     * correctness report. Update the constant when adding queries.
     */
   test("registry size is pinned (no silent gate dropouts)") {
-    assert(SparkEntry.queries.size === 194,
-      s"registry has ${SparkEntry.queries.size} queries; expected 194 — " +
+    assert(SparkEntry.queries.size === 196,
+      s"registry has ${SparkEntry.queries.size} queries; expected 196 — " +
         "if you added/removed queries update this pin deliberately")
   }
 }

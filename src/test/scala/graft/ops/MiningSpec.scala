@@ -223,6 +223,51 @@ class MiningSpec extends SparkTestBase {
     assert(out(("y", "z")) == (3L, 1L, 0L, 4L))
   }
 
+  // ---- CUSUM change point ----
+
+  test("cusumChangePoint peaks at a crafted level shift") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(m: Int) = new java.sql.Timestamp(ts0.getTime + m * 60000L)
+    // user 1: 10,10,10,10 then 20,20,20,20 — the change is at index 4;
+    // max |S'| lands on the LAST pre-shift element (minute 3)
+    val df = ((0 until 4).map(i => (1L, t(i), i.toLong, 10.0)) ++
+      (4 until 8).map(i => (1L, t(i), i.toLong, 20.0)) ++
+      // user 2: constant series — partial sums identically zero
+      (0 until 5).map(i => (2L, t(i), (100 + i).toLong, 7.0)))
+      .toDF("u", "ts", "eid", "v")
+    val out = TimeSeries.cusumChangePoint(df, "u", "ts", "eid", "v")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getTimestamp(3))).toMap
+    val (n1, stat1, at1) = out(1L)
+    assert(n1 == 8)
+    // S'_4 = n·prefix − i·total = 8·40 − 4·120 = −160; |.|/n² = 2.5
+    assert(stat1 == 2.5, stat1.toString)
+    assert(at1 == t(3))
+    val (_, stat2, at2) = out(2L)
+    assert(stat2 == 0.0) // constant series never drifts
+    assert(at2 == t(0))  // ties resolve to the earliest instant
+  }
+
+  // ---- k-hop propagation ----
+
+  test("khopFeatureMeans: hand-computed 2-hop means on a path graph") {
+    import spark.implicits._
+    // path 1–2–3 with features 10, 20, 60
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
+    val feats = Seq((1L, 10.0), (2L, 20.0), (3L, 60.0), (4L, 99.0))
+      .toDF("id", "f")
+    val out = Graphs.khopFeatureMeans(edges, feats, "id", "f")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getAs[java.lang.Long]("n_neighbors")),
+          Option(r.getAs[java.lang.Double]("h1")),
+          Option(r.getAs[java.lang.Double]("h2")))).toMap
+    assert(out(1L) == ((Some(1L), Some(20.0), Some(35.0)))) // h2 = h1(2) = (10+60)/2
+    assert(out(2L) == ((Some(2L), Some(35.0), Some(20.0)))) // h2 = (h1(1)+h1(3))/2 = 20
+    assert(out(3L) == ((Some(1L), Some(20.0), Some(35.0))))
+    assert(out(4L) == ((None, None, None))) // isolated vertex: NULL hops
+  }
+
   // ---- Entity resolution ----
 
   test("resolveEntities: typos cluster to one entity, transitively; strangers stay apart") {
