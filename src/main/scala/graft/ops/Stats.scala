@@ -226,6 +226,109 @@ object Stats {
       .groupBy("r", "b")
       .agg(sum(col("cnt")).as("cnt"))
 
+  /** Per-group MAD (median absolute deviation) outlier summary — the
+    * robust twin of [[dailyCountAnomalies]]' z-score: median and MAD
+    * are insensitive to the very outliers they flag, so a fat tail
+    * cannot hide itself by inflating the sigma. Exact-discrete medians
+    * (`percentile_disc`, data values — engine-exact like
+    * [[graft.ops.Features.winsorizeSummary]]'s cuts); the deviation
+    * |x − med| is one IEEE subtraction both engines spell identically,
+    * and the second percentile runs over those derived values. Emits
+    * per group: n, median, mad, and the count beyond `k`·MAD.
+    *
+    * Scale shape: two percentile aggregates and one broadcast join —
+    * the winsorize shape, one extra pass for the second-order median.
+    */
+  def madOutliers(
+      df: DataFrame,
+      groupCol: String,
+      valCol: String,
+      k: Double = 3.0): DataFrame = {
+    val med = df.groupBy(col(groupCol)).agg(
+      expr(s"percentile_disc(0.5) WITHIN GROUP (ORDER BY $valCol)").as("_med"))
+    val dev = df.join(broadcast(med), groupCol)
+      .withColumn("_dev", abs(col(valCol) - col("_med")))
+    val mad = dev.groupBy(col(groupCol)).agg(
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY _dev)").as("_mad"))
+    dev.join(broadcast(mad), groupCol)
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n"),
+        max(col("_med")).as("median"),
+        max(col("_mad")).as("mad"),
+        sum(when(col("_dev") > lit(k) * col("_mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
+
+  /** Benford first-digit audit of a currency-like column: observed
+    * first-significant-digit frequencies vs the Benford expectation
+    * log10(1 + 1/d), with the per-digit chi-square contribution — the
+    * fabricated-data / broken-feed smell test. Values go through
+    * exact-cents integerization (`⌊100·v + 0.5⌋`, the engine's r6
+    * family) and the digit comes from integer string length — both
+    * engine-stable — never from log10 of the value (whose ulp at exact
+    * powers of ten could flip the digit).
+    */
+  def benford(df: DataFrame, valCol: String): DataFrame = {
+    val cents = floor(col(valCol) * 100 + lit(0.5)).cast("long")
+    val base = df.filter(col(valCol).isNotNull && cents > 0)
+      .withColumn("_c", cents)
+      .withColumn("digit",
+        floor(col("_c") / pow(lit(10.0), length(col("_c").cast("string")) - 1))
+          .cast("int"))
+    val tot = base.agg(count(lit(1)).as("_n"))
+    // Spark's log(base, x) evaluates ln(x)/ln(base) — the oracle spells
+    // exactly that ratio, never DuckDB's direct log10
+    val l10 = log(10.0, lit(1.0) + lit(1.0) / col("digit"))
+    base.groupBy("digit")
+      .agg(count(lit(1)).as("n_d"))
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), col("n_d"),
+        r6(col("n_d").cast("double") / col("_n")).as("freq"),
+        r6(l10).as("expected"),
+        r6((col("n_d") - col("_n") * l10) * (col("n_d") - col("_n") * l10) /
+          (col("_n") * l10)).as("chi_term"))
+  }
+
+  /** Concentration metrics per group: Herfindahl–Hirschman index and
+    * Gini coefficient of how `valCol` mass distributes over units —
+    * "is this event type driven by three whales", the
+    * skew-risk/fairness audit in one pass. HHI sums r6'd squared
+    * shares (r6-before-sum); Gini uses the sorted-rank identity
+    * `G = (2·Σ i·s_i − (n+1)·Σ s_i) / (n·Σ s_i)` with ranks from a
+    * per-group window on (s, unit) — integer×DECIMAL exact sums, ONE
+    * final double division. Requires non-negative unit masses.
+    *
+    * Scale shape: one (group, unit) aggregate, one group-partitioned
+    * rank window (bounded by units-per-group), two group aggregates.
+    */
+  def concentration(
+      df: DataFrame,
+      groupCol: String,
+      unitCol: String,
+      valCol: String): DataFrame = {
+    val unitSums = df.groupBy(col(groupCol), col(unitCol))
+      .agg(sum(col(valCol).cast("decimal(25,6)")).as("_s"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("_s"), col(unitCol))
+    val ranked = unitSums.withColumn("_i", row_number().over(w))
+    val tot = ranked.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n_units"), sum(col("_s")).as("_tot"),
+      sum(col("_i").cast("decimal(12,0)") * col("_s").cast("decimal(24,6)"))
+        .as("_ws"))
+    val share = col("_s").cast("double") / col("_tot").cast("double")
+    val hhi = ranked.join(tot.select(col(groupCol), col("_tot")), groupCol)
+      .withColumn("_sh2", r6(share * share))
+      .groupBy(col(groupCol))
+      .agg(r6(sum(col("_sh2").cast("decimal(25,6)")).cast("double")).as("hhi"))
+    tot.join(hhi, groupCol)
+      .select(col(groupCol), col("n_units"), col("hhi"),
+        r6((lit(2.0) * col("_ws").cast("double") -
+            (col("n_units") + 1).cast("double") * col("_tot").cast("double")) /
+          (col("n_units").cast("double") * col("_tot").cast("double")))
+          .as("gini"))
+  }
+
   /** A/B test readout: two-proportion z-test on a per-unit binary
     * outcome, with the variant assigned by the [[Corpus.hashBucket]]
     * md5 split — deterministic, uniform, reproducible across reruns and

@@ -231,7 +231,31 @@ object MiningQueries {
         Tables.table(s, dir, "part"), "p_partkey", "p_retailprice")
       .orderBy("p_partkey")
 
+  /** Robust MAD outlier summary ([[Stats.madOutliers]]): per-type
+    * median, median-absolute-deviation, and the count beyond 3·MAD.
+    */
+  def qMad(s: SparkSession, dir: String): DataFrame =
+    Stats.madOutliers(Tables.events(s, dir), "event_type", "value", k = 3.0)
+      .orderBy("event_type")
+
+  /** Benford first-digit audit ([[Stats.benford]]) of event values:
+    * per-digit observed vs log10(1+1/d) expectation + chi² terms.
+    */
+  def qBenford(s: SparkSession, dir: String): DataFrame =
+    Stats.benford(Tables.events(s, dir), "value")
+      .orderBy("digit")
+
+  /** Concentration metrics ([[Stats.concentration]]): per-type HHI and
+    * Gini of value mass over users.
+    */
+  def qConcentration(s: SparkSession, dir: String): DataFrame =
+    Stats.concentration(Tables.events(s, dir), "event_type", "user_id", "value")
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mad" -> (qMad _),
+    "q_benford" -> (qBenford _),
+    "q_concentration" -> (qConcentration _),
     "q_cusum" -> (qCusum _),
     "q_khop" -> (qKhop _),
     "q_er" -> (qEr _),
@@ -264,6 +288,58 @@ object MiningQueries {
     "('0x' || substr(md5('cms' || '|' || r::VARCHAR || '|' || tok), 1, 8))::BIGINT % 16"
 
   val oracleSql: Map[String, String] = Map(
+    "q_mad" ->
+      ("WITH cd1 AS (SELECT event_type, value AS v, " +
+        "cume_dist() OVER (PARTITION BY event_type ORDER BY value) AS cd " +
+        "FROM events), " +
+        "med AS (SELECT event_type, min(v) AS med FROM cd1 " +
+        "WHERE cd >= 0.5 GROUP BY 1), " +
+        "d AS (SELECT e.event_type, abs(e.value - med.med) AS dev " +
+        "FROM events e JOIN med USING (event_type)), " +
+        "cd2 AS (SELECT event_type, dev, " +
+        "cume_dist() OVER (PARTITION BY event_type ORDER BY dev) AS cd FROM d), " +
+        "md AS (SELECT event_type, min(dev) AS mad FROM cd2 " +
+        "WHERE cd >= 0.5 GROUP BY 1) " +
+        "SELECT d.event_type, count(*)::BIGINT AS n, max(med.med) AS median, " +
+        "max(md.mad) AS mad, " +
+        "sum(CASE WHEN dev > 3.0 * md.mad THEN 1 ELSE 0 END)::BIGINT " +
+        "AS n_outliers " +
+        "FROM d JOIN med USING (event_type) JOIN md USING (event_type) " +
+        "GROUP BY 1 ORDER BY d.event_type"),
+    // digit from integer string length, never log10 of the value; the
+    // log ratio spelled ln/ln to match Spark's log(base, x) evaluation
+    "q_benford" ->
+      ("WITH b AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS c " +
+        "FROM events WHERE value IS NOT NULL " +
+        "AND CAST(floor(value * 100 + 0.5) AS BIGINT) > 0), " +
+        "d AS (SELECT CAST(floor(c / power(10.0, length(c::VARCHAR) - 1)) " +
+        "AS INT) AS digit FROM b), " +
+        "g AS (SELECT digit, count(*)::BIGINT AS n_d FROM d GROUP BY 1), " +
+        "t AS (SELECT count(*)::BIGINT AS n FROM d) " +
+        "SELECT digit, n_d, " +
+        O.r6("n_d::DOUBLE / n") + " AS freq, " +
+        O.r6("ln(1.0 + 1.0 / digit) / ln(10.0)") + " AS expected, " +
+        O.r6("(n_d - n * (ln(1.0 + 1.0 / digit) / ln(10.0))) * " +
+          "(n_d - n * (ln(1.0 + 1.0 / digit) / ln(10.0))) / " +
+          "(n * (ln(1.0 + 1.0 / digit) / ln(10.0)))") + " AS chi_term " +
+        "FROM g, t ORDER BY digit"),
+    "q_concentration" ->
+      ("WITH us AS (SELECT event_type, user_id, " +
+        "sum(CAST(value AS DECIMAL(25,6))) AS s FROM events GROUP BY 1, 2), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY event_type " +
+        "ORDER BY s, user_id) AS i FROM us), " +
+        "t AS (SELECT event_type, count(*)::BIGINT AS n_units, sum(s) AS tot, " +
+        "sum(CAST(i AS DECIMAL(12,0)) * CAST(s AS DECIMAL(24,6))) AS ws " +
+        "FROM r GROUP BY 1), " +
+        "h AS (SELECT r.event_type, " +
+        O.r6("CAST(sum(CAST(" +
+          O.r6("(s::DOUBLE / tot::DOUBLE) * (s::DOUBLE / tot::DOUBLE)") +
+          " AS DECIMAL(25,6))) AS DOUBLE)") + " AS hhi " +
+        "FROM r JOIN t USING (event_type) GROUP BY 1) " +
+        "SELECT event_type, n_units, hhi, " +
+        O.r6("(2.0 * ws::DOUBLE - (n_units + 1)::DOUBLE * tot::DOUBLE) / " +
+          "(n_units::DOUBLE * tot::DOUBLE)") + " AS gini " +
+        "FROM t JOIN h USING (event_type) ORDER BY event_type"),
     // n-scaled partial sums: DECIMAL(12,0)×DECIMAL(24,6) operand casts
     // keep the product exact within width 38 in both engines; the max
     // and its argmax tie-compare happen on exact decimals, the final

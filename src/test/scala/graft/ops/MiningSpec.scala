@@ -223,6 +223,49 @@ class MiningSpec extends SparkTestBase {
     assert(out(("y", "z")) == (3L, 1L, 0L, 4L))
   }
 
+  // ---- MAD outliers ----
+
+  test("madOutliers: robust to the outlier it flags; z-score is not") {
+    import spark.implicits._
+    // 9 values near 10, one at 1000: median/MAD ignore the whale
+    val df = (Seq(9.0, 9.5, 10.0, 10.0, 10.0, 10.5, 10.5, 11.0, 11.0, 1000.0))
+      .map(("g", _)).toDF("g", "v")
+    val r = Stats.madOutliers(df, "g", "v", k = 3.0).collect()(0)
+    assert(r.getAs[Double]("median") == 10.0)
+    assert(r.getAs[Double]("mad") == 0.5)
+    assert(r.getAs[Long]("n_outliers") == 1L) // only the 1000
+  }
+
+  // ---- Benford ----
+
+  test("benford: digits from exact cents, expectation sums to ~1") {
+    import spark.implicits._
+    val df = Seq(1.23, 12.3, 123.0, 9.99, 0.02, 45.6, 0.0).toDF("v")
+    val rows = Stats.benford(df, "v").collect()
+    val byDigit = rows.map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // cents: 123, 1230, 12300 → digit 1 ×3; 999 → 9; 2 → 2; 4560 → 4;
+    // 0 excluded
+    assert(byDigit == Map(1 -> 3L, 9 -> 1L, 2 -> 1L, 4 -> 1L), byDigit.toString)
+    val expSum = rows.map(_.getAs[Double]("expected")).sum
+    assert(expSum > 0 && expSum < 1.0) // partial digit set present
+  }
+
+  // ---- Concentration ----
+
+  test("concentration: uniform mass gives HHI=1/n and Gini=0; a monopoly approaches 1") {
+    import spark.implicits._
+    val uniform = (1 to 4).map(u => ("g", u.toLong, 5.0)).toDF("g", "u", "v")
+    val r1 = Stats.concentration(uniform, "g", "u", "v").collect()(0)
+    assert(r1.getAs[Long]("n_units") == 4)
+    assert(r1.getAs[Double]("hhi") == 0.25)
+    assert(r1.getAs[Double]("gini") == 0.0)
+    val monopoly = (Seq(("g", 1L, 0.000001), ("g", 2L, 0.000001),
+      ("g", 3L, 1000000.0))).toDF("g", "u", "v")
+    val r2 = Stats.concentration(monopoly, "g", "u", "v").collect()(0)
+    assert(r2.getAs[Double]("hhi") > 0.99)
+    assert(r2.getAs[Double]("gini") > 0.6)
+  }
+
   // ---- CUSUM change point ----
 
   test("cusumChangePoint peaks at a crafted level shift") {
