@@ -153,6 +153,31 @@ object Behavior {
     * aggregate and a states-bounded row-total join. The matrix size
     * depends on the state alphabet, not the corpus.
     */
+  /** Top event-sequence motifs: the most frequent length-3 runs of
+    * consecutive states per entity stream — the behavioral n-gram
+    * mining [[transitionMatrix]] generalizes past bigrams. Two lag
+    * windows (entity-partitioned), one states³-bounded aggregate, a
+    * (count DESC, states) total-order top-N cut.
+    */
+  def sequenceMotifs(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      tieCol: String,
+      stateCol: String,
+      topN: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    events
+      .withColumn("_s1", lag(col(stateCol), 2).over(w))
+      .withColumn("_s2", lag(col(stateCol), 1).over(w))
+      .filter(col("_s1").isNotNull && col("_s2").isNotNull)
+      .groupBy(col("_s1").as("s1"), col("_s2").as("s2"),
+        col(stateCol).as("s3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("s1"), col("s2"), col("s3"))
+      .limit(topN)
+  }
+
   def transitionMatrix(
       events: DataFrame,
       userCol: String,

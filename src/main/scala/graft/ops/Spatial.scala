@@ -110,4 +110,27 @@ object Spatial {
       .select(col(qId), col(pId),
         graft.queries.Det.r6(dist).as("dist_m"))
   }
+
+  /** Per-point neighbor density: how many OTHER points lie within
+    * `radiusM` of each point — the DBSCAN core-point / hotspot
+    * primitive, via [[gridRadiusJoin]] applied as a SELF-join (the
+    * symmetric large-queries case: the 9-cell explode rides the
+    * left side, candidates still meet by cell equi-join — fanout is
+    * 9 × cell occupancy per point, never points²). Points sharing the
+    * exact location count each other; only the identity pair drops.
+    */
+  def densityCounts(
+      points: DataFrame,
+      idCol: String, latCol: String, lonCol: String,
+      radiusM: Double,
+      cellDeg: Double,
+      maxAbsLatDeg: Double): DataFrame = {
+    val q = points.select(col(idCol).as("_qid"),
+      col(latCol).as("_qlat2"), col(lonCol).as("_qlon2"))
+    gridRadiusJoin(points, q, idCol, latCol, lonCol,
+        "_qid", "_qlat2", "_qlon2", radiusM, cellDeg, maxAbsLatDeg)
+      .filter(col("_qid") =!= col(idCol))
+      .groupBy(col("_qid").as("point_id"))
+      .agg(count(lit(1)).as("n_neighbors"))
+  }
 }

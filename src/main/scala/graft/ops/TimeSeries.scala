@@ -126,6 +126,49 @@ object TimeSeries {
     * join back, one prefix-sum window PARTITIONED BY the key (per-key
     * sequences, never a global order), one final per-key aggregate.
     */
+  /** Lag-1 autocorrelation of per-key daily counts: Pearson r between
+    * each day's count and the NEXT calendar day's (pairs exist only
+    * where both days do — the date-arithmetic join, not a lead window,
+    * so a gap in the series never pairs non-adjacent days). All moment
+    * sums (n, Σx, Σy, Σxy, Σx², Σy²) are exact BIGINTs; r is one
+    * identical double tree, r6'd — the q_anomaly discipline. Keys with
+    * zero variance on either side report NULL (both engines would
+    * produce NaN from 0/0, but NULL survives the driver hash); keys
+    * with NO adjacent-day pair at all (sparse series) are absent.
+    *
+    * The burstiness/routine signal: r ≈ 1 means busy days follow busy
+    * days; r < 0 means activity alternates.
+    */
+  def dailyAutocorrelation(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String): DataFrame = {
+    val daily = events
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val nxt = daily.select(col(keyCol), col("day").as("_d2"), col("c").as("y"))
+    val pairs = daily
+      .withColumn("_d2", date_add(col("day"), 1))
+      .join(nxt, Seq(keyCol, "_d2"))
+      .select(col(keyCol), col("c").as("x"), col("y"))
+    val m = pairs.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("n_pairs"),
+      sum(col("x")).as("_sx"), sum(col("y")).as("_sy"),
+      sum(col("x") * col("y")).as("_sxy"),
+      sum(col("x") * col("x")).as("_sxx"),
+      sum(col("y") * col("y")).as("_syy"))
+    val n = col("n_pairs").cast("double")
+    val vx = n * col("_sxx").cast("double") -
+      col("_sx").cast("double") * col("_sx").cast("double")
+    val vy = n * col("_syy").cast("double") -
+      col("_sy").cast("double") * col("_sy").cast("double")
+    val cov = n * col("_sxy").cast("double") -
+      col("_sx").cast("double") * col("_sy").cast("double")
+    m.select(col(keyCol), col("n_pairs"),
+      when(vx > 0 && vy > 0, graft.queries.Det.r6(cov / sqrt(vx * vy)))
+        .as("autocorr"))
+  }
+
   def cusumChangePoint(
       events: DataFrame,
       keyCol: String,

@@ -252,7 +252,39 @@ object MiningQueries {
     Stats.concentration(Tables.events(s, dir), "event_type", "user_id", "value")
       .orderBy("event_type")
 
+  /** Lag-1 autocorrelation of per-user daily counts
+    * ([[graft.ops.TimeSeries.dailyAutocorrelation]]).
+    */
+  def qAutocorr(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TimeSeries.dailyAutocorrelation(
+        Tables.events(s, dir), "user_id", "ts")
+      .orderBy("user_id")
+
+  /** Top-20 event-type trigram motifs
+    * ([[graft.ops.Behavior.sequenceMotifs]]).
+    */
+  def qSeq3(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Behavior.sequenceMotifs(
+      Tables.events(s, dir), "user_id", "ts", "event_id", "event_type",
+      topN = 20)
+
+  /** Spatial neighbor density ([[Spatial.densityCounts]]): per event
+    * point, how many other points sit within 300 m — the grid
+    * SELF-join case (the 9-cell explode rides the full point set).
+    * Oracle replays the grid algorithm (cells + neighborhood +
+    * haversine) rather than brute-forcing 10k² pairs; the
+    * no-false-negative property of the grid is already q_spatial's
+    * brute-force-proven contract.
+    */
+  def qDensity(s: SparkSession, dir: String): DataFrame =
+    Spatial.densityCounts(eventPoints(s, dir), "event_id", "lat", "lon",
+        radiusM = 300.0, cellDeg = 0.0065, maxAbsLatDeg = 41.0)
+      .orderBy("point_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_autocorr" -> (qAutocorr _),
+    "q_seq3" -> (qSeq3 _),
+    "q_density" -> (qDensity _),
     "q_mad" -> (qMad _),
     "q_benford" -> (qBenford _),
     "q_concentration" -> (qConcentration _),
@@ -288,6 +320,46 @@ object MiningQueries {
     "('0x' || substr(md5('cms' || '|' || r::VARCHAR || '|' || tok), 1, 8))::BIGINT % 16"
 
   val oracleSql: Map[String, String] = Map(
+    "q_autocorr" ->
+      ("WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day, " +
+        "count(*)::BIGINT AS c FROM events GROUP BY 1, 2), " +
+        "p AS (SELECT a.user_id, a.c AS x, b.c AS y FROM d a " +
+        "JOIN d b ON a.user_id = b.user_id AND b.day = a.day + 1), " +
+        "m AS (SELECT user_id, count(*)::BIGINT AS n_pairs, " +
+        "sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy, " +
+        "sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx, " +
+        "sum(y * y)::BIGINT AS syy FROM p GROUP BY 1) " +
+        "SELECT user_id, n_pairs, " +
+        "CASE WHEN (n_pairs::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) > 0 " +
+        "AND (n_pairs::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) > 0 THEN " +
+        O.r6("(n_pairs::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) / " +
+          "sqrt((n_pairs::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) * " +
+          "(n_pairs::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE))") +
+        " END AS autocorr FROM m ORDER BY user_id"),
+    "q_seq3" ->
+      ("WITH l AS (SELECT user_id, event_type, " +
+        "lag(event_type, 2) OVER w AS s1, lag(event_type, 1) OVER w AS s2 " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) " +
+        "SELECT s1, s2, event_type AS s3, count(*)::BIGINT AS n FROM l " +
+        "WHERE s1 IS NOT NULL AND s2 IS NOT NULL GROUP BY 1, 2, 3 " +
+        "ORDER BY n DESC, s1, s2, s3 LIMIT 20"),
+    // grid REPLAY oracle (cells + 3×3 neighborhood + haversine), not
+    // the 10k² brute force; grid recall is q_spatial's proven contract
+    "q_density" ->
+      ("WITH pts AS (SELECT event_id, " +
+        "40.5::DOUBLE + (user_id % 97) * 0.004::DOUBLE AS lat, " +
+        "-74.2::DOUBLE + (event_id % 113) * 0.004::DOUBLE AS lon FROM events), " +
+        "p AS (SELECT event_id, lat, lon, " +
+        "floor(lat / 0.0065::DOUBLE)::BIGINT AS cy, " +
+        "floor(lon / 0.0065::DOUBLE)::BIGINT AS cx FROM pts), " +
+        "q AS (SELECT event_id AS qid, lat AS qlat, lon AS qlon, " +
+        "cy + dy AS cy, cx + dx AS cx FROM p " +
+        "CROSS JOIN range(-1, 2) t1(dy) CROSS JOIN range(-1, 2) t2(dx)), " +
+        "j AS (SELECT q.qid, p.event_id AS pid FROM q JOIN p USING (cy, cx) " +
+        "WHERE " + havSql("qlat", "qlon", "lat", "lon") + " <= 300.0 " +
+        "AND q.qid != p.event_id) " +
+        "SELECT qid AS point_id, count(*)::BIGINT AS n_neighbors FROM j " +
+        "GROUP BY 1 ORDER BY point_id"),
     "q_mad" ->
       ("WITH cd1 AS (SELECT event_type, value AS v, " +
         "cume_dist() OVER (PARTITION BY event_type ORDER BY value) AS cd " +

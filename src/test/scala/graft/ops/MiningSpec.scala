@@ -223,6 +223,60 @@ class MiningSpec extends SparkTestBase {
     assert(out(("y", "z")) == (3L, 1L, 0L, 4L))
   }
 
+  // ---- Daily autocorrelation ----
+
+  test("dailyAutocorrelation: alternation is negative, constancy is NULL, gaps never pair") {
+    import spark.implicits._
+    def d(day: Int, n: Int, u: Long) = (0 until n).map(i =>
+      (u, java.sql.Timestamp.valueOf(f"2024-01-$day%02d 0$i:00:00")))
+    // user 1: perfectly alternating 1,3,1,3,... daily counts → r = −1
+    val alt = (1 to 8).flatMap(day => d(day, if (day % 2 == 0) 3 else 1, 1L))
+    // user 2: constant 2/day → zero variance → NULL
+    val const = (1 to 5).flatMap(day => d(day, 2, 2L))
+    // user 3: days 1 and 3 only — the gap must produce ZERO pairs
+    val gap = d(1, 2, 3L) ++ d(3, 5, 3L)
+    val df = (alt ++ const ++ gap).toDF("u", "ts")
+    val out = TimeSeries.dailyAutocorrelation(df, "u", "ts")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.getAs[java.lang.Double]("autocorr")))).toMap
+    assert(out(1L)._1 == 7 && out(1L)._2.contains(-1.0), out.toString)
+    assert(out(2L) == ((4L, None)))
+    assert(!out.contains(3L)) // no adjacent-day pair → key absent
+  }
+
+  // ---- Sequence motifs ----
+
+  test("sequenceMotifs counts overlapping trigrams per user stream") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(m: Int) = new java.sql.Timestamp(ts0.getTime + m * 60000L)
+    // user 1: a b a b a → trigrams aba, bab, aba
+    val df = Seq("a", "b", "a", "b", "a").zipWithIndex
+      .map { case (st, i) => (1L, t(i), i.toLong, st) }
+      .toDF("u", "ts", "eid", "st")
+    val out = Behavior.sequenceMotifs(df, "u", "ts", "eid", "st", topN = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        r.getLong(3)).toMap
+    assert(out == Map(("a", "b", "a") -> 2L, ("b", "a", "b") -> 1L))
+  }
+
+  // ---- Spatial density ----
+
+  test("densityCounts: coincident points count each other, identity pair drops") {
+    import spark.implicits._
+    val pts = Seq(
+      (1L, 40.7000, -74.0000), (2L, 40.7000, -74.0000), // coincident pair
+      (3L, 40.7010, -74.0000),                          // ~111 m north of 1,2
+      (4L, 40.9000, -73.8000),                          // far away
+    ).toDF("id", "lat", "lon")
+    val out = Spatial.densityCounts(pts, "id", "lat", "lon",
+        radiusM = 300.0, cellDeg = 0.0065, maxAbsLatDeg = 41.0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == 2L && out(2L) == 2L) // each other + point 3
+    assert(out(3L) == 2L)
+    assert(!out.contains(4L)) // isolated: no neighbor rows
+  }
+
   // ---- MAD outliers ----
 
   test("madOutliers: robust to the outlier it flags; z-score is not") {
