@@ -106,6 +106,31 @@ object Profile {
     * what a stats-pruning reader assumes when null_count is tracked
     * separately — `n_rows` counts them, min/max ignore them.
     */
+  /** Profile DIFF — the data-contract monitor: [[numeric]] computed
+    * over two snapshots (yesterday/today, upstream/downstream,
+    * reference/current) and joined per column, with a `drifted` verdict
+    * when ANY tracked statistic moved (null-safe compare, so a column
+    * going all-NULL trips it too). The per-column stats are the exact
+    * forms, so the verdict has no tolerance knob to mis-set; a
+    * tolerance-based variant belongs downstream of this exact report.
+    * Scale: two [[numeric]] scans + a columns-sized join.
+    */
+  def diff(a: DataFrame, b: DataFrame, cols: Seq[String]): DataFrame = {
+    def side(df: DataFrame, suf: String) =
+      numeric(df, cols).select(
+        col("column"),
+        col("n_nonnull").as(s"n$suf"),
+        col("n_distinct").as(s"distinct$suf"),
+        col("mn").as(s"mn$suf"),
+        col("mx").as(s"mx$suf"),
+        col("median").as(s"median$suf"))
+    side(a, "_a").join(side(b, "_b"), Seq("column"), "full_outer")
+      .withColumn("drifted",
+        !(col("n_a") <=> col("n_b")) || !(col("distinct_a") <=> col("distinct_b")) ||
+          !(col("mn_a") <=> col("mn_b")) || !(col("mx_a") <=> col("mx_b")) ||
+          !(col("median_a") <=> col("median_b")))
+  }
+
   def pruneAudit(
       df: DataFrame,
       partCol: String,

@@ -281,7 +281,22 @@ object MiningQueries {
         radiusM = 300.0, cellDeg = 0.0065, maxAbsLatDeg = 41.0)
       .orderBy("point_id")
 
+  /** Profile diff ([[Profile.diff]]): exact per-column stats of the
+    * first-15-day events window vs the rest, with the null-safe
+    * `drifted` verdict — the data-contract monitor.
+    */
+  def qProfileDiff(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val cutDay = to_date(lit("2024-01-16"))
+    Profile.diff(
+        ev.filter(to_date(col("ts")) < cutDay),
+        ev.filter(to_date(col("ts")) >= cutDay),
+        Seq("value", "user_id"))
+      .orderBy("column")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_profile_diff" -> (qProfileDiff _),
     "q_autocorr" -> (qAutocorr _),
     "q_seq3" -> (qSeq3 _),
     "q_density" -> (qDensity _),
@@ -320,6 +335,27 @@ object MiningQueries {
     "('0x' || substr(md5('cms' || '|' || r::VARCHAR || '|' || tok), 1, 8))::BIGINT % 16"
 
   val oracleSql: Map[String, String] = Map(
+    "q_profile_diff" -> {
+      def prof(cond: String, suf: String) =
+        Seq("value", "user_id").map { c =>
+          s"SELECT '$c' AS \"column\", count(v) AS n$suf, " +
+            s"count(DISTINCT v) AS distinct$suf, min(v)::DOUBLE AS mn$suf, " +
+            s"max(v)::DOUBLE AS mx$suf, " +
+            s"quantile_disc(v, 0.5)::DOUBLE AS median$suf " +
+            s"FROM (SELECT CAST($c AS DOUBLE) AS v FROM events WHERE $cond)"
+        }.mkString("(", " UNION ALL ", ")")
+      "WITH pa AS " +
+        prof("CAST(ts AS DATE) < DATE '2024-01-16'", "_a") +
+        ", pb AS " + prof("CAST(ts AS DATE) >= DATE '2024-01-16'", "_b") +
+        " SELECT \"column\", n_a, distinct_a, mn_a, mx_a, median_a, " +
+        "n_b, distinct_b, mn_b, mx_b, median_b, " +
+        "(NOT (n_a IS NOT DISTINCT FROM n_b) OR " +
+        "NOT (distinct_a IS NOT DISTINCT FROM distinct_b) OR " +
+        "NOT (mn_a IS NOT DISTINCT FROM mn_b) OR " +
+        "NOT (mx_a IS NOT DISTINCT FROM mx_b) OR " +
+        "NOT (median_a IS NOT DISTINCT FROM median_b)) AS drifted " +
+        "FROM pa JOIN pb USING (\"column\") ORDER BY \"column\""
+    },
     "q_autocorr" ->
       ("WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day, " +
         "count(*)::BIGINT AS c FROM events GROUP BY 1, 2), " +

@@ -223,6 +223,19 @@ class MiningSpec extends SparkTestBase {
     assert(out(("y", "z")) == (3L, 1L, 0L, 4L))
   }
 
+  // ---- Profile diff ----
+
+  test("Profile.diff: identical snapshots clean, a shifted column flags drifted") {
+    import spark.implicits._
+    val a = (1 to 20).map(i => (i.toDouble, (i % 5).toDouble)).toDF("x", "y")
+    val same = Profile.diff(a, a, Seq("x", "y")).collect()
+    assert(same.length == 2 && same.forall(!_.getAs[Boolean]("drifted")))
+    val b = (1 to 20).map(i => (i.toDouble + 100, (i % 5).toDouble)).toDF("x", "y")
+    val moved = Profile.diff(a, b, Seq("x", "y"))
+      .collect().map(r => r.getString(0) -> r.getAs[Boolean]("drifted")).toMap
+    assert(moved("x") && !moved("y"), moved.toString)
+  }
+
   // ---- Daily autocorrelation ----
 
   test("dailyAutocorrelation: alternation is negative, constancy is NULL, gaps never pair") {
