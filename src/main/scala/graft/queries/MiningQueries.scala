@@ -16,21 +16,28 @@ import graft.sources.Tables
 object MiningQueries {
 
   /** Deterministic NYC-ish point derivation shared verbatim with the
-    * oracle: events become points on a 0.004° lattice keyed by
-    * (user_id, event_id), nations become 25 query landmarks. Pure
-    * integer-mod + IEEE multiply-add, identical both engines.
+    * oracle: events become points on a 0.0008° lattice keyed by
+    * (user_id % 997, event_id % 1013), nations become 25 query
+    * landmarks. Pure integer-mod + IEEE multiply-add, identical both
+    * engines. The ~1M-site lattice matters for SCALING: site occupancy
+    * stays near-constant as sf grows (the field gains extent-coverage,
+    * like real geo data), so the self-join pair count — and q_density —
+    * grows linearly with rows instead of quadratically on a saturated
+    * small grid (the round-6 sweep measured 15.3× at 10× on the old
+    * 97×113 lattice; densification, not plan, but the denser fixture
+    * was the unrealistic part).
     */
   private def eventPoints(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir).select(
       col("event_id"),
-      (lit(40.5) + (col("user_id") % 97) * lit(0.004)).as("lat"),
-      (lit(-74.2) + (col("event_id") % 113) * lit(0.004)).as("lon"))
+      (lit(40.2) + (col("user_id") % 997) * lit(0.0008)).as("lat"),
+      (lit(-74.6) + (col("event_id") % 1013) * lit(0.0008)).as("lon"))
 
   private def landmarkPoints(s: SparkSession, dir: String): DataFrame =
     Tables.table(s, dir, "nation").select(
       col("n_nationkey").as("landmark_id"),
-      (lit(40.52) + (col("n_nationkey") % 19) * lit(0.019)).as("qlat"),
-      (lit(-74.19) + (col("n_nationkey") % 23) * lit(0.019)).as("qlon"))
+      (lit(40.3) + (col("n_nationkey") % 19) * lit(0.03)).as("qlat"),
+      (lit(-74.55) + (col("n_nationkey") % 23) * lit(0.03)).as("qlon"))
 
   /** Grid-bucketed 500 m radius join ([[Spatial.gridRadiusJoin]]):
     * events-as-points against 25 nation-derived landmarks. The oracle
@@ -383,8 +390,8 @@ object MiningQueries {
     // the 10k² brute force; grid recall is q_spatial's proven contract
     "q_density" ->
       ("WITH pts AS (SELECT event_id, " +
-        "40.5::DOUBLE + (user_id % 97) * 0.004::DOUBLE AS lat, " +
-        "-74.2::DOUBLE + (event_id % 113) * 0.004::DOUBLE AS lon FROM events), " +
+        "40.2::DOUBLE + (user_id % 997) * 0.0008::DOUBLE AS lat, " +
+        "-74.6::DOUBLE + (event_id % 1013) * 0.0008::DOUBLE AS lon FROM events), " +
         "p AS (SELECT event_id, lat, lon, " +
         "floor(lat / 0.0065::DOUBLE)::BIGINT AS cy, " +
         "floor(lon / 0.0065::DOUBLE)::BIGINT AS cx FROM pts), " +
@@ -566,11 +573,11 @@ object MiningQueries {
     // move haversine by ~1e-9 m, enough to flip r6 on some rows
     "q_spatial" ->
       ("WITH p AS (SELECT event_id, " +
-        "40.5::DOUBLE + (user_id % 97) * 0.004::DOUBLE AS lat, " +
-        "-74.2::DOUBLE + (event_id % 113) * 0.004::DOUBLE AS lon FROM events), " +
+        "40.2::DOUBLE + (user_id % 997) * 0.0008::DOUBLE AS lat, " +
+        "-74.6::DOUBLE + (event_id % 1013) * 0.0008::DOUBLE AS lon FROM events), " +
         "q AS (SELECT n_nationkey AS landmark_id, " +
-        "40.52::DOUBLE + (n_nationkey % 19) * 0.019::DOUBLE AS qlat, " +
-        "-74.19::DOUBLE + (n_nationkey % 23) * 0.019::DOUBLE AS qlon FROM nation) " +
+        "40.3::DOUBLE + (n_nationkey % 19) * 0.03::DOUBLE AS qlat, " +
+        "-74.55::DOUBLE + (n_nationkey % 23) * 0.03::DOUBLE AS qlon FROM nation) " +
         "SELECT landmark_id, event_id, " +
         O.r6(havSql("qlat", "qlon", "lat", "lon")) + " AS dist_m " +
         "FROM q CROSS JOIN p " +
