@@ -17,9 +17,9 @@ object MiningQueries {
 
   /** Deterministic NYC-ish point derivation shared verbatim with the
     * oracle: events become points on a 0.0008° lattice keyed by
-    * (user_id % 997, event_id % 1013), nations become 25 query
-    * landmarks. Pure integer-mod + IEEE multiply-add, identical both
-    * engines. The ~1M-site lattice matters for SCALING: site occupancy
+    * (user_id % 997, event_id % 1013); the first 25 events double as
+    * query landmarks. Pure integer-mod + IEEE multiply-add, identical
+    * both engines. The ~1M-site lattice matters for SCALING: site occupancy
     * stays near-constant as sf grows (the field gains extent-coverage,
     * like real geo data), so the self-join pair count — and q_density —
     * grows linearly with rows instead of quadratically on a saturated
@@ -33,14 +33,18 @@ object MiningQueries {
       (lit(40.2) + (col("user_id") % 997) * lit(0.0008)).as("lat"),
       (lit(-74.6) + (col("event_id") % 1013) * lit(0.0008)).as("lon"))
 
+  /** Landmarks anchor at the first 25 events' own positions: every
+    * landmark has at least its anchor within 0 m, so the gate emits
+    * rows at EVERY scale factor — free-floating landmarks went
+    * matchless on the sparse sf0.001 lattice.
+    */
   private def landmarkPoints(s: SparkSession, dir: String): DataFrame =
-    Tables.table(s, dir, "nation").select(
-      col("n_nationkey").as("landmark_id"),
-      (lit(40.3) + (col("n_nationkey") % 19) * lit(0.03)).as("qlat"),
-      (lit(-74.55) + (col("n_nationkey") % 23) * lit(0.03)).as("qlon"))
+    eventPoints(s, dir).filter(col("event_id") < 25).select(
+      col("event_id").as("landmark_id"),
+      col("lat").as("qlat"), col("lon").as("qlon"))
 
   /** Grid-bucketed 500 m radius join ([[Spatial.gridRadiusJoin]]):
-    * events-as-points against 25 nation-derived landmarks. The oracle
+    * events-as-points against 25 event-anchored landmarks. The oracle
     * is the BRUTE-FORCE haversine cross join, so a hash match proves
     * the 3×3 cell neighborhood generates every true candidate — the
     * no-false-negative contract grid pruning must keep.
@@ -575,9 +579,8 @@ object MiningQueries {
       ("WITH p AS (SELECT event_id, " +
         "40.2::DOUBLE + (user_id % 997) * 0.0008::DOUBLE AS lat, " +
         "-74.6::DOUBLE + (event_id % 1013) * 0.0008::DOUBLE AS lon FROM events), " +
-        "q AS (SELECT n_nationkey AS landmark_id, " +
-        "40.3::DOUBLE + (n_nationkey % 19) * 0.03::DOUBLE AS qlat, " +
-        "-74.55::DOUBLE + (n_nationkey % 23) * 0.03::DOUBLE AS qlon FROM nation) " +
+        "q AS (SELECT event_id AS landmark_id, lat AS qlat, lon AS qlon " +
+        "FROM p WHERE event_id < 25) " +
         "SELECT landmark_id, event_id, " +
         O.r6(havSql("qlat", "qlon", "lat", "lon")) + " AS dist_m " +
         "FROM q CROSS JOIN p " +
