@@ -126,6 +126,30 @@ object TimeSeries {
     * join back, one prefix-sum window PARTITIONED BY the key (per-key
     * sequences, never a global order), one final per-key aggregate.
     */
+  /** Day-of-week seasonality profile: per (key, weekday) event counts,
+    * the weekday's share of the key's activity, and its deviation from
+    * the uniform 1/7 — the weekly-rhythm audit behind staffing, alert
+    * thresholds, and "is this feed batch-dumping on Mondays". Weekday
+    * numbering is Spark's `dayofweek` (1 = Sunday); the oracle maps
+    * DuckDB's 0-based dow to match. One (key, dow) aggregate plus a
+    * key-total join — key×7-sized output.
+    */
+  def dayOfWeekProfile(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String): DataFrame = {
+    val counts = events
+      .groupBy(col(keyCol), dayofweek(col(tsCol)).as("dow"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col(keyCol)).agg(sum(col("n")).as("_tot"))
+    counts.join(broadcast(totals), keyCol)
+      .select(col(keyCol), col("dow"), col("n"),
+        graft.queries.Det.r6(col("n").cast("double") / col("_tot")).as("share"),
+        graft.queries.Det.r6(
+          col("n").cast("double") / col("_tot") - lit(1.0) / lit(7.0))
+          .as("dev"))
+  }
+
   /** Lag-1 autocorrelation of per-key daily counts: Pearson r between
     * each day's count and the NEXT calendar day's (pairs exist only
     * where both days do — the date-arithmetic join, not a lead window,

@@ -306,7 +306,16 @@ object MiningQueries {
       .orderBy("column")
   }
 
+  /** Day-of-week seasonality profile
+    * ([[graft.ops.TimeSeries.dayOfWeekProfile]]).
+    */
+  def qDow(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TimeSeries.dayOfWeekProfile(
+        Tables.events(s, dir), "event_type", "ts")
+      .orderBy("event_type", "dow")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dow" -> (qDow _),
     "q_profile_diff" -> (qProfileDiff _),
     "q_autocorr" -> (qAutocorr _),
     "q_seq3" -> (qSeq3 _),
@@ -346,6 +355,17 @@ object MiningQueries {
     "('0x' || substr(md5('cms' || '|' || r::VARCHAR || '|' || tok), 1, 8))::BIGINT % 16"
 
   val oracleSql: Map[String, String] = Map(
+    // Spark dayofweek is 1-based Sunday-first; DuckDB dayofweek is
+    // 0-based Sunday-first — the +1 aligns them
+    "q_dow" ->
+      ("WITH c AS (SELECT event_type, " +
+        "(dayofweek(ts)::INT + 1) AS dow, count(*)::BIGINT AS n " +
+        "FROM events GROUP BY 1, 2), " +
+        "t AS (SELECT event_type, sum(n)::BIGINT AS tot FROM c GROUP BY 1) " +
+        "SELECT event_type, dow, n, " +
+        O.r6("n::DOUBLE / tot") + " AS share, " +
+        O.r6("n::DOUBLE / tot - 1.0 / 7.0") + " AS dev " +
+        "FROM c JOIN t USING (event_type) ORDER BY event_type, dow"),
     "q_profile_diff" -> {
       def prof(cond: String, suf: String) =
         Seq("value", "user_id").map { c =>

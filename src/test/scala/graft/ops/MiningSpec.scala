@@ -223,6 +223,23 @@ class MiningSpec extends SparkTestBase {
     assert(out(("y", "z")) == (3L, 1L, 0L, 4L))
   }
 
+  // ---- Day-of-week profile ----
+
+  test("dayOfWeekProfile: shares sum to 1, Sunday is dow 1, crafted skew surfaces") {
+    import spark.implicits._
+    // 2024-01-07 was a Sunday; put 6 events there and 1 on Monday
+    val df = ((1 to 6).map(i =>
+      ("a", java.sql.Timestamp.valueOf(f"2024-01-07 0$i:00:00"))) :+
+      ("a", java.sql.Timestamp.valueOf("2024-01-08 01:00:00")))
+      .toDF("k", "ts")
+    val out = TimeSeries.dayOfWeekProfile(df, "k", "ts")
+      .collect().map(r => r.getInt(1) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out.keySet == Set(1, 2)) // Sunday=1, Monday=2
+    assert(out(1) == ((6L, math.floor(6.0 / 7 * 1e6 + 0.5) / 1e6)))
+    assert(out(2)._1 == 1L)
+    assert(math.abs(out.values.map(_._2).sum - 1.0) < 2e-6)
+  }
+
   // ---- Profile diff ----
 
   test("Profile.diff: identical snapshots clean, a shifted column flags drifted") {
