@@ -85,6 +85,14 @@ object Bench {
           catch { case scala.util.control.NonFatal(_) => () }
           timed(name)(fn(spark, sfDir).count())
         }
+      // "train_gbt" is a stage, not a registry query; accept it here so
+      // the fit's run-to-run variance can be measured in isolation
+      if (onlyQueries.exists(_.contains("train_gbt")))
+        timed("train_gbt") {
+          val taxi = graft.ml.SyntheticTaxi.frame(spark, 300000).coalesce(8)
+          graft.ml.Trainer.trainFareModel(taxi, "",
+            graft.ml.Trainer.TrainConfig(sampleFraction = 1.0, maxRows = 0))
+        }
       // same errors discipline as the full path: a throwing query keeps
       // its `errors` entry but is dropped from the timings — a fail-fast
       // wall-clock would otherwise read as a phantom speedup
@@ -125,11 +133,24 @@ object Bench {
     new ProcessBuilder("sync").inheritIO().start().waitFor()
     spark.read.text(s"$tmp/events_csv").count()
 
+    // read stage: MEDIAN-OF-3 (round-6 verdict item 1a). Even after the
+    // sync + byte-pass quiesce, single-shot read spanned 3.1–49.8 s for
+    // identical code across rounds — container I/O noise, not engine
+    // cost. Three back-to-back inference reads, median reported as
+    // "read"; all three land in the full artifact (`read_runs`) so the
+    // spread the median adjudicated away stays visible.
+    val readRuns = scala.collection.mutable.ArrayBuffer.empty[Double]
     val raw = timed("read") {
-      val df = Tables.csvInfer(spark, s"$tmp/events_csv") // eager infer pass
-      df.head(5) // the reference's show(5) without stdout noise
+      var df: org.apache.spark.sql.DataFrame = null
+      for (_ <- 1 to 3) {
+        val t0 = System.nanoTime()
+        df = Tables.csvInfer(spark, s"$tmp/events_csv") // eager infer pass
+        df.head(5) // the reference's show(5) without stdout noise
+        readRuns += (System.nanoTime() - t0) / 1e9
+      }
       df
     }
+    if (readRuns.size == 3) times("read") = readRuns.sorted.apply(1)
     raw.foreach { r =>
       timed("read_typed") {
         // production read path: explicit schema, one pass — same actions as
@@ -166,10 +187,12 @@ object Bench {
       }
     }
 
+    val gbtStages = mutable.LinkedHashMap[String, Double]()
     val gbt = timed("train_gbt") {
       val taxi = graft.ml.SyntheticTaxi.frame(spark, 300000).coalesce(8)
       val (_, m) = graft.ml.Trainer.trainFareModel(taxi, "",
-        graft.ml.Trainer.TrainConfig(sampleFraction = 1.0, maxRows = 0))
+        graft.ml.Trainer.TrainConfig(sampleFraction = 1.0, maxRows = 0),
+        (k, v) => gbtStages(s"gbt_$k") = v)
       m
     }
 
@@ -191,9 +214,19 @@ object Bench {
       .map(m => s""""gbt_rmse":${graft.serve.Json.format(m.rmse)},""" +
         s""""gbt_mae":${graft.serve.Json.format(m.mae)},""")
       .getOrElse("")
+    val readRunsJson =
+      if (readRuns.isEmpty) ""
+      else readRuns.mkString(""""read_runs":[""", ",", "],")
+    // fit/evaluate breakdown of train_gbt (round-6 verdict item 8) —
+    // kept OUT of `times` so `total` doesn't double-count the stage
+    val gbtStagesJson =
+      if (gbtStages.isEmpty) ""
+      else gbtStages
+        .map { case (k, v) => s""""$k":$v""" }
+        .mkString(""""gbt_stages":{""", ",", "},")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""errors":${jmap(errors)},"slice_rows":$sliceRows,$gbtStats"sf":"$sfDir"}"""
+        s""""errors":${jmap(errors)},"slice_rows":$sliceRows,$readRunsJson$gbtStagesJson$gbtStats"sf":"$sfDir"}"""
     // every stage/query at full precision → BENCH_full.json (the
     // cross-round comparison artifact; SPARK_GRAFT_BENCH_OUT overrides;
     // empty disables)

@@ -79,13 +79,26 @@ object Trainer {
   }
 
   /** Full training flow; returns metrics and the fitted model (saved to
-    * `modelPath` when non-empty).
+    * `modelPath` when non-empty). `onStage` receives per-stage
+    * wall-clock (`fit` / `evaluate` / `save`) so callers (Bench) can
+    * report the breakdown without re-instrumenting; the default drops
+    * it. The prediction frame is cached across the two evaluator
+    * passes — RegressionEvaluator runs one pass per metric, and
+    * without the cache each pass re-runs `model.transform` over the
+    * test fold (60 trees of scoring, twice).
     */
   def trainFareModel(
       df: DataFrame,
       modelPath: String,
       cfg: TrainConfig = TrainConfig(),
+      onStage: (String, Double) => Unit = (_, _) => (),
   ): (PipelineModel, Metrics) = {
+    def staged[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      onStage(name, (System.nanoTime() - t0) / 1e9)
+      r
+    }
     var mlDf = prepare(df)
     if (cfg.sampleFraction < 1.0)
       mlDf = mlDf.sample(withReplacement = false, cfg.sampleFraction, cfg.seed)
@@ -94,13 +107,14 @@ object Trainer {
     val Array(train, test) = mlDf.randomSplit(Array(0.8, 0.2), cfg.seed)
     train.cache(); test.cache()
 
-    val model = buildPipeline(cfg).fit(train)
-    val preds = model.transform(test)
-    val (rmse, mae) = evaluate(preds)
+    val model = staged("fit")(buildPipeline(cfg).fit(train))
+    val preds = model.transform(test).cache()
+    val (rmse, mae) = staged("evaluate")(evaluate(preds))
     val metrics = Metrics(rmse, mae, train.count(), test.count())
 
-    if (modelPath.nonEmpty) model.write.overwrite().save(modelPath)
-    train.unpersist(); test.unpersist()
+    if (modelPath.nonEmpty)
+      staged("save")(model.write.overwrite().save(modelPath))
+    preds.unpersist(); train.unpersist(); test.unpersist()
     (model, metrics)
   }
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.queries.Det._
@@ -29,9 +29,12 @@ import graft.sources.Tables
   *  - q_dropna      F6 na.drop (`src/models/trainer.py:40`)
   *  - q_e2e         S1→A1 vertical slice: CSV export/infer-read, clean,
   *                  join, aggregate (`src/pipeline/main_etl.py` end-to-end)
-  *  - q_sample      O5 seeded Bernoulli sample — rows-only check (§5.3:
-  *                  RNG is engine-specific, excluded from hashing)
-  *  - q_split       O6 seeded randomSplit — rows-only check
+  *  - q_sample      O5 seeded Bernoulli sample — interval contract gate
+  *                  (§5.3: the RNG draw is engine-specific, so the gate
+  *                  hashes the binomial 6σ bound and a within-bound flag
+  *                  instead of the sampled rows; the q_compress pattern)
+  *  - q_split       O6 seeded randomSplit — same contract gate, plus the
+  *                  partition invariant (parts sum to the whole)
   */
 object RefQueries {
 
@@ -156,16 +159,67 @@ object RefQueries {
       .orderBy("d", "hr", "event_desc") // O1
   }
 
-  /** O5: seeded Bernoulli sample — rows-only check (RNG engine-specific). */
-  def qSample(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .sample(withReplacement = false, fraction = 0.05, seed = 42)
-      .select("l_orderkey", "l_linenumber", "l_quantity")
+  /** The binomial 6σ plausibility interval for a fraction-`p` draw over
+    * `n` rows: [floor(np − 6σ), ceil(np + 6σ)], σ = sqrt(np(1−p)) —
+    * the PropertySpec bound promoted into the hash gate. 6σ makes a
+    * false alarm essentially impossible (P < 2e-9) while still failing
+    * loudly on a broken sampler (wrong fraction, double-sampling,
+    * non-uniform partitioner). All arithmetic in DOUBLE on both
+    * engines; the irrational σ term keeps floor/ceil off exact-integer
+    * boundaries, so the derived lo/hi hash-match DuckDB's.
+    */
+  private def bounds(n: Column, p: Double): (Column, Column) = {
+    val mu = n * p
+    val sd = sqrt(n * p * (1 - p))
+    (floor(mu - sd * 6).cast("long"), ceil(mu + sd * 6).cast("long"))
+  }
 
-  /** O6: seeded randomSplit — rows-only check; returns the 80% part. */
+  private def boundsSql(p: Double): (String, String) = {
+    val mu = s"(n_base * ${p}::DOUBLE)"
+    val sd = s"6 * sqrt(n_base * ${p}::DOUBLE * ${1 - p}::DOUBLE)"
+    (s"CAST(floor($mu - $sd) AS BIGINT)", s"CAST(ceil($mu + $sd) AS BIGINT)")
+  }
+
+  /** O5: seeded Bernoulli sample — interval contract gate. The sampled
+    * row set is engine-RNG-specific (§5.3), so the gate output is the
+    * deterministic part of the contract: the base count, the binomial
+    * 6σ interval, and `within` — TRUE iff the actual draw landed inside
+    * it. The oracle recomputes n/lo/hi independently and asserts
+    * `TRUE AS within`, so an out-of-interval draw hash-fails the gate.
+    * Seed-determinism of the draw itself is PropertySpec's job.
+    *
+    * Scale shape: two single-pass counts over the table (one filtered by
+    * the sample predicate), combined by a 1-row broadcast crossJoin — no
+    * row data ever leaves the executors.
+    */
+  def qSample(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "lineitem")
+    val k = base
+      .sample(withReplacement = false, fraction = 0.05, seed = 42)
+      .agg(count(lit(1)).as("k"))
+    val (lo, hi) = bounds(col("n_base"), 0.05)
+    base.agg(count(lit(1)).as("n_base"))
+      .crossJoin(k)
+      .select(col("n_base"), lo.as("lo"), hi.as("hi"),
+        col("k").between(lo, hi).as("within"))
+  }
+
+  /** O6: seeded randomSplit — the same interval contract gate on the
+    * 80% part, plus randomSplit's structural invariant: the parts are a
+    * PARTITION of the input (`partition_exact` = counts sum back to the
+    * whole; disjointness is PropertySpec's set-level assertion).
+    */
   def qSplit(s: SparkSession, dir: String): DataFrame = {
-    val parts = t(s, dir, "orders").randomSplit(Array(0.8, 0.2), seed = 42)
-    parts(0).select("o_orderkey", "o_custkey", "o_totalprice")
+    val orders = t(s, dir, "orders")
+    val parts = orders.randomSplit(Array(0.8, 0.2), seed = 42)
+    val k0 = parts(0).agg(count(lit(1)).as("k0"))
+    val k1 = parts(1).agg(count(lit(1)).as("k1"))
+    val (lo, hi) = bounds(col("n_base"), 0.8)
+    orders.agg(count(lit(1)).as("n_base"))
+      .crossJoin(k0).crossJoin(k1)
+      .select(col("n_base"), lo.as("lo"), hi.as("hi"),
+        col("k0").between(lo, hi).as("within"),
+        (col("k0") + col("k1") === col("n_base")).as("partition_exact"))
   }
 
   // ---- registry -------------------------------------------------------
@@ -244,5 +298,18 @@ object RefQueries {
         s"${O.davg("rate")} AS avg_rate " +
         "FROM j GROUP BY d, hr, event_desc " +
         "ORDER BY d, hr, event_desc NULLS FIRST"),
+    // interval contract gates (see qSample/qSplit scaladoc): the oracle
+    // recomputes n_base and the 6σ bounds independently; the TRUE
+    // columns assert the engine's draw landed inside them
+    "q_sample" -> {
+      val (lo, hi) = boundsSql(0.05)
+      "SELECT n_base, " + s"$lo AS lo, $hi AS hi, TRUE AS within " +
+        "FROM (SELECT count(*) AS n_base FROM lineitem)"
+    },
+    "q_split" -> {
+      val (lo, hi) = boundsSql(0.8)
+      "SELECT n_base, " + s"$lo AS lo, $hi AS hi, TRUE AS within, " +
+        "TRUE AS partition_exact FROM (SELECT count(*) AS n_base FROM orders)"
+    },
   )
 }

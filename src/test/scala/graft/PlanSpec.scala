@@ -242,6 +242,8 @@ class PlanSpec extends SparkTestBase {
     // scan; stage 2 joins only the m survivors)
     // (q_benford: the 1-row total-count broadcast against the 9-digit
     // aggregate — the q_skew_audit scalar shape)
+    // (q_sample / q_split: interval contract gates — 1-row count
+    // aggregates crossJoined into the 1-row verdict; no row data moves)
     val bnljByDesign = Set("q_sim_topk", "q_sim_topk_agg", "q_top_tokens",
       "q_tfidf", "q_asof", "q_sim_ivf", "q_surprisal", "q_kmeans",
       "q_text_knn", // brute-force top-k: broadcast query side, like q_sim_topk
@@ -251,7 +253,7 @@ class PlanSpec extends SparkTestBase {
       "q_neg_sample", "q_ann_recall", "q_ann_recall_ivf", "q_ann_recall_trunc",
       "q_pmi", "q_ks_drift", "q_kmv_union", "q_skew_audit", "q_target_enc",
       "q_basket", "q_bins", "q_jaro", "q_bitmap", "q_psi", "q_quantile_norm",
-      "q_twostage", "q_benford")
+      "q_twostage", "q_benford", "q_sample", "q_split")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = plan(fn(spark, Sf0001))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
