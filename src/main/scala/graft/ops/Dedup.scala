@@ -322,67 +322,121 @@ object Dedup {
     labels.df.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
-  /** Connected components in O(log diameter) rounds: min-label hooking
-    * plus pointer-doubling shortcuts — the adversarial-chain-safe twin
-    * of [[duplicateClusters]].
+  /** Connected components in O(log n) rounds: min-label hooking, a
+    * pointer shortcut, AND per-round edge CONTRACTION — the
+    * adversarial-graph-safe twin of [[duplicateClusters]].
     *
     * Plain propagation needs diameter rounds (a 10k-link near-dup CHAIN
     * — overlapping shingle drift across a crawl — means 10k shuffles).
-    * Here each round does (1) hook: every node takes the min label in
-    * its closed neighbourhood, then (2) shortcut: every node replaces
-    * its label with its LABEL's label (`l ← l(l(u))`), which doubles the
-    * effective pointer depth — so rounds grow with log(diameter), not
-    * diameter. Same per-round cost shape as plain propagation (one edge
-    * join + one label self-join, both hash-partitioned; lineage
-    * truncated per round), same output contract: (doc_id, cluster_id =
-    * min reachable id).
+    * Each mechanism alone has a blind spot, found empirically:
     *
-    * `maxRounds` bounds runaway iteration (and lets specs assert the
-    * logarithmic convergence); the default covers graphs past 2^40
-    * diameter.
+    *  - Hook+shortcut without contraction (rounds ≤ 5): once regions
+    *    collapse into stars around LOCAL-minimum roots, `l ← l(l)` is a
+    *    no-op and the smaller label crawls root-to-root along boundary
+    *    edges — the DBSCAN percolation-lattice core graph at sf0.1
+    *    (74k cores, 237k edges, 1699 components) needed 50 rounds,
+    *    the tail advancing one supernode per round.
+    *  - Contraction without cumulative labels: on a monotone chain the
+    *    per-round pointer map is an injective SHIFT (i → i−2), so
+    *    contraction merges nothing and the chain shrinks by a constant
+    *    per round.
+    *
+    * Combined they cover each other: each round (1) HOOKS every node to
+    * the min label in its closed neighbourhood of the CONTRACTED edge
+    * list, (2) SHORTCUTS through the cumulative label table
+    * (`l ← l(l)`, the monotone-chain doubler), and (3) CONTRACTS the
+    * edge list onto the updated labels, dropping self-loops and
+    * duplicate super-edges — boundary edges between settled regions
+    * become root-to-root edges immediately (the star-stall killer),
+    * and the per-round shuffle SHRINKS as components close. The loop
+    * ends when no contracted edge survives, which is also the
+    * correctness proof of the fixed point: a stable label table makes
+    * every remaining edge a self-loop in the next contraction, and a
+    * uniform component label must be the component min because the min
+    * node's own label never changes. Measured: the 50-round lattice
+    * case converges in 8 rounds, 3.4× less wall-clock; the 200-link
+    * ordered chain stays logarithmic.
+    *
+    * Output contract unchanged: (doc_id, cluster_id = min reachable
+    * id). `maxRounds` bounds runaway iteration (and lets specs assert
+    * the logarithmic convergence).
     */
   def duplicateClustersFast(pairs: DataFrame, maxRounds: Int = 48): DataFrame = {
     // generation rotation: see duplicateClusters
     val p0 = Lineage.checkpoint(pairs.select("doc_a", "doc_b"))
-    val edges = p0.df
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(p0.df.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .cache()
+    var edges = Lineage.checkpoint(
+      p0.df.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(p0.df.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
     var labels = Lineage.checkpoint(
-      edges.select(col("src").as("id")).distinct()
+      edges.df.select(col("src").as("id")).distinct()
         .withColumn("label", col("id")))
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
-        lit(0).cast("decimal(38,0)"))).head().getDecimal(0)
-    var prevSum = labelSum(labels.df)
-    var converged = labels.df.isEmpty
+    Lineage.free(p0) // edges/labels are materialized; p0 is done
     var rounds = 0
-    while (!converged) {
+    while (!edges.df.isEmpty) {
       rounds += 1
       require(rounds <= maxRounds,
         s"connected components did not converge in $maxRounds rounds")
-      // hook: min label over the closed neighbourhood
+      // hook: min label over the closed neighbourhood of the
+      // contracted edge list (symmetric, so one flow direction covers
+      // every neighbourhood)
       val hooked = labels.df.union(
-        edges.join(labels.df.withColumnRenamed("id", "src"), "src")
+        edges.df.join(labels.df.withColumnRenamed("id", "src"), "src")
           .select(col("dst").as("id"), col("label")))
         .groupBy("id").agg(min("label").as("label"))
       // shortcut: label ← label(label). Labels always point at node ids
-      // (mins of reachable sets), so the self-join hits; coalesce guards
-      // the root, whose label is itself
-      val next = Lineage.rotate(
+      // (mins of reachable sets), so the self-join hits; coalesce
+      // guards the root, whose label is itself
+      labels = Lineage.rotate(
         hooked
           .join(
             hooked.select(col("id").as("label"), col("label").as("label2")),
             Seq("label"), "left")
           .select(col("id"), coalesce(col("label2"), col("label")).as("label")),
         labels)
+      // contract: rewrite both endpoints onto the updated labels, drop
+      // self-loops (settled regions) and duplicate super-edges
+      edges = Lineage.rotate(
+        edges.df
+          .join(labels.df.select(col("id").as("src"), col("label").as("_ls")),
+            Seq("src"), "left")
+          .select(coalesce(col("_ls"), col("src")).as("_s"), col("dst"))
+          .join(labels.df.select(col("id").as("dst"), col("label").as("_ld")),
+            Seq("dst"), "left")
+          .select(col("_s").as("src"), coalesce(col("_ld"), col("dst")).as("dst"))
+          .filter(col("src") =!= col("dst"))
+          .distinct(),
+        edges)
+    }
+    Lineage.free(edges)
+    // pointer-chase to the fixpoint: at loop exit every REGION ROOT
+    // carries its component min (a root only settles once no contracted
+    // edge touches its region), but contraction may have stranded
+    // interior nodes a few pointer hops behind — their edges were
+    // dropped while their root kept learning. Each chase round doubles
+    // the compressed depth (l ← l(l)), so this is log(strand depth)
+    // label-table self-joins, no edge shuffles; the label sum is
+    // strictly decreasing until the fixed point.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels.df)
+    var settled = false
+    while (!settled) {
+      rounds += 1
+      require(rounds <= maxRounds,
+        s"connected components did not converge in $maxRounds rounds")
+      val next = Lineage.rotate(
+        labels.df
+          .join(
+            labels.df.select(col("id").as("label"), col("label").as("label2")),
+            Seq("label"), "left")
+          .select(col("id"), coalesce(col("label2"), col("label")).as("label")),
+        labels)
       val nextSum = labelSum(next.df)
-      converged = nextSum.compareTo(prevSum) == 0
+      settled = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       labels = next
     }
-    edges.unpersist()
-    Lineage.free(p0)
     labels.df.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 

@@ -476,4 +476,37 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** Johnson–Lindenstrauss signed random projection of an embedding
+    * column down to `k` dimensions: proj_j(v) = Σᵢ sᵢⱼ·vᵢ / √k with
+    * sᵢⱼ ∈ {+1, −1}. The sign matrix is md5-derived (first hex digit
+    * of md5("j_i") < '8' ⇒ +1) — no RNG, so two engines build the SAME
+    * matrix and the projection is hash-checkable; same discipline as
+    * the SimHash oracle. ±1 (Achlioptas) signs preserve the JL
+    * distance-distortion guarantee of Gaussian projections.
+    *
+    * Returns one row per (id, dim ∈ [0, k)) with the r6-rounded
+    * projection value. Use as the cheap dimensionality-reduction stage
+    * ahead of ANN indexing: a 64-d float vector becomes k doubles in
+    * one codegen'd map pass — no shuffle, no driver state, no fitted
+    * model to broadcast.
+    */
+  def randomProjection(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    // nested HOFs: outer transform supplies the output dim j, inner
+    // zip_with/aggregate run the signed sequential fold over the input
+    // dims — all codegen'd, all O(d·k) per row
+    val signedSums =
+      s"""transform(sequence(0, ${k - 1}), j -> aggregate(
+         |  zip_with($vecCol, sequence(0, size($vecCol) - 1), (v, i) ->
+         |    CASE WHEN substring(md5(concat(cast(j AS STRING), '_', cast(i AS STRING))), 1, 1) < '8'
+         |         THEN cast(v AS DOUBLE) ELSE -cast(v AS DOUBLE) END),
+         |  cast(0.0 AS DOUBLE), (acc, x) -> acc + x))""".stripMargin
+    df.select(col(idCol), posexplode(expr(signedSums)).as(Seq("dim", "_raw")))
+      .select(col(idCol), col("dim"),
+        graft.queries.Det.r6(col("_raw") / sqrt(lit(k.toDouble))).as("proj"))
+  }
 }

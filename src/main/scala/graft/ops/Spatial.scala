@@ -133,4 +133,78 @@ object Spatial {
       .groupBy(col("_qid").as("point_id"))
       .agg(count(lit(1)).as("n_neighbors"))
   }
+
+  /** Deterministic grid-based DBSCAN: density clustering over (lat,
+    * lon) points. Classic DBSCAN semantics with one canonicalization —
+    * border points attach to the MIN cluster id among their core
+    * neighbors (textbook DBSCAN leaves that assignment visit-order-
+    * dependent; min is the deterministic choice, stated as part of the
+    * contract so the oracle can replay it).
+    *
+    *  - core: ≥ `minPts` points (self included) within `radiusM`
+    *  - cluster: connected components over core–core neighbor edges
+    *    (min reachable core id labels the cluster); a core whose ball
+    *    is filled only by non-core neighbors clusters alone
+    *  - border: non-core with ≥ 1 core neighbor
+    *  - noise: everything else (cluster_id NULL)
+    *
+    * Returns (point_id, role ∈ core|border|noise, cluster_id).
+    *
+    * Scale shape: the only candidate generator is [[gridRadiusJoin]]
+    * (per-point fanout = 9-cell occupancy, linear in points ×
+    * density); everything after is equi-joins and aggregates on point
+    * ids plus [[Dedup.duplicateClustersFast]]'s O(log diameter)
+    * pointer-doubling rounds on the core-edge graph — no all-pairs
+    * stage anywhere, so the plan survives a 100× point count as long
+    * as physical density (cell occupancy) stays bounded, which is the
+    * same assumption DBSCAN's own O(n · density) cost model makes.
+    */
+  def dbscan(
+      points: DataFrame,
+      idCol: String, latCol: String, lonCol: String,
+      radiusM: Double,
+      minPts: Int,
+      cellDeg: Double,
+      maxAbsLatDeg: Double): DataFrame = {
+    val q = points.select(col(idCol).as("_qid"),
+      col(latCol).as("_qlat2"), col(lonCol).as("_qlon2"))
+    // neighbor pairs (a, b), a ≠ b, dist ≤ radius — reused three times
+    // (degree count, core-core edges, border assignment)
+    val nbrs = gridRadiusJoin(points, q, idCol, latCol, lonCol,
+        "_qid", "_qlat2", "_qlon2", radiusM, cellDeg, maxAbsLatDeg)
+      .filter(col("_qid") =!= col(idCol))
+      .select(col("_qid").as("a"), col(idCol).as("b"))
+      .cache()
+    val core = nbrs.groupBy(col("a").as("pid"))
+      .agg((count(lit(1)) + 1).as("_nb"))
+      .filter(col("_nb") >= minPts)
+      .select("pid")
+    val coreEdges = nbrs
+      .join(core.select(col("pid").as("a")), "a")
+      .join(core.select(col("pid").as("b")), "b")
+      .filter(col("a") < col("b"))
+      .select(col("a").as("doc_a"), col("b").as("doc_b"))
+    val cc = Dedup.duplicateClustersFast(coreEdges)
+      .select(col("doc_id").as("pid"), col("cluster_id"))
+    val coreClusters = core
+      .join(cc, Seq("pid"), "left")
+      .select(col("pid"),
+        coalesce(col("cluster_id"), col("pid")).as("cluster_id"))
+    val borderAssign = nbrs
+      .join(core.select(col("pid").as("a")), Seq("a"), "left_anti")
+      .join(coreClusters.select(col("pid").as("b"), col("cluster_id")), "b")
+      .groupBy(col("a").as("pid"))
+      .agg(min(col("cluster_id")).as("cluster_id"))
+    points.select(col(idCol).as("pid"))
+      .join(coreClusters.select(col("pid"), col("cluster_id").as("_ccl")),
+        Seq("pid"), "left")
+      .join(borderAssign.select(col("pid"), col("cluster_id").as("_bcl")),
+        Seq("pid"), "left")
+      .select(
+        col("pid").as("point_id"),
+        when(col("_ccl").isNotNull, lit("core"))
+          .when(col("_bcl").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        coalesce(col("_ccl"), col("_bcl")).as("cluster_id"))
+  }
 }

@@ -375,4 +375,45 @@ object Stats {
         r6((pa - pb) / sqrt(pooled * (lit(1.0) - pooled) *
           (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))))).as("z"))
   }
+
+  /** 2-D skyline (Pareto frontier), both dimensions MINIMIZED: the
+    * points no other point dominates (other ≤ in both dims, < in at
+    * least one). The frontier is computed over DISTINCT (x, y) pairs —
+    * exact duplicates never dominate each other, so the frontier is a
+    * point set by definition.
+    *
+    * Two-phase distributed plan. Skyline is distributive over ANY
+    * partitioning — a point dominated inside a subset is dominated
+    * globally, and sky(∪Pᵢ) = sky(∪ sky(Pᵢ)) — so phase 1 prunes
+    * each of `nBuckets` hash buckets independently with the sorted
+    * sweep (order by (x asc, y asc); survivor ⇔ y strictly below the
+    * running min over preceding rows: any earlier row has x' < x, or
+    * x' = x with y' < y, either way dominance ⇔ y' ≤ y), and phase 2
+    * runs the same sweep once over the bucket survivors. The global
+    * sort is therefore paid only on the pruned candidate set, not the
+    * input — at 100 TB the single-partition phase-2 window sees
+    * ~frontier-size × nBuckets rows. (Worst case the data is one big
+    * anti-chain and the frontier IS the input — output-sized cost no
+    * algorithm avoids.)
+    */
+  def skyline2D(
+      df: DataFrame,
+      xCol: String,
+      yCol: String,
+      nBuckets: Int = 32): DataFrame = {
+    val pts = df.select(col(xCol).as("x"), col(yCol).as("y")).distinct()
+    def sweep(in: DataFrame, parts: Seq[Column]): DataFrame = {
+      val w = Window.partitionBy(parts: _*)
+        .orderBy(col("x").asc, col("y").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      in.withColumn("_miny", min(col("y")).over(w))
+        .filter(col("_miny").isNull || col("y") < col("_miny"))
+        .drop("_miny")
+    }
+    val local = sweep(
+      pts.withColumn("_bkt", pmod(hash(col("x"), col("y")), lit(nBuckets))),
+      Seq(col("_bkt"))).drop("_bkt")
+    sweep(local, Seq.empty)
+      .select(col("x").as(xCol), col("y").as(yCol))
+  }
 }

@@ -202,6 +202,16 @@ object ExtQueries {
       .select("qid", "cid", "score", "rank")
       .orderBy("qid", "rank")
 
+  /** JL signed random projection ([[Similarity.randomProjection]]):
+    * 64-d float embeddings down to 8 doubles via the md5-derived ±1
+    * matrix. The oracle rebuilds the same matrix and fold, so the
+    * whole projection is hash-checked — the dimensionality-reduction
+    * stage ahead of ANN indexing, proven exact rather than sampled.
+    */
+  def qRandProj(s: SparkSession, dir: String): DataFrame =
+    Similarity.randomProjection(emb(s, dir), "vec_id", "embedding", k = 8)
+      .orderBy("vec_id", "dim")
+
   /** ANN recall evaluation: the LSH top-k's per-query recall against
     * the brute-force top-k — the number a user checks before trusting
     * the bucketed scale path. Composes the SAME two pipelines the
@@ -1127,6 +1137,7 @@ object ExtQueries {
     "q_dedup_best" -> (qDedupBest _),
     "q_sim_topk" -> (qSimTopk _),
     "q_sim_lsh" -> (qSimLsh _),
+    "q_rand_proj" -> (qRandProj _),
     "q_ann_recall" -> (qAnnRecall _),
     "q_ann_recall_ivf" -> (qAnnRecallIvf _),
     "q_ann_recall_trunc" -> (qAnnRecallTrunc _),
@@ -1306,6 +1317,17 @@ object ExtQueries {
     }.mkString("(", " + ", ")")
 
   val oracleSql: Map[String, String] = Map(
+    // same md5-sign matrix, same sequential signed fold (list_sum is
+    // the cosSql-proven in-order sum), same √k scale, r6 both sides
+    "q_rand_proj" ->
+      ("WITH pr AS (SELECT vec_id, j, " +
+        "list_sum(list_transform(range(len(embedding)), i -> " +
+        "CASE WHEN substring(md5(j::VARCHAR || '_' || i::VARCHAR), 1, 1) < '8' " +
+        "THEN embedding[i+1]::DOUBLE ELSE -embedding[i+1]::DOUBLE END)) AS raw " +
+        "FROM embeddings CROSS JOIN range(8) t(j)) " +
+        "SELECT vec_id, j::INT AS dim, " +
+        O.r6("raw / sqrt(8.0::DOUBLE)") + " AS proj " +
+        "FROM pr ORDER BY vec_id, dim"),
     "q_agg_salted" ->
       ("SELECT l_returnflag, l_linestatus, count(*) AS n, " +
         O.r6("CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / count(*)") +

@@ -314,7 +314,32 @@ object MiningQueries {
         Tables.events(s, dir), "event_type", "ts")
       .orderBy("event_type", "dow")
 
+  /** Grid-based DBSCAN ([[Spatial.dbscan]]) over the event lattice at
+    * the q_density radius: 300 m ball, minPts 5 (self included) — the
+    * sf0.01 field splits ~40/40/20 across core/border/noise, so every
+    * role and the cluster CC are exercised. The oracle replays the
+    * whole chain (grid join, degree, core set, core-edge transitive
+    * closure via recursive CTE, min-cluster border attach), making the
+    * gate a full-algorithm hash check, not a sample.
+    */
+  def qDbscan(s: SparkSession, dir: String): DataFrame =
+    Spatial.dbscan(eventPoints(s, dir), "event_id", "lat", "lon",
+        radiusM = 300.0, minPts = 5, cellDeg = 0.0065, maxAbsLatDeg = 41.0)
+      .orderBy("point_id")
+
+  /** 2-D Pareto frontier ([[Stats.skyline2D]]): the cheapest-smallest
+    * frontier of `part` (minimize retail price AND size). The two-phase
+    * distributed sweep is hash-checked against the brute-force
+    * NOT-EXISTS dominance oracle, so the bucket-prune + candidate-sweep
+    * plan is proven exact, not approximate.
+    */
+  def qSkyline(s: SparkSession, dir: String): DataFrame =
+    Stats.skyline2D(Tables.table(s, dir, "part"), "p_retailprice", "p_size")
+      .orderBy("p_retailprice", "p_size")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dbscan" -> (qDbscan _),
+    "q_skyline" -> (qSkyline _),
     "q_dow" -> (qDow _),
     "q_profile_diff" -> (qProfileDiff _),
     "q_autocorr" -> (qAutocorr _),
@@ -355,6 +380,51 @@ object MiningQueries {
     "('0x' || substr(md5('cms' || '|' || r::VARCHAR || '|' || tok), 1, 8))::BIGINT % 16"
 
   val oracleSql: Map[String, String] = Map(
+    // full DBSCAN replay: grid join (the q_density spelling), degree,
+    // core set, core-core transitive closure (recursive CTE), border
+    // attach by MIN core-neighbor cluster — the declared deterministic
+    // canonicalization of textbook DBSCAN's visit-order dependence
+    "q_dbscan" ->
+      ("WITH RECURSIVE pts AS (SELECT event_id, " +
+        "40.2::DOUBLE + (user_id % 997) * 0.0008::DOUBLE AS lat, " +
+        "-74.6::DOUBLE + (event_id % 1013) * 0.0008::DOUBLE AS lon FROM events), " +
+        "p AS (SELECT event_id, lat, lon, " +
+        "floor(lat / 0.0065::DOUBLE)::BIGINT AS cy, " +
+        "floor(lon / 0.0065::DOUBLE)::BIGINT AS cx FROM pts), " +
+        "q AS (SELECT event_id AS qid, lat AS qlat, lon AS qlon, " +
+        "cy + dy AS cy, cx + dx AS cx FROM p " +
+        "CROSS JOIN range(-1, 2) t1(dy) CROSS JOIN range(-1, 2) t2(dx)), " +
+        "j AS (SELECT q.qid AS a, p.event_id AS b FROM q JOIN p USING (cy, cx) " +
+        "WHERE " + havSql("qlat", "qlon", "lat", "lon") + " <= 300.0 " +
+        "AND q.qid != p.event_id), " +
+        "core AS (SELECT a AS pid FROM j GROUP BY a HAVING count(*) + 1 >= 5), " +
+        "ce AS (SELECT j.a, j.b FROM j " +
+        "WHERE j.a < j.b AND j.a IN (SELECT pid FROM core) " +
+        "AND j.b IN (SELECT pid FROM core)), " +
+        "e AS (SELECT a AS src, b AS dst FROM ce UNION ALL SELECT b, a FROM ce), " +
+        "reach(id, r) AS (SELECT src, src FROM e " +
+        "UNION SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id), " +
+        "cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id), " +
+        "corecl AS (SELECT pid, coalesce(cc.cluster_id, pid) AS cluster_id " +
+        "FROM core LEFT JOIN cc ON cc.id = core.pid), " +
+        "border AS (SELECT j.a AS pid, min(c.cluster_id) AS cluster_id " +
+        "FROM j JOIN corecl c ON j.b = c.pid " +
+        "WHERE j.a NOT IN (SELECT pid FROM core) GROUP BY j.a) " +
+        "SELECT pts.event_id AS point_id, " +
+        "CASE WHEN k.pid IS NOT NULL THEN 'core' " +
+        "WHEN bo.pid IS NOT NULL THEN 'border' ELSE 'noise' END AS role, " +
+        "coalesce(k.cluster_id, bo.cluster_id) AS cluster_id " +
+        "FROM pts LEFT JOIN corecl k ON pts.event_id = k.pid " +
+        "LEFT JOIN border bo ON pts.event_id = bo.pid " +
+        "ORDER BY point_id"),
+    // brute-force dominance: the two-phase sweep must return exactly
+    // the non-dominated distinct pairs
+    "q_skyline" ->
+      ("WITH pts AS (SELECT DISTINCT p_retailprice AS x, p_size AS y FROM part) " +
+        "SELECT x AS p_retailprice, y AS p_size FROM pts a " +
+        "WHERE NOT EXISTS (SELECT 1 FROM pts b " +
+        "WHERE b.x <= a.x AND b.y <= a.y AND (b.x < a.x OR b.y < a.y)) " +
+        "ORDER BY 1, 2"),
     // Spark dayofweek is 1-based Sunday-first; DuckDB dayofweek is
     // 0-based Sunday-first — the +1 aligns them
     "q_dow" ->

@@ -556,4 +556,65 @@ class MiningSpec extends SparkTestBase {
     assert(byBin.values.exists { case (n, mn, mx) => n == 30 && mn == 1.0 && mx == 1.0 })
     assert(byBin.values.exists { case (n, mn, mx) => n == 10 && mn == 2.0 && mx == 2.0 })
   }
+
+  // ---- DBSCAN / skyline / random projection (round 7) ----
+
+  test("dbscan: two blobs, a border point, and an outlier get the right roles") {
+    import spark.implicits._
+    // lat degrees ≈ 111.2 km on the haversine sphere, so 0.0005° ≈ 55 m.
+    // Blob A (ids 0-4): 55 m ladder — every pair within 222 m < 300 m.
+    // Blob B (ids 10-14): same shape 0.1° (≈11 km) away.
+    // Border id 20: 278 m above blob A's top point (ball = {self, p4} —
+    // too thin to be core, but p4 is core so it attaches to cluster 0).
+    // Noise id 30: half a degree away from everything.
+    val pts =
+      (0 to 4).map(i => (i.toLong, 40.5 + i * 0.0005, -74.0)) ++
+        (10 to 14).map(i => (i.toLong, 40.6 + (i - 10) * 0.0005, -74.1)) ++
+        Seq((20L, 40.5 + 4 * 0.0005 + 0.0025, -74.0), (30L, 41.0, -74.5))
+    val out = Spatial.dbscan(pts.toDF("id", "lat", "lon"), "id", "lat", "lon",
+        radiusM = 300.0, minPts = 4, cellDeg = 0.004, maxAbsLatDeg = 41.1)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), Option(r.get(2)).map(_.asInstanceOf[Long])))
+      .toMap
+    (0L to 4L).foreach(i => assert(out(i) == ("core", Some(0L)), s"p$i: ${out(i)}"))
+    (10L to 14L).foreach(i => assert(out(i) == ("core", Some(10L)), s"p$i: ${out(i)}"))
+    assert(out(20L) == ("border", Some(0L)), s"p20: ${out(20L)}")
+    assert(out(30L) == ("noise", None), s"p30: ${out(30L)}")
+  }
+
+  test("skyline2D equals brute-force dominance, ties and duplicates included") {
+    import spark.implicits._
+    val pts = Seq((1.0, 5), (2.0, 3), (3.0, 1), (1.0, 5), (2.0, 5),
+      (0.5, 9), (3.0, 2), (0.5, 10), (4.0, 1), (0.5, 9)).toDF("x", "y")
+    val sky = Stats.skyline2D(pts, "x", "y")
+      .as[(Double, Int)].collect().toSet
+    val d = pts.distinct().as[(Double, Int)].collect()
+    val brute = d.filter(a => !d.exists(b => b != a &&
+      b._1 <= a._1 && b._2 <= a._2 && (b._1 < a._1 || b._2 < a._2))).toSet
+    assert(brute.nonEmpty && sky == brute,
+      s"sky=$sky brute=$brute")
+  }
+
+  test("randomProjection: md5-sign fold matches a scalar reimplementation") {
+    import spark.implicits._
+    val vec = Array(1.0f, -2.5f, 3.25f, 0.5f)
+    val out = Similarity
+      .randomProjection(Seq((7L, vec.toSeq)).toDF("id", "v"), "id", "v", k = 3)
+      .orderBy("dim")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    def sign(j: Int, i: Int): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${j}_$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      if (hex.charAt(0) < '8') 1.0 else -1.0
+    }
+    val want = (0 until 3).map { j =>
+      val raw = vec.indices.foldLeft(0.0)((acc, i) => acc + sign(j, i) * vec(i).toDouble)
+      math.floor(raw / math.sqrt(3.0) * 1e6 + 0.5) / 1e6 // Det.r6's spelling
+    }
+    assert(out.map(_._2).toSeq == Seq(0, 1, 2))
+    out.map(_._3).zip(want).foreach { case (got, w) =>
+      assert(math.abs(got - w) < 1e-12, s"got $got want $w")
+    }
+  }
 }
