@@ -133,4 +133,40 @@ object DataQuality {
       .reduce(_.unionAll(_))
       .orderBy("check")
   }
+
+  /** Functional-dependency audit: for each declared candidate
+    * `lhs → rhs`, does every lhs-group determine a single rhs value?
+    * The schema-inference / key-discovery primitive behind "is this
+    * column derivable?", "is (a,b) a business key?", and
+    * denormalization safety checks.
+    *
+    * Per candidate: total lhs groups, groups holding >1 distinct rhs
+    * (violations), the worst group's distinct-rhs count, and the
+    * verdict. Null handling is SQL-grouping semantics: NULL is one
+    * lhs-group value; NULL rhs values are ignored by count(DISTINCT)
+    * on both engines, so an all-null rhs group trivially holds.
+    *
+    * Scale shape: one hash aggregate per candidate keyed on its lhs
+    * (count-distinct of rhs is partial-aggregable), then a 1-row
+    * reduction — no joins, no windows. Candidates are independent
+    * scans; callers batching many FDs over one giant table should
+    * group candidates by shared lhs prefixes, but the audit itself
+    * never exceeds one shuffle per candidate.
+    */
+  def fdAudit(df: DataFrame, fds: Seq[(Seq[String], String)]): DataFrame = {
+    require(fds.nonEmpty, "fdAudit needs at least one candidate FD")
+    fds.map { case (lhs, rhs) =>
+      val fdName = s"${lhs.mkString(",")} -> $rhs"
+      df.groupBy(lhs.map(col): _*)
+        .agg(countDistinct(col(rhs)).as("_nd"))
+        .agg(
+          count(lit(1)).as("n_groups"),
+          sum(when(col("_nd") > 1, 1L).otherwise(0L)).as("violating_groups"),
+          max("_nd").as("max_distinct_rhs"))
+        .select(
+          lit(fdName).as("fd"),
+          col("n_groups"), col("violating_groups"), col("max_distinct_rhs"),
+          (col("violating_groups") === 0L).as("holds"))
+    }.reduce(_.unionAll(_)).orderBy("fd")
+  }
 }

@@ -189,6 +189,96 @@ object Graphs {
       s"$steps $finalSelect"
   }
 
+  /** k-core membership: the maximal subgraph in which every vertex has
+    * degree ≥ k — the standard graph-mining prune that strips hairball
+    * periphery (low-engagement vertices) before community/embedding
+    * work. Computed by iterated peeling: drop every vertex of degree
+    * < k, recompute degrees on the induced subgraph, repeat to
+    * fixpoint (the classic Matula–Beck peel, one round per pass).
+    *
+    * Output: EVERY vertex of the input graph with its verdict —
+    * `(x, in_core, core_degree)`, `core_degree` NULL outside the core —
+    * so the result is a join-ready prune column (and never empty just
+    * because the graph's degeneracy sits below k: random co-occurrence
+    * graphs collapse all-or-nothing near their core number, and a gate
+    * that can go empty under a scale change is a fragile gate).
+    *
+    * Scale shape: each round is one degree aggregate (shuffle on the
+    * vertex key) and two semi-join-shaped equi-joins filtering the edge
+    * list; rounds are data-dependent but small in practice (a round
+    * removes EVERY sub-k vertex simultaneously, so round count is the
+    * peel DEPTH, not the vertex count). Like the CC loop, each round
+    * pays one scalar edge-count action for convergence detection —
+    * inherent to iterate-to-fixpoint — and the edge lineage is rotated
+    * through `localCheckpoint` so plans don't grow with rounds.
+    * `maxRounds` is a runaway guard, not a truncation: hitting it
+    * throws rather than returning a non-fixpoint.
+    */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 64): DataFrame = {
+    val all = edges.select("u", "v")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val verts = all.select(col("u").as("x"))
+      .unionAll(all.select(col("v").as("x"))).distinct()
+    var cur = all
+    var m = cur.count()
+    var rounds = 0
+    var done = false
+    while (!done) {
+      val deg = cur.select(col("u").as("x"))
+        .unionAll(cur.select(col("v").as("x")))
+        .groupBy("x").agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select("x")
+      var nxt = cur
+        .join(keep.withColumnRenamed("x", "u"), "u")
+        .join(keep.withColumnRenamed("x", "v"), "v")
+        .select("u", "v")
+      if (rounds % 8 == 7) nxt = nxt.localCheckpoint(eager = false)
+      nxt = nxt.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val m2 = nxt.count()
+      cur.unpersist()
+      cur = nxt
+      done = m2 == m
+      m = m2
+      rounds += 1
+      if (!done && rounds >= maxRounds)
+        throw new IllegalStateException(
+          s"kCore(k=$k) did not reach a fixpoint in $maxRounds rounds")
+    }
+    val coreDeg = cur.select(col("u").as("x"))
+      .unionAll(cur.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("core_degree"))
+    verts.join(coreDeg, Seq("x"), "left")
+      .select(col("x"), col("core_degree").isNotNull.as("in_core"),
+        col("core_degree"))
+  }
+
+  /** DuckDB spelling of [[kCore]]: an unrolled-CTE oracle with `rounds`
+    * peel passes over `edgesSql` (any SELECT producing canonical
+    * u < v distinct edges). `rounds` must be ≥ the fixpoint depth on
+    * the data — extra passes are no-ops once stable, so overshooting is
+    * safe (the k-means/PageRank unrolled-oracle discipline); the
+    * engine side throws past `maxRounds`, so a too-short unroll fails
+    * loudly as a hash mismatch, never silently.
+    */
+  def kCoreOracleSql(edgesSql: String, k: Int, rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"d$i AS (SELECT x, count(*) AS d FROM " +
+        s"(SELECT u AS x FROM e${i - 1} UNION ALL SELECT v FROM e${i - 1}) " +
+        "GROUP BY x), " +
+        s"e$i AS (SELECT u, v FROM e${i - 1} " +
+        s"WHERE u IN (SELECT x FROM d$i WHERE d >= $k) " +
+        s"AND v IN (SELECT x FROM d$i WHERE d >= $k))"
+    }.mkString(", ")
+    s"WITH e0 AS ($edgesSql), $steps, " +
+      "allv AS (SELECT DISTINCT x FROM " +
+      "(SELECT u AS x FROM e0 UNION ALL SELECT v FROM e0)), " +
+      s"cd AS (SELECT x, count(*)::BIGINT AS core_degree FROM " +
+      s"(SELECT u AS x FROM e$rounds UNION ALL SELECT v FROM e$rounds) " +
+      "GROUP BY x) " +
+      "SELECT allv.x, cd.core_degree IS NOT NULL AS in_core, " +
+      "cd.core_degree FROM allv LEFT JOIN cd ON cd.x = allv.x"
+  }
+
   /** Two unrolled hops of neighborhood mean aggregation — GraphSAGE /
     * message-passing feature propagation as relational algebra: hop 1
     * gives each vertex the mean feature of its neighbors; hop 2 the

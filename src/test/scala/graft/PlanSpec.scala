@@ -244,6 +244,8 @@ class PlanSpec extends SparkTestBase {
     // aggregate — the q_skew_audit scalar shape)
     // (q_sample / q_split: interval contract gates — 1-row count
     // aggregates crossJoined into the 1-row verdict; no row data moves)
+    // (q_calibration: the 1-row total and 1-row ECE broadcast against
+    // the ≤bins-row bin table — the q_histogram scalar shape)
     val bnljByDesign = Set("q_sim_topk", "q_sim_topk_agg", "q_top_tokens",
       "q_tfidf", "q_asof", "q_sim_ivf", "q_surprisal", "q_kmeans",
       "q_text_knn", // brute-force top-k: broadcast query side, like q_sim_topk
@@ -253,7 +255,7 @@ class PlanSpec extends SparkTestBase {
       "q_neg_sample", "q_ann_recall", "q_ann_recall_ivf", "q_ann_recall_trunc",
       "q_pmi", "q_ks_drift", "q_kmv_union", "q_skew_audit", "q_target_enc",
       "q_basket", "q_bins", "q_jaro", "q_bitmap", "q_psi", "q_quantile_norm",
-      "q_twostage", "q_benford", "q_sample", "q_split")
+      "q_twostage", "q_benford", "q_sample", "q_split", "q_calibration")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = plan(fn(spark, Sf0001))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
