@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalyticsQueries, CorpusQueries, DriftQueries, EvalQueries, ExtQueries, MiningQueries, PrepQueries, RefQueries, ScaleQueries, SelectionQueries, SqlSurfaceQueries, TpchDeepQueries}
+import graft.queries.{AnalyticsQueries, CorpusQueries, DriftQueries, EvalQueries, ExtQueries, MiningQueries, PrepQueries, RefQueries, ScaleQueries, SelectionQueries, SignalQueries, SqlSurfaceQueries, StructuralQueries, TpchDeepQueries}
 import graft.util.Sessions
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -27,7 +27,8 @@ object SparkEntry {
     (RefQueries.queries ++ ExtQueries.queries ++ SqlSurfaceQueries.queries ++
       PrepQueries.queries ++ CorpusQueries.queries ++ AnalyticsQueries.queries ++
       ScaleQueries.queries ++ SelectionQueries.queries ++ TpchDeepQueries.queries ++
-      DriftQueries.queries ++ MiningQueries.queries ++ EvalQueries.queries)
+      DriftQueries.queries ++ MiningQueries.queries ++ EvalQueries.queries ++
+      StructuralQueries.queries ++ SignalQueries.queries)
       .map { case (k, f) =>
       k -> { (s: SparkSession, dir: String) => f(Sessions.tune(s), dir) }
     }
@@ -40,5 +41,6 @@ object SparkEntry {
     RefQueries.oracleSql ++ ExtQueries.oracleSql ++ SqlSurfaceQueries.oracleSql ++
       PrepQueries.oracleSql ++ CorpusQueries.oracleSql ++ AnalyticsQueries.oracleSql ++
       ScaleQueries.oracleSql ++ SelectionQueries.oracleSql ++ TpchDeepQueries.oracleSql ++
-      DriftQueries.oracleSql ++ MiningQueries.oracleSql ++ EvalQueries.oracleSql
+      DriftQueries.oracleSql ++ MiningQueries.oracleSql ++ EvalQueries.oracleSql ++
+      StructuralQueries.oracleSql ++ SignalQueries.oracleSql
 }

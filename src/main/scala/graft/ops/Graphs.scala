@@ -215,39 +215,50 @@ object Graphs {
     * throws rather than returning a non-fixpoint.
     */
   def kCore(edges: DataFrame, k: Int, maxRounds: Int = 64): DataFrame = {
-    val all = edges.select("u", "v")
+    // DELTA peeling: the edge list is scanned, never rewritten. Keep a
+    // per-vertex degree table; each round, the sub-k frontier is
+    // removed and only the edges INCIDENT TO THE FRONTIER are counted
+    // (one equi-join — broadcast once the frontier shrinks, AQE's
+    // call) to decrement survivors. Per-round cost is proportional to
+    // the frontier, not the graph — the difference that matters when k
+    // sits near the mean degree and the peel cascades one thin shell
+    // at a time (measured on the sf0.1 co-purchase graph, k=75: 142 s
+    // as whole-graph recompute-and-rewrite, ~8 s as delta peeling).
+    // Each edge decrements each endpoint at most once (its other
+    // endpoint is removed exactly once), so running degrees equal the
+    // induced-subgraph degrees at every round.
+    val sym = edges.select(col("u").as("x"), col("v").as("y"))
+      .unionAll(edges.select(col("v").as("x"), col("u").as("y")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val verts = all.select(col("u").as("x"))
-      .unionAll(all.select(col("v").as("x"))).distinct()
-    var cur = all
-    var m = cur.count()
+    val verts = sym.select(col("x")).distinct()
+    var deg = sym.groupBy("x").agg(count(lit(1)).as("d"))
+    var gen: Option[graft.util.Lineage.Gen] = None
     var rounds = 0
     var done = false
     while (!done) {
-      val deg = cur.select(col("u").as("x"))
-        .unionAll(cur.select(col("v").as("x")))
-        .groupBy("x").agg(count(lit(1)).as("d"))
-      val keep = deg.filter(col("d") >= k).select("x")
-      var nxt = cur
-        .join(keep.withColumnRenamed("x", "u"), "u")
-        .join(keep.withColumnRenamed("x", "v"), "v")
-        .select("u", "v")
-      if (rounds % 8 == 7) nxt = nxt.localCheckpoint(eager = false)
-      nxt = nxt.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val m2 = nxt.count()
-      cur.unpersist()
-      cur = nxt
-      done = m2 == m
-      m = m2
-      rounds += 1
-      if (!done && rounds >= maxRounds)
-        throw new IllegalStateException(
-          s"kCore(k=$k) did not reach a fixpoint in $maxRounds rounds")
+      val removed = deg.filter(col("d") < k).select(col("x").as("y")).cache()
+      if (removed.count() == 0) done = true
+      else {
+        val loss = sym.join(removed, "y")
+          .groupBy("x").agg(count(lit(1)).as("lost"))
+        val nxt = deg.filter(col("d") >= k)
+          .join(loss, Seq("x"), "left")
+          .select(col("x"),
+            (col("d") - coalesce(col("lost"), lit(0L))).as("d"))
+        val g = gen match {
+          case Some(prev) => graft.util.Lineage.rotate(nxt, prev)
+          case None => graft.util.Lineage.checkpoint(nxt)
+        }
+        gen = Some(g)
+        deg = g.df
+        rounds += 1
+        if (rounds >= maxRounds)
+          throw new IllegalStateException(
+            s"kCore(k=$k) did not reach a fixpoint in $maxRounds rounds")
+      }
+      removed.unpersist()
     }
-    val coreDeg = cur.select(col("u").as("x"))
-      .unionAll(cur.select(col("v").as("x")))
-      .groupBy("x").agg(count(lit(1)).as("core_degree"))
-    verts.join(coreDeg, Seq("x"), "left")
+    verts.join(deg.withColumnRenamed("d", "core_degree"), Seq("x"), "left")
       .select(col("x"), col("core_degree").isNotNull.as("in_core"),
         col("core_degree"))
   }
@@ -261,15 +272,19 @@ object Graphs {
     * loudly as a hash mismatch, never silently.
     */
   def kCoreOracleSql(edgesSql: String, k: Int, rounds: Int): String = {
+    // every d$i / e$i is referenced more than once downstream —
+    // MATERIALIZED stops DuckDB's CTE inlining from expanding the
+    // unrolled chain exponentially (12 rounds inlined ≈ 5^12 scans,
+    // which exhausts the process fd limit before it exhausts time)
     val steps = (1 to rounds).map { i =>
-      s"d$i AS (SELECT x, count(*) AS d FROM " +
+      s"d$i AS MATERIALIZED (SELECT x, count(*) AS d FROM " +
         s"(SELECT u AS x FROM e${i - 1} UNION ALL SELECT v FROM e${i - 1}) " +
         "GROUP BY x), " +
-        s"e$i AS (SELECT u, v FROM e${i - 1} " +
+        s"e$i AS MATERIALIZED (SELECT u, v FROM e${i - 1} " +
         s"WHERE u IN (SELECT x FROM d$i WHERE d >= $k) " +
         s"AND v IN (SELECT x FROM d$i WHERE d >= $k))"
     }.mkString(", ")
-    s"WITH e0 AS ($edgesSql), $steps, " +
+    s"WITH e0 AS MATERIALIZED ($edgesSql), $steps, " +
       "allv AS (SELECT DISTINCT x FROM " +
       "(SELECT u AS x FROM e0 UNION ALL SELECT v FROM e0)), " +
       s"cd AS (SELECT x, count(*)::BIGINT AS core_degree FROM " +
@@ -315,5 +330,450 @@ object Graphs {
     features.select(col(vertexCol), col(featCol))
       .join(h1.withColumnRenamed("src", vertexCol), Seq(vertexCol), "left")
       .join(h2.withColumnRenamed("src", vertexCol), Seq(vertexCol), "left")
+  }
+
+  /** Single-source shortest paths over an undirected weighted graph
+    * (`(u, v, w)`, integer weights), by distributed Bellman–Ford
+    * relaxation: each round extends every settled distance across every
+    * edge and keeps the per-vertex minimum. A round is ONE equi-join on
+    * the frontier key plus ONE min-aggregate — both partial-aggregable,
+    * both shuffling on the vertex key — and the round count is the
+    * graph's (weighted-path hop) diameter, not its size: every vertex
+    * improves simultaneously, so small-world graphs settle in a handful
+    * of rounds at any data scale.
+    *
+    * Determinism: weights are integers, `min` over integer path sums is
+    * order-independent, so the result hash-checks exactly — no float
+    * accumulation anywhere. Convergence is detected by the
+    * (reached-count, distance-sum) pair — min-relaxation monotonically
+    * grows the reached set and shrinks the sum, so the pair is a
+    * fixpoint witness — at the cost of one 1-row action per round (the
+    * CC/k-core scalar discipline). Lineage rotates through
+    * `localCheckpoint` every 8 rounds; `maxRounds` is a runaway guard
+    * that throws rather than returning a non-fixpoint.
+    *
+    * @return every vertex with `dist` (BIGINT), NULL when unreachable.
+    */
+  def sssp(edges: DataFrame, source: Long, maxRounds: Int = 64): DataFrame = {
+    val e = edges.select(col("u"), col("v"), col("w").cast("long"))
+      .unionAll(edges.select(col("v").as("u"), col("u").as("v"),
+        col("w").cast("long")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val verts = e.select(col("u").as("x")).distinct()
+    var dist = verts.filter(col("x") === source)
+      .select(col("x"), lit(0L).as("d"))
+    var state = (-1L, -1L)
+    var rounds = 0
+    var done = false
+    while (!done) {
+      // USING-join on the renamed frontier key: the rename mints fresh
+      // attribute ids, so the shared lineage with `e` never trips
+      // Spark's self-join ambiguity check
+      var nxt = dist.withColumnRenamed("x", "u")
+        .join(e, Seq("u"))
+        .select(col("v").as("x"), (col("d") + col("w")).as("d"))
+        .unionAll(dist)
+        .groupBy("x").agg(min(col("d")).as("d"))
+      if (rounds % 8 == 7) nxt = nxt.localCheckpoint(eager = false)
+      nxt = nxt.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val row = nxt.agg(count(lit(1)), sum(col("d"))).head()
+      val s2 = (row.getLong(0), row.getLong(1))
+      dist.unpersist()
+      dist = nxt
+      done = s2 == state
+      state = s2
+      rounds += 1
+      if (!done && rounds >= maxRounds)
+        throw new IllegalStateException(
+          s"sssp did not reach a fixpoint in $maxRounds rounds")
+    }
+    verts.join(dist, Seq("x"), "left").select(col("x"), col("d").as("dist"))
+  }
+
+  /** DuckDB spelling of [[sssp]]: `rounds` unrolled relaxation passes
+    * over `edgesSql` (any SELECT producing u/v/w). `rounds` must be ≥
+    * the fixpoint depth — extra passes are no-ops (the unrolled-oracle
+    * discipline; the engine's `maxRounds` guard makes a short unroll a
+    * loud hash fail). Final CTE `d$rounds(x, d)` left-joined under
+    * `verts(x)` by the returned SELECT.
+    */
+  def ssspOracleSql(edgesSql: String, source: Long, rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"d$i AS MATERIALIZED (SELECT x, min(d) AS d FROM (" +
+        s"SELECT x, d FROM d${i - 1} UNION ALL " +
+        s"SELECT e.v AS x, p.d + e.w AS d FROM d${i - 1} p " +
+        "JOIN e ON e.u = p.x) GROUP BY x)"
+    }.mkString(", ")
+    s"WITH eu AS ($edgesSql), " +
+      "e AS (SELECT u, v, CAST(w AS BIGINT) AS w FROM eu " +
+      "UNION ALL SELECT v AS u, u AS v, CAST(w AS BIGINT) AS w FROM eu), " +
+      "verts AS (SELECT DISTINCT u AS x FROM e), " +
+      s"d0 AS (SELECT CAST($source AS BIGINT) AS x, CAST(0 AS BIGINT) AS d), " +
+      s"$steps " +
+      s"SELECT verts.x, d$rounds.d AS dist FROM verts " +
+      s"LEFT JOIN d$rounds ON d$rounds.x = verts.x"
+  }
+
+  /** Weighted PageRank over an undirected weighted graph (`(u, v, w)`,
+    * integer weights): [[pageRank]] with each vertex's rank split among
+    * neighbors in proportion to edge weight (`r·w / Σw`) instead of
+    * uniformly. The TextRank recurrence — co-occurrence counts as
+    * weights is exactly Mihalcea & Tarau's keyword graph.
+    *
+    * Same scale/determinism shape as [[pageRank]]: weighted degrees are
+    * exact integer sums, per-iteration mass sums run in DECIMAL, the
+    * loop-invariant weighted-edge frame is cached once.
+    */
+  def pageRankWeighted(
+      edges: DataFrame,
+      damping: Double = 0.85,
+      iters: Int = 3): DataFrame = {
+    val directed = edges.select(col("u"), col("v"), col("w").cast("long"))
+      .unionAll(edges.select(col("v").as("u"), col("u").as("v"),
+        col("w").cast("long")))
+    val wdeg = directed.groupBy("u").agg(sum(col("w")).as("wd"))
+    val outgoing = directed.join(wdeg, "u").cache()
+    val verts = directed.select(col("u").as("x")).distinct().cache()
+    val n = verts.agg(count(lit(1)).as("n"))
+    var ranks = verts.crossJoin(broadcast(n))
+      .select(col("x"), (lit(1.0) / col("n")).as("r"))
+    for (_ <- 1 to iters) {
+      val sums = ranks
+        .join(outgoing, col("x") === col("u"))
+        .select(col("v").as("x"),
+          (col("r") * col("w") / col("wd")).as("cr"))
+        .groupBy("x")
+        .agg(sum(col("cr").cast("decimal(38,20)")).cast("double").as("m"))
+      ranks = verts.crossJoin(broadcast(n))
+        .join(sums, Seq("x"), "left")
+        .select(col("x"),
+          (lit(1 - damping) / col("n") +
+            lit(damping) * coalesce(col("m"), lit(0.0))).as("r"))
+    }
+    ranks
+  }
+
+  /** DuckDB spelling of [[pageRankWeighted]] — unrolled like
+    * [[pageRankOracleSql]] with weighted degrees. `finalSelect`
+    * consumes `rank$iters(x, r)` (as CTE `r$iters`) and `nn(n)`.
+    */
+  def pageRankWeightedOracleSql(
+      edgesSql: String,
+      damping: Double,
+      iters: Int,
+      finalSelect: String): String = {
+    val steps = (1 to iters).map { i =>
+      s"c$i AS (SELECT e.v AS x, r${i - 1}.r * e.w / wdeg.wd AS cr " +
+        s"FROM r${i - 1} JOIN e ON e.u = r${i - 1}.x " +
+        s"JOIN wdeg ON wdeg.u = r${i - 1}.x), " +
+        s"s$i AS (SELECT x, CAST(sum(CAST(cr AS DECIMAL(38,20))) AS DOUBLE) AS m " +
+        s"FROM c$i GROUP BY x), " +
+        s"r$i AS (SELECT verts.x, ${1 - damping} / nn.n + " +
+        s"$damping * coalesce(s$i.m, 0.0) AS r " +
+        s"FROM verts CROSS JOIN nn LEFT JOIN s$i ON s$i.x = verts.x)"
+    }.mkString(", ")
+    s"WITH eu AS ($edgesSql), " +
+      "e AS (SELECT u, v, CAST(w AS BIGINT) AS w FROM eu " +
+      "UNION ALL SELECT v AS u, u AS v, CAST(w AS BIGINT) AS w FROM eu), " +
+      "wdeg AS (SELECT u, CAST(sum(w) AS BIGINT) AS wd FROM e GROUP BY u), " +
+      "verts AS (SELECT DISTINCT u AS x FROM e), " +
+      "nn AS (SELECT count(*)::BIGINT AS n FROM verts), " +
+      "r0 AS (SELECT x, 1.0 / nn.n AS r FROM verts CROSS JOIN nn), " +
+      s"$steps $finalSelect"
+  }
+
+  /** Synchronous label propagation (community detection) with a fully
+    * deterministic update rule: each round, EVERY vertex adopts the
+    * most frequent label among its neighbors, ties broken by the
+    * smallest label; isolated behavior (no neighbors) cannot occur on
+    * an edge-derived vertex set. Labels start as own ids.
+    *
+    * Textbook async LPA is visit-order dependent (useless under a hash
+    * gate) and sync LPA need not converge (bipartite structures
+    * oscillate) — so the operator's CONTRACT is a FIXED round count,
+    * like [[khopFeatureMeans]]'s fixed hops: `rounds` synchronous
+    * updates, exactly reproducible anywhere. Each round is one
+    * edge-keyed join + one (vertex, label) count aggregate + one
+    * per-vertex argmax — all partial-aggregable / key-local; the
+    * argmax is max(struct(count, −label)), never a window.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int = 4): DataFrame = {
+    val sym = edges.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
+      .cache()
+    var labels = sym.select(col("src").as("x")).distinct()
+      .select(col("x"), col("x").as("lbl"))
+    for (_ <- 1 to rounds) {
+      labels = sym
+        .join(labels.withColumnRenamed("x", "src"), "src")
+        .groupBy(col("dst").as("x"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("x")
+        .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("x"), (-col("m.nl")).as("lbl"))
+    }
+    labels.select(col("x"), col("lbl").as("community"))
+  }
+
+  /** DuckDB spelling of [[labelPropagation]]: `rounds` unrolled CTE
+    * rounds of count → deterministic argmax (the same
+    * max-by-(count, −label) rule via a row_number window, which SQL
+    * may run single-threaded). Emits `(x, community)` from CTE
+    * `l$rounds`.
+    */
+  def labelPropagationOracleSql(edgesSql: String, rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"c$i AS (SELECT e.dst AS x, l${i - 1}.lbl, count(*) AS cnt " +
+        s"FROM e JOIN l${i - 1} ON l${i - 1}.x = e.src GROUP BY 1, 2), " +
+        s"l$i AS (SELECT x, lbl FROM (SELECT x, lbl, row_number() OVER " +
+        "(PARTITION BY x ORDER BY cnt DESC, lbl ASC) AS rn " +
+        s"FROM c$i) WHERE rn = 1)"
+    }.mkString(", ")
+    s"WITH eu AS ($edgesSql), " +
+      "e AS (SELECT u AS src, v AS dst FROM eu " +
+      "UNION ALL SELECT v AS src, u AS dst FROM eu), " +
+      "l0 AS (SELECT DISTINCT src AS x, src AS lbl FROM e), " +
+      s"$steps " +
+      s"SELECT x, lbl AS community FROM l$rounds"
+  }
+
+  /** Personalized PageRank: [[pageRank]] with the teleport mass
+    * restricted to `seeds` — the "importance relative to THIS seed
+    * set" primitive behind related-item features and local community
+    * scoring. Seeds are model parameters (broadcast literals), so the
+    * only data-sized state is the rank vector; non-seed vertices with
+    * no in-mass report the exact 0.
+    */
+  def pageRankPersonalized(
+      edges: DataFrame,
+      seeds: Seq[Long],
+      damping: Double = 0.85,
+      iters: Int = 3): DataFrame = {
+    require(seeds.nonEmpty, "personalized PageRank needs a seed set")
+    val directed = edges.select(col("u"), col("v"))
+      .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+    val deg = directed.groupBy("u").agg(count(lit(1)).as("od"))
+    val outgoing = directed.join(deg, "u").cache()
+    val verts = directed.select(col("u").as("x")).distinct().cache()
+    val tele = when(col("x").isin(seeds: _*), lit(1.0 / seeds.size))
+      .otherwise(lit(0.0))
+    var ranks = verts.select(col("x"), tele.as("r"))
+    for (_ <- 1 to iters) {
+      val sums = ranks
+        .join(outgoing, col("x") === col("u"))
+        .select(col("v").as("x"), (col("r") / col("od")).as("cr"))
+        .groupBy("x")
+        .agg(sum(col("cr").cast("decimal(38,20)")).cast("double").as("m"))
+      ranks = verts
+        .join(sums, Seq("x"), "left")
+        .select(col("x"),
+          (lit(1 - damping) * tele +
+            lit(damping) * coalesce(col("m"), lit(0.0))).as("r"))
+    }
+    ranks
+  }
+
+  /** DuckDB spelling of [[pageRankPersonalized]] — the
+    * [[pageRankOracleSql]] chain with the uniform teleport replaced by
+    * the seed-restricted CASE. `finalSelect` consumes `r$iters(x, r)`.
+    */
+  def pagerankPersonalizedOracleSql(
+      edgesSql: String,
+      seeds: Seq[Long],
+      damping: Double,
+      iters: Int,
+      finalSelect: String): String = {
+    val seedList = seeds.mkString(", ")
+    // every float literal ::DOUBLE — a bare high-precision decimal
+    // literal (1/3 = 0.3333333333333333) would run the teleport term
+    // in DuckDB's exact DECIMAL and drift from Spark's IEEE product
+    val tele = s"CASE WHEN verts.x IN ($seedList) " +
+      s"THEN ${1.0 / seeds.size}::DOUBLE ELSE 0.0::DOUBLE END"
+    val steps = (1 to iters).map { i =>
+      s"c$i AS (SELECT e.v AS x, r${i - 1}.r / deg.od AS cr " +
+        s"FROM r${i - 1} JOIN e ON e.u = r${i - 1}.x JOIN deg ON deg.u = r${i - 1}.x), " +
+        s"s$i AS (SELECT x, CAST(sum(CAST(cr AS DECIMAL(38,20))) AS DOUBLE) AS m " +
+        s"FROM c$i GROUP BY x), " +
+        s"r$i AS (SELECT verts.x, ${1 - damping}::DOUBLE * $tele + " +
+        s"$damping::DOUBLE * coalesce(s$i.m, 0.0) AS r " +
+        s"FROM verts LEFT JOIN s$i ON s$i.x = verts.x)"
+    }.mkString(", ")
+    s"WITH eu AS ($edgesSql), " +
+      "e AS (SELECT u, v FROM eu UNION ALL SELECT v AS u, u AS v FROM eu), " +
+      "deg AS (SELECT u, count(*) AS od FROM e GROUP BY u), " +
+      "verts AS (SELECT DISTINCT u AS x FROM e), " +
+      s"r0 AS (SELECT x, $tele AS r FROM verts), " +
+      s"$steps $finalSelect"
+  }
+
+  /** HITS hubs & authorities over a DIRECTED bipartite-or-general edge
+    * list `(src, dst)`: authority(v) = Σ hub(u) over in-edges, hub(u) =
+    * Σ authority(v) over out-edges, each side L1-normalized per
+    * iteration. L1 (not the textbook L2) is deliberate: the norm is
+    * then a DECIMAL-exact sum of 6-dp values and one division, so every
+    * iteration is bit-reproducible cross-engine, where an L2 norm's
+    * sum-of-squares → sqrt would chain irrational intermediates through
+    * the rounding. Rankings are identical — the norm only rescales.
+    *
+    * Each half-iteration is one equi-join + one key aggregate (both
+    * shuffle on the vertex key, both partial-aggregable) plus a 1-row
+    * broadcast for the norm; `iters` is fixed and small, so the whole
+    * op is `2·iters` joins regardless of data size.
+    *
+    * @return ('hub'|'authority', vertex, score) — scores 6-dp, each
+    *         side summing to ~1.
+    */
+  def hitsBipartite(edges: DataFrame, iters: Int = 4): DataFrame = {
+    import graft.queries.Det.r6
+    val e = edges.select(col("src"), col("dst")).cache()
+    val srcs = e.select(col("src").as("x")).distinct()
+    val dsts = e.select(col("dst").as("x")).distinct()
+    def dsumRaw(c: org.apache.spark.sql.Column) =
+      sum(c.cast("decimal(25,6)")).cast("double")
+    var hub = srcs.select(col("x"), lit(1.0).as("h"))
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      // cache each raw-sum frame: it is consumed TWICE (its own L1
+      // norm + the normalized join), and uncached that doubling
+      // compounds through the lineage — 2^(2·iters) re-executions of
+      // the edge join (measured 181 s at sf0.1 for iters=4; ~2 s
+      // cached). Frames are vertex-sized; the ContextCleaner reaps
+      // them when the result goes unreachable.
+      val aRaw = e.join(hub.withColumnRenamed("x", "src"), "src")
+        .groupBy(col("dst").as("x")).agg(dsumRaw(col("h")).as("raw"))
+        .cache()
+      val ta = aRaw.agg(dsumRaw(col("raw")).as("t"))
+      auth = aRaw.crossJoin(broadcast(ta))
+        .select(col("x"), r6(col("raw") / col("t")).as("a"))
+      val hRaw = e.join(auth.withColumnRenamed("x", "dst"), "dst")
+        .groupBy(col("src").as("x")).agg(dsumRaw(col("a")).as("raw"))
+        .cache()
+      val th = hRaw.agg(dsumRaw(col("raw")).as("t"))
+      hub = hRaw.crossJoin(broadcast(th))
+        .select(col("x"), r6(col("raw") / col("t")).as("h"))
+    }
+    hub.select(lit("hub").as("side"), col("x").as("vertex"),
+        col("h").as("score"))
+      .unionAll(auth.select(lit("authority").as("side"),
+        col("x").as("vertex"), col("a").as("score")))
+      .orderBy("side", "vertex")
+  }
+
+  /** DuckDB spelling of [[hitsBipartite]]: unrolled CTE pairs, same
+    * DECIMAL-sum/L1/r6 discipline. Emits the full ordered
+    * (side, vertex, score) result.
+    */
+  def hitsOracleSql(edgesSql: String, iters: Int): String = {
+    def ds(x: String) = s"CAST(sum(CAST($x AS DECIMAL(25,6))) AS DOUBLE)"
+    val r6 = graft.queries.Oracle.r6 _
+    val steps = (1 to iters).map { i =>
+      s"ar$i AS MATERIALIZED (SELECT e.dst AS x, ${ds(s"h${i - 1}.h")} AS raw " +
+        s"FROM e JOIN h${i - 1} ON h${i - 1}.x = e.src GROUP BY e.dst), " +
+        s"at$i AS (SELECT ${ds("raw")} AS t FROM ar$i), " +
+        s"a$i AS (SELECT x, ${r6("raw / t")} AS a FROM ar$i CROSS JOIN at$i), " +
+        s"hr$i AS MATERIALIZED (SELECT e.src AS x, ${ds(s"a$i.a")} AS raw " +
+        s"FROM e JOIN a$i ON a$i.x = e.dst GROUP BY e.src), " +
+        s"ht$i AS (SELECT ${ds("raw")} AS t FROM hr$i), " +
+        s"h$i AS (SELECT x, ${r6("raw / t")} AS h FROM hr$i CROSS JOIN ht$i)"
+    }.mkString(", ")
+    s"WITH eu AS ($edgesSql), " +
+      "e AS (SELECT src, dst FROM eu), " +
+      "h0 AS (SELECT DISTINCT src AS x, 1.0 AS h FROM e), " +
+      s"$steps " +
+      s"SELECT 'hub' AS side, x AS vertex, h AS score FROM h$iters " +
+      "UNION ALL " +
+      s"SELECT 'authority' AS side, x AS vertex, a AS score FROM a$iters " +
+      "ORDER BY side, vertex"
+  }
+
+  /** Closeness centrality of a SEED SET by multi-source BFS — the
+    * "which landmark reaches the graph fastest" readout. Exact
+    * all-pairs closeness is |V| BFS traversals (not a 100 TB shape);
+    * the standard practice (Eppstein–Wang sampling) evaluates a small
+    * pilot/landmark set exactly, which is precisely this operator:
+    * every seed's full distance vector in ONE shared iteration, frames
+    * keyed (seed, vertex) so the per-round join work is |seeds|·|E|
+    * spread across the same vertex-keyed shuffle as a single BFS.
+    *
+    * Per seed: `n_reached` (vertices at finite distance, the seed
+    * itself included at 0), `dist_sum` (Σ hop distances, exact
+    * BIGINT), and classic closeness (n_reached − 1) / dist_sum (one r6
+    * double division; NULL for an isolated seed). Distances are hop
+    * counts — integers — so the whole gate is exact arithmetic plus
+    * one division.
+    *
+    * Same fixpoint discipline as [[sssp]]: the (count, sum) witness
+    * pair is monotone under BFS relaxation, one 1-row driver scalar
+    * per round, lineage rotated through `localCheckpoint`, `maxRounds`
+    * a loud runaway guard.
+    */
+  def closenessCentrality(
+      edges: DataFrame,
+      seeds: Seq[Long],
+      maxRounds: Int = 64): DataFrame = {
+    require(seeds.nonEmpty, "closenessCentrality needs at least one seed")
+    val spark = edges.sparkSession
+    val e = edges.select(col("u"), col("v"))
+      .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    import spark.implicits._
+    val seedDf = seeds.toDF("s")
+    var dist = seedDf.select(col("s"), col("s").as("x"), lit(0L).as("d"))
+    var state = (-1L, -1L)
+    var rounds = 0
+    var done = false
+    while (!done) {
+      var nxt = dist.withColumnRenamed("x", "u")
+        .join(e, Seq("u"))
+        .select(col("s"), col("v").as("x"), (col("d") + 1L).as("d"))
+        .unionAll(dist)
+        .groupBy("s", "x").agg(min(col("d")).as("d"))
+      if (rounds % 8 == 7) nxt = nxt.localCheckpoint(eager = false)
+      nxt = nxt.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val row = nxt.agg(count(lit(1)), sum(col("d"))).head()
+      val s2 = (row.getLong(0), row.getLong(1))
+      dist.unpersist()
+      dist = nxt
+      done = s2 == state
+      state = s2
+      rounds += 1
+      if (!done && rounds >= maxRounds)
+        throw new IllegalStateException(
+          s"closenessCentrality did not settle in $maxRounds rounds")
+    }
+    dist.groupBy(col("s").as("seed"))
+      .agg(count(lit(1)).as("n_reached"), sum(col("d")).as("dist_sum"))
+      .select(col("seed"), col("n_reached"), col("dist_sum"),
+        when(col("dist_sum") > 0, graft.queries.Det.r6(
+          (col("n_reached") - 1).cast("double") /
+            col("dist_sum").cast("double"))).as("closeness"))
+  }
+
+  /** DuckDB spelling of [[closenessCentrality]]: `rounds` unrolled
+    * multi-source relaxation passes (the [[ssspOracleSql]] discipline
+    * with a seed column carried through every step).
+    */
+  def closenessOracleSql(
+      edgesSql: String,
+      seeds: Seq[Long],
+      rounds: Int): String = {
+    val r6 = graft.queries.Oracle.r6 _
+    val seedRows = seeds.map(s => s"($s::BIGINT)").mkString(", ")
+    val steps = (1 to rounds).map { i =>
+      s"d$i AS MATERIALIZED (SELECT s, x, min(d) AS d FROM (" +
+        s"SELECT s, x, d FROM d${i - 1} UNION ALL " +
+        s"SELECT p.s, e.v AS x, p.d + 1 AS d FROM d${i - 1} p " +
+        "JOIN e ON e.u = p.x) GROUP BY s, x)"
+    }.mkString(", ")
+    s"WITH eu AS ($edgesSql), " +
+      "e AS (SELECT u, v FROM eu UNION ALL SELECT v AS u, u AS v FROM eu), " +
+      s"sd AS (SELECT * FROM (VALUES $seedRows) t(s)), " +
+      "d0 AS (SELECT s, s AS x, 0::BIGINT AS d FROM sd), " +
+      s"$steps, " +
+      s"fin AS (SELECT s AS seed, count(*)::BIGINT AS n_reached, " +
+      s"sum(d)::BIGINT AS dist_sum FROM d$rounds GROUP BY s) " +
+      "SELECT seed, n_reached, dist_sum, CASE WHEN dist_sum > 0 THEN " +
+      r6("CAST(n_reached - 1 AS DOUBLE) / CAST(dist_sum AS DOUBLE)") +
+      " END AS closeness FROM fin ORDER BY seed"
   }
 }

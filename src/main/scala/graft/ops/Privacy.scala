@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Privacy-risk audit for training-data release: k-anonymity and
+  * l-diversity over declared quasi-identifier (QI) sets, plus the
+  * suppression enforcement that makes a table releasable.
+  *
+  * The model (Sweeney's k-anonymity, Machanavajjhala's l-diversity): a
+  * row is re-identifiable when its QI combination is shared by fewer
+  * than k rows, and attribute-disclosable when its QI group carries
+  * fewer than l distinct sensitive values. A release pipeline evaluates
+  * a LADDER of generalization levels (fine → coarse QI spellings) and
+  * picks the finest level whose residual risk is acceptable — so the
+  * audit reports every level in one result, not one verdict.
+  *
+  * Scale shape: each level is ONE hash aggregate keyed on its QI
+  * columns (count + count-distinct(sensitive) are both
+  * partial-aggregable) followed by a 1-row reduction — no joins, no
+  * windows, no driver loops; levels are independent scans unioned at
+  * the end. Suppression is the same aggregate re-used as a semi-join
+  * filter (broadcast when the surviving-group key set is small, shuffle
+  * hash join otherwise — Catalyst's call via AQE).
+  */
+object Privacy {
+
+  /** One generalization level: a label plus the QI columns (arbitrary
+    * expressions, so "coarsen ts to month" is just `date_trunc`).
+    */
+  final case class QiLevel(label: String, qi: Seq[(String, Column)])
+
+  /** The audit: one row per level —
+    * (level, n_rows, n_groups, min_group_size, groups_below_k,
+    *  rows_below_k, k_anonymous, groups_below_l, l_diverse).
+    *
+    * `rows_below_k` is the suppression cost of enforcing k at that
+    * level; `groups_below_l` counts groups whose sensitive attribute
+    * has < l distinct values (homogeneity attack surface). Null QI
+    * values form their own group (SQL grouping semantics, identical in
+    * the DuckDB oracle); null sensitive values are ignored by the
+    * distinct count, so an all-null group counts as 0-diverse.
+    */
+  def kAnonymityAudit(
+      df: DataFrame,
+      levels: Seq[QiLevel],
+      sensitive: Column,
+      k: Int,
+      l: Int): DataFrame = {
+    require(levels.nonEmpty, "kAnonymityAudit needs at least one QI level")
+    levels.map { lvl =>
+      df.groupBy(lvl.qi.map { case (n, c) => c.as(n) }: _*)
+        .agg(
+          count(lit(1)).as("_n"),
+          countDistinct(sensitive).as("_nd"))
+        .agg(
+          sum(col("_n")).as("n_rows"),
+          count(lit(1)).as("n_groups"),
+          min(col("_n")).as("min_group_size"),
+          sum(when(col("_n") < k, 1L).otherwise(0L)).as("groups_below_k"),
+          sum(when(col("_n") < k, col("_n")).otherwise(lit(0L)))
+            .as("rows_below_k"),
+          sum(when(col("_nd") < l, 1L).otherwise(0L)).as("groups_below_l"))
+        .select(
+          lit(lvl.label).as("level"),
+          col("n_rows"), col("n_groups"), col("min_group_size"),
+          col("groups_below_k"), col("rows_below_k"),
+          (col("groups_below_k") === 0L).as("k_anonymous"),
+          col("groups_below_l"),
+          (col("groups_below_l") === 0L).as("l_diverse"))
+    }.reduce(_.unionAll(_)).orderBy("level")
+  }
+
+  /** Suppression enforcement: drop every row whose QI group has fewer
+    * than k members, returning the releasable remainder. The complement
+    * of the audit's `rows_below_k` — `suppressToK(df, qi, k).count() ==
+    * n_rows - rows_below_k` at the same level, which the spec asserts.
+    *
+    * Implemented as aggregate → semi join on the QI key (never a window
+    * over the full table: the per-group count exists already at
+    * aggregate granularity, and a window would force a second full
+    * sort-shuffle of the fact rows).
+    */
+  def suppressToK(df: DataFrame, qi: Seq[(String, Column)], k: Int): DataFrame = {
+    // withColumn, not select(*, …): a QI spelled as an existing column
+    // (identity generalization) must replace it, not duplicate the name
+    val keyed = qi.foldLeft(df) { case (acc, (n, c)) => acc.withColumn(n, c) }
+    val bigEnough = keyed.groupBy(qi.map { case (n, _) => col(n) }: _*)
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") >= k)
+      .drop("_n")
+    keyed.join(bigEnough, qi.map(_._1), "left_semi")
+  }
+}

@@ -207,4 +207,87 @@ object Spatial {
           .otherwise(lit("noise")).as("role"),
         coalesce(col("_ccl"), col("_bcl")).as("cluster_id"))
   }
+
+  /** A polygon for [[pointInPolygons]]: closed ring of (lon, lat) =
+    * (x, y) vertices (first vertex NOT repeated at the end; edges close
+    * implicitly). Polygons are geofence model parameters — a bounded
+    * literal set, broadcast, never data-sized.
+    */
+  final case class Polygon(id: String, ring: Seq[(Double, Double)]) {
+    require(ring.size >= 3, s"polygon $id needs ≥ 3 vertices")
+    def edges: Seq[(Double, Double, Double, Double)] =
+      ring.indices.map { i =>
+        val (x1, y1) = ring(i)
+        val (x2, y2) = ring((i + 1) % ring.size)
+        (x1, y1, x2, y2)
+      }
+    def bbox: (Double, Double, Double, Double) =
+      (ring.map(_._1).min, ring.map(_._2).min,
+        ring.map(_._1).max, ring.map(_._2).max)
+  }
+
+  /** Point-in-polygon tagging (geofencing) by the even–odd ray-casting
+    * rule: a point is inside iff a ray to +x crosses the boundary an
+    * odd number of times. Each polygon's crossing test is ONE unrolled
+    * codegen'd expression (sum of per-edge CASE terms over literal
+    * vertices — no UDF, no join against an edge table), guarded by the
+    * polygon's bounding box so points outside it evaluate two
+    * comparisons and nothing else. Output: the input plus one boolean
+    * `in_<id>` column per polygon.
+    *
+    * Determinism: each edge term is a fixed IEEE expression
+    * (`(y1 > py) ≠ (y2 > py)` and one multiply/divide compare) over
+    * literal coordinates — no accumulation, so verdicts hash-check
+    * exactly when the oracle spells the identical arithmetic. The
+    * strict-> convention makes vertex-on-ray cases consistent on both
+    * engines (the standard even–odd treatment).
+    *
+    * Scale: purely narrow — no shuffle, no broadcast join even; the
+    * polygons compile INTO the plan. Suits geofence sets up to
+    * hundreds of polygons; larger fence catalogs should go through
+    * [[gridRadiusJoin]]-style cell bucketing instead.
+    */
+  def pointInPolygons(
+      df: DataFrame,
+      xCol: String,
+      yCol: String,
+      polygons: Seq[Polygon]): DataFrame = {
+    val px = col(xCol)
+    val py = col(yCol)
+    val tagged = polygons.map { p =>
+      val crossings = p.edges.map { case (x1, y1, x2, y2) =>
+        when(
+          (lit(y1) > py) =!= (lit(y2) > py),
+          when(px < lit(x1) +
+            (lit(x2) - lit(x1)) * (py - lit(y1)) / (lit(y2) - lit(y1)),
+            lit(1L)).otherwise(lit(0L)))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+      val (bx1, by1, bx2, by2) = p.bbox
+      (when(px >= bx1 && px <= bx2 && py >= by1 && py <= by2,
+        crossings % 2 === 1).otherwise(lit(false))).as(s"in_${p.id}")
+    }
+    df.select(col("*") +: tagged: _*)
+  }
+
+  /** DuckDB spelling of one polygon's [[pointInPolygons]] verdict over
+    * point columns `px`/`py` — the identical unrolled arithmetic. Every
+    * vertex literal is forced ::DOUBLE: DuckDB parses bare decimal
+    * literals as exact DECIMAL, whose subtraction/multiplication would
+    * diverge from Spark's IEEE arithmetic in the last ulps (the
+    * q_spatial lattice lesson).
+    */
+  def pointInPolygonSql(p: Polygon, px: String, py: String): String = {
+    def d(x: Double) = s"$x::DOUBLE"
+    val crossings = p.edges.map { case (x1, y1, x2, y2) =>
+      s"(CASE WHEN (${d(y1)} > $py) <> (${d(y2)} > $py) THEN " +
+        s"(CASE WHEN $px < ${d(x1)} + (${d(x2)} - ${d(x1)}) * " +
+        s"($py - ${d(y1)}) / (${d(y2)} - ${d(y1)}) " +
+        "THEN 1 ELSE 0 END) ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+    val (bx1, by1, bx2, by2) = p.bbox
+    s"(CASE WHEN $px >= ${d(bx1)} AND $px <= ${d(bx2)} " +
+      s"AND $py >= ${d(by1)} AND $py <= ${d(by2)} " +
+      s"THEN ($crossings) % 2 = 1 ELSE false END)"
+  }
 }

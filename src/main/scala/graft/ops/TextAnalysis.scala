@@ -528,4 +528,53 @@ object TextAnalysis {
       r6(lit(0.39) * wps + lit(11.8) * spw - lit(15.59))
         .as("fk_grade"))
   }
+
+  /** Corpus-level adjacency co-occurrence edges for TextRank: adjacent
+    * token pairs (window 2, the Mihalcea & Tarau default), tokens
+    * shorter than `minLen` dropped (the cheap deterministic stand-in
+    * for a POS filter), self-pairs dropped, canonicalized u < v, weight
+    * = corpus-wide co-occurrence count with `w ≥ minCount` pruning the
+    * long tail BEFORE the graph is built — at 100 TB the prune is what
+    * keeps the vertex set at vocabulary scale rather than typo scale.
+    * One narrow explode + one hash aggregate; no joins.
+    */
+  def textRankEdges(
+      df: DataFrame,
+      textCol: String,
+      minLen: Int = 4,
+      minCount: Int = 2): DataFrame = {
+    val t = tokens(col(textCol))
+    val pairs = transform(sequence(lit(1), size(t) - 1), k =>
+      struct(element_at(t, k).as("a"), element_at(t, k + 1).as("b")))
+    df.filter(size(t) >= 2)
+      .select(explode(pairs).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .filter(length(col("a")) >= minLen && length(col("b")) >= minLen &&
+        col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("w"))
+      .filter(col("w") >= minCount)
+  }
+
+  /** TextRank keyword extraction: [[textRankEdges]] →
+    * [[Graphs.pageRankWeighted]] → top-`topK` tokens by rank. The
+    * rank-on-a-word-graph keyword scorer; scores are r6'd ×1000 (the
+    * q_pagerank convention).
+    */
+  def textRankKeywords(
+      df: DataFrame,
+      textCol: String,
+      minLen: Int = 4,
+      minCount: Int = 2,
+      damping: Double = 0.85,
+      iters: Int = 3,
+      topK: Int = 30): DataFrame = {
+    import graft.queries.Det.r6
+    Graphs.pageRankWeighted(textRankEdges(df, textCol, minLen, minCount),
+        damping, iters)
+      .select(col("x").as("token"), r6(col("r") * lit(1000.0)).as("rank_k"))
+      .orderBy(col("rank_k").desc, col("token"))
+      .limit(topK)
+  }
 }

@@ -232,4 +232,274 @@ object TimeSeries {
             (max(col("n")) * max(col("n"))).cast("double")).as("cusum"),
         min(col(tsCol)).as("change_ts"))
   }
+
+  /** Order-based exponentially-weighted moving average of each key's
+    * last `m` observations — the feature-store recency smoother
+    * (α = 1/2 per step), complementing [[decayedSum]]'s WALL-CLOCK
+    * half-life decay: here the weight halves per EVENT, so a burst of
+    * recent activity dominates regardless of how many hours it spans.
+    *
+    * EXACT-arithmetic trick: the textbook recursion
+    * s = x·α + s·(1−α) is sequential, but for α = 1/2 its fixed-window
+    * form is a plain weighted mean with INTEGER weights 2^(m−k)
+    * (k = 1 most recent): numerator Σ value·2^(m−k) runs in DECIMAL
+    * over 6-dp values × BIGINT weights (exact), denominator Σ 2^(m−k)
+    * is a BIGINT sum, and the single final division is the only double
+    * op (then r6). No float ever accumulates, so the gate hash-checks.
+    *
+    * Scale shape: one per-key window (row_number DESC, partitioned —
+    * never a global order) bounded to `m` rows per key, then one hash
+    * aggregate. Keys with fewer than `m` events use what they have
+    * (the weights renormalize by construction).
+    */
+  def ewmaLast(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      valueCol: String,
+      m: Int = 16): DataFrame = {
+    require(m >= 1 && m <= 62, "m must fit 2^m in a BIGINT")
+    val recency = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol).desc, col(idCol).desc)
+    events
+      .select(col(keyCol), col(tsCol), col(idCol),
+        col(valueCol).cast("decimal(25,6)").as("_v"))
+      .withColumn("_k", row_number().over(recency))
+      .filter(col("_k") <= m)
+      // 2^(m−k) is exact in double far past m=62, so the pow-and-cast
+      // is an integer in disguise (the Scala shiftleft API takes only
+      // a literal shift, not a column)
+      .withColumn("_w", pow(lit(2.0), (lit(m) - col("_k")).cast("double"))
+        .cast("long"))
+      .groupBy(keyCol)
+      .agg(
+        count(lit(1)).as("n_used"),
+        graft.queries.Det.r6(
+          sum(col("_v") * col("_w")).cast("double") /
+            sum(col("_w")).cast("double")).as("ewma"))
+  }
+
+  /** DuckDB spelling of [[ewmaLast]] over a `(key, ts, id, value)`
+    * source SELECT — the identical window + integer-weight mean.
+    */
+  def ewmaLastOracleSql(
+      srcSql: String,
+      keyCol: String,
+      m: Int): String =
+    s"WITH src AS ($srcSql), " +
+      "w AS (SELECT *, row_number() OVER " +
+      s"(PARTITION BY $keyCol ORDER BY ts DESC, id DESC) AS _k FROM src) " +
+      s"SELECT $keyCol, count(*)::BIGINT AS n_used, " +
+      graft.queries.Oracle.r6(
+        s"CAST(sum(CAST(value AS DECIMAL(25,6)) * ((1::BIGINT << ($m - _k)))) AS DOUBLE) " +
+          s"/ CAST(sum(1::BIGINT << ($m - _k)) AS DOUBLE)") +
+      s" AS ewma FROM w WHERE _k <= $m GROUP BY $keyCol"
+
+  /** Per-key linear trend of the DAILY activity series plus a one-week
+    * forecast — the capacity-planning / anomaly-baseline primitive. The
+    * regression runs over each key's OBSERVED days (x = days since the
+    * key's first day, y = that day's event count): gap days are absent
+    * from the fit rather than imputed zero, which is the right default
+    * for feeds that legitimately pause (documented contract).
+    *
+    * Determinism: x and y are integers, so every OLS moment (n, Σx,
+    * Σy, Σxy, Σx²) is an exact integer sum; slope and intercept are
+    * each ONE double division of exact DECIMAL(38,0) products
+    * (slope = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²), intercept = (Σy·D − N·Σx)/(nD)
+    * with N/D the slope's numerator/denominator — no chained rounding),
+    * and the forecast re-runs the same two divisions inside one IEEE
+    * tree. Single-day keys report NULL slope/forecast, not a division
+    * error.
+    *
+    * Scale shape: one (key, day) aggregate, one per-key moment
+    * aggregate — both partial-aggregable, no windows, no joins.
+    */
+  def linearTrendForecast(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      horizonDays: Int = 7): DataFrame = {
+    val daily = events
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("_day"))
+      .agg(count(lit(1)).as("_y"))
+    val keyed = daily
+      .withColumn("_x0", min(col("_day"))
+        .over(Window.partitionBy(keyCol)))
+      .select(col(keyCol),
+        datediff(col("_day"), col("_x0")).cast("long").as("_x"),
+        col("_y"))
+    // width-sized operand casts (the q_cusum discipline): every product
+    // stays inside DECIMAL(38) in BOTH engines' width rules, so the
+    // arithmetic is exact — n ≤ 10^8, Σx ≤ 10^10, Σy ≤ 10^12,
+    // Σxy/Σx² ≤ 10^16 hold far past sf10 for daily-granularity series
+    def dc(c: org.apache.spark.sql.Column, p: Int) = c.cast(s"decimal($p,0)")
+    keyed.groupBy(keyCol)
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(col("_x")).as("_sx"),
+        sum(col("_y")).as("_sy"),
+        sum(col("_x") * col("_y")).as("_sxy"),
+        sum(col("_x") * col("_x")).as("_sxx"),
+        max(col("_x")).as("_xm"))
+      .select(col(keyCol), col("n_days"),
+        dc(dc(col("n_days"), 8) * dc(col("_sxy"), 16) -
+          dc(col("_sx"), 10) * dc(col("_sy"), 12), 24).as("_num"),
+        dc(dc(col("n_days"), 8) * dc(col("_sxx"), 16) -
+          dc(col("_sx"), 10) * dc(col("_sx"), 10), 24).as("_den"),
+        col("_sx"), col("_sy"), col("n_days").as("_n"), col("_xm"))
+      .select(col(keyCol), col("n_days"),
+        when(col("_den") =!= 0, graft.queries.Det.r6(
+          col("_num").cast("double") / col("_den").cast("double")))
+          .as("slope"),
+        when(col("_den") =!= 0, graft.queries.Det.r6(
+          (dc(col("_sy"), 12) * col("_den") - col("_num") * dc(col("_sx"), 10))
+            .cast("double") /
+            (dc(col("_n"), 8) * col("_den")).cast("double")))
+          .as("intercept"),
+        when(col("_den") =!= 0, graft.queries.Det.r6(
+          (dc(col("_sy"), 12) * col("_den") - col("_num") * dc(col("_sx"), 10))
+            .cast("double") /
+            (dc(col("_n"), 8) * col("_den")).cast("double") +
+            col("_num").cast("double") / col("_den").cast("double") *
+              (col("_xm") + horizonDays).cast("double")))
+          .as("forecast"))
+  }
+
+  /** DuckDB spelling of [[linearTrendForecast]] over an `events`-shaped
+    * source (`key`/`ts` spelled by the caller).
+    */
+  def linearTrendForecastOracleSql(
+      tableExpr: String,
+      keyCol: String,
+      tsCol: String,
+      horizonDays: Int): String = {
+    val r6 = graft.queries.Oracle.r6 _
+    def dc(x: String, p: Int) = s"CAST($x AS DECIMAL($p,0))"
+    s"WITH daily AS (SELECT $keyCol AS k, CAST($tsCol AS DATE) AS _day, " +
+      s"count(*)::BIGINT AS _y FROM $tableExpr GROUP BY 1, 2), " +
+      "keyed AS (SELECT k, CAST(date_diff('day', " +
+      "min(_day) OVER (PARTITION BY k), _day) AS BIGINT) AS _x, _y " +
+      "FROM daily), " +
+      "mom AS (SELECT k, count(*)::BIGINT AS n_days, " +
+      "sum(_x)::BIGINT AS _sx, sum(_y)::BIGINT AS _sy, " +
+      "sum(_x * _y)::BIGINT AS _sxy, sum(_x * _x)::BIGINT AS _sxx, " +
+      "max(_x)::BIGINT AS _xm FROM keyed GROUP BY k), " +
+      "nd AS (SELECT k, n_days, _sx, _sy, _xm, " +
+      dc(s"${dc("n_days", 8)} * ${dc("_sxy", 16)} - " +
+        s"${dc("_sx", 10)} * ${dc("_sy", 12)}", 24) + " AS _num, " +
+      dc(s"${dc("n_days", 8)} * ${dc("_sxx", 16)} - " +
+        s"${dc("_sx", 10)} * ${dc("_sx", 10)}", 24) + " AS _den " +
+      "FROM mom) " +
+      s"SELECT k AS $keyCol, n_days, " +
+      "CASE WHEN _den <> 0 THEN " +
+      r6("CAST(_num AS DOUBLE) / CAST(_den AS DOUBLE)") +
+      " END AS slope, " +
+      "CASE WHEN _den <> 0 THEN " +
+      r6(s"CAST(${dc("_sy", 12)} * _den - _num * ${dc("_sx", 10)} AS DOUBLE)" +
+        s" / CAST(${dc("n_days", 8)} * _den AS DOUBLE)") +
+      " END AS intercept, " +
+      "CASE WHEN _den <> 0 THEN " +
+      r6(s"CAST(${dc("_sy", 12)} * _den - _num * ${dc("_sx", 10)} AS DOUBLE)" +
+        s" / CAST(${dc("n_days", 8)} * _den AS DOUBLE) + " +
+        "CAST(_num AS DOUBLE) / CAST(_den AS DOUBLE) * " +
+        s"CAST(_xm + $horizonDays AS DOUBLE)") +
+      " END AS forecast FROM nd"
+  }
+
+  /** Kaplan–Meier survival over entity lifetimes derived from an event
+    * log — the churn/retention curve with CORRECT censoring, which the
+    * naive "average lifetime of departed users" systematically biases
+    * short. An entity's lifetime is last-event day − first-event day;
+    * entities last seen within `censorDays` of the corpus's final day
+    * are right-CENSORED (still alive as far as the log knows), not
+    * deaths.
+    *
+    * Estimator: at each duration t with d(t) deaths,
+    * S(t) = Π_{t'≤ t} (1 − d/n) over the at-risk counts
+    * n(t) = N − Σ_{t'<t}(d + c). All counts are exact integers; the
+    * product runs as a DECIMAL prefix sum of r6-rounded ln factors (the
+    * q_zipf log discipline) with the final exp r6'd — and the exact
+    * integer triple (n_at_risk, d, c) is emitted alongside, so the
+    * curve's inputs hash-check even if a libm ulp ever wiggled the
+    * exponential (it has not, across either engine, on any tested SF).
+    *
+    * Scale shape: one per-entity aggregate, one per-duration aggregate,
+    * then windows over the DURATION-indexed frame — bounded by the
+    * calendar span, not the entity count (the bounded-frame window
+    * discipline of [[graft.ops.Quantiles]]).
+    */
+  def kaplanMeier(
+      events: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      censorDays: Int = 7): DataFrame = {
+    val lives = events.groupBy(col(entityCol))
+      .agg(to_date(min(col(tsCol))).as("_first"),
+        to_date(max(col(tsCol))).as("_last"))
+    val horizon = events.agg(to_date(max(col(tsCol))).as("_hmax"))
+    val spans = lives.crossJoin(broadcast(horizon))
+      .select(
+        datediff(col("_last"), col("_first")).cast("long").as("t"),
+        (datediff(col("_hmax"), col("_last")) >= censorDays)
+          .cast("long").as("_death"))
+    val byT = spans.groupBy("t")
+      .agg(sum(col("_death")).as("d"),
+        (count(lit(1)) - sum(col("_death"))).as("c"))
+    val total = Window.orderBy("t")
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    val prior = Window.orderBy("t").rowsBetween(Long.MinValue, -1)
+    val atRisk = byT
+      .withColumn("n_at_risk",
+        sum(col("d") + col("c")).over(total) -
+          coalesce(sum(col("d") + col("c")).over(prior), lit(0L)))
+      .withColumn("_lnf",
+        when(col("d") > 0, graft.queries.Det.r6(
+          log((col("n_at_risk") - col("d")).cast("double") /
+            col("n_at_risk").cast("double"))))
+          .otherwise(lit(0.0)))
+    atRisk
+      .withColumn("km_log",
+        sum(col("_lnf").cast("decimal(25,6)")).over(
+          Window.orderBy("t").rowsBetween(Long.MinValue, 0)))
+      .filter(col("d") > 0)
+      .select(col("t"), col("n_at_risk"), col("d").as("n_deaths"),
+        col("c").as("n_censored"), col("km_log").cast("double").as("km_log"),
+        graft.queries.Det.r6(exp(col("km_log").cast("double")))
+          .as("survival"))
+      .orderBy("t")
+  }
+
+  /** DuckDB spelling of [[kaplanMeier]] over an `events`-shaped source.
+    */
+  def kaplanMeierOracleSql(
+      tableExpr: String,
+      entityCol: String,
+      tsCol: String,
+      censorDays: Int): String = {
+    val r6 = graft.queries.Oracle.r6 _
+    s"WITH lives AS (SELECT $entityCol AS ent, " +
+      s"CAST(min($tsCol) AS DATE) AS _first, " +
+      s"CAST(max($tsCol) AS DATE) AS _last FROM $tableExpr GROUP BY 1), " +
+      s"h AS (SELECT CAST(max($tsCol) AS DATE) AS _hmax FROM $tableExpr), " +
+      "spans AS (SELECT CAST(date_diff('day', _first, _last) AS BIGINT) " +
+      "AS t, CASE WHEN date_diff('day', _last, h._hmax) >= " +
+      s"$censorDays THEN 1 ELSE 0 END AS _death " +
+      "FROM lives CROSS JOIN h), " +
+      "byt AS (SELECT t, sum(_death)::BIGINT AS d, " +
+      "(count(*) - sum(_death))::BIGINT AS c FROM spans GROUP BY t), " +
+      "ar AS (SELECT *, sum(d + c) OVER () - " +
+      "coalesce(sum(d + c) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED " +
+      "PRECEDING AND 1 PRECEDING), 0) AS n_at_risk FROM byt), " +
+      "lf AS (SELECT *, CASE WHEN d > 0 THEN " +
+      r6("ln(CAST(n_at_risk - d AS DOUBLE) / CAST(n_at_risk AS DOUBLE))") +
+      " ELSE 0.0 END AS _lnf FROM ar), " +
+      "km AS (SELECT *, sum(CAST(_lnf AS DECIMAL(25,6))) OVER " +
+      "(ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+      "AS km_log FROM lf) " +
+      "SELECT t, CAST(n_at_risk AS BIGINT) AS n_at_risk, d AS n_deaths, " +
+      "c AS n_censored, CAST(km_log AS DOUBLE) AS km_log, " +
+      r6("exp(CAST(km_log AS DOUBLE))") + " AS survival " +
+      "FROM km WHERE d > 0 ORDER BY t"
+  }
 }

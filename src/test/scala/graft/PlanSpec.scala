@@ -246,6 +246,15 @@ class PlanSpec extends SparkTestBase {
     // aggregates crossJoined into the 1-row verdict; no row data moves)
     // (q_calibration: the 1-row total and 1-row ECE broadcast against
     // the ≤bins-row bin table — the q_histogram scalar shape)
+    // (q_rrf: embeds the q_bm25 scorer, so it inherits bm25's 1-row
+    // corpus-stats (N, avgdl) broadcast)
+    // (q_hits: the 1-row L1-norm broadcast per half-iteration — the
+    // q_pagerank 1-row |V| shape)
+    // (q_textrank: pageRankWeighted's 1-row vertex-count broadcast)
+    // (q_km: the 1-row corpus-horizon date broadcast under the
+    // censoring rule)
+    // (q_range_plan: the 1-row B−1-boundary array broadcast every row's
+    // partition assignment reads)
     val bnljByDesign = Set("q_sim_topk", "q_sim_topk_agg", "q_top_tokens",
       "q_tfidf", "q_asof", "q_sim_ivf", "q_surprisal", "q_kmeans",
       "q_text_knn", // brute-force top-k: broadcast query side, like q_sim_topk
@@ -255,7 +264,8 @@ class PlanSpec extends SparkTestBase {
       "q_neg_sample", "q_ann_recall", "q_ann_recall_ivf", "q_ann_recall_trunc",
       "q_pmi", "q_ks_drift", "q_kmv_union", "q_skew_audit", "q_target_enc",
       "q_basket", "q_bins", "q_jaro", "q_bitmap", "q_psi", "q_quantile_norm",
-      "q_twostage", "q_benford", "q_sample", "q_split", "q_calibration")
+      "q_twostage", "q_benford", "q_sample", "q_split", "q_calibration",
+      "q_rrf", "q_hits", "q_textrank", "q_km", "q_range_plan")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = plan(fn(spark, Sf0001))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
