@@ -33,6 +33,14 @@ object Verify {
         Seq(msg.take(500)).toDF("_builder_error")
           .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       }
+      // per-query hygiene: iterative ops leave result-backing checkpoint
+      // blocks; across 200+ queries in one session those accumulate
+      // faster than the ContextCleaner reaps them. The shared-stage memo
+      // must drop with them (its blocks are lineage-truncated).
+      graft.queries.ExtQueries.invalidateSharedStages()
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -86,9 +86,13 @@ object Graphs {
       .select(col("s").as("a"), col("b"), col("c"))
     // explode, not a 3-way union: union branches would re-evaluate the
     // whole wedge pipeline once each (no cross-branch subplan sharing)
-    triangles
+    // loop-exit hygiene: see [[pageRank]] — the vertex-sized count
+    // frame materializes eagerly so the edge cache can be released here
+    val out = graft.util.Lineage.checkpoint(triangles
       .select(explode(array(col("a"), col("b"), col("c"))).as("vertex"))
-      .groupBy("vertex").agg(count(lit(1)).as("n_triangles"))
+      .groupBy("vertex").agg(count(lit(1)).as("n_triangles")))
+    e.unpersist(blocking = false)
+    out.df
   }
 
   /** Fixed-iteration PageRank over an undirected canonical (u < v,
@@ -110,8 +114,15 @@ object Graphs {
       damping: Double = 0.85,
       iters: Int = 3,
       checkpointEvery: Int = 8): DataFrame = {
-    val directed = edges.select(col("u"), col("v"))
-      .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+    // the symmetrized edge list materializes ONCE, eagerly: it feeds
+    // three derivations (degrees+outgoing, the vertex set, the count),
+    // and the caller's edge plan is often itself an expensive self-join
+    // (the co-purchase graph) that must not run once per derivation —
+    // measured 24 s → 8 s at sf0.1 on the co-occurrence input
+    val eGen = graft.util.Lineage.checkpoint(
+      edges.select(col("u"), col("v"))
+        .unionAll(edges.select(col("v").as("u"), col("u").as("v"))))
+    val directed = eGen.df
     val deg = directed.groupBy("u").agg(count(lit(1)).as("od"))
     // CACHE the loop-invariant frames, lazily. A fully uncached
     // iteration tree re-evaluates the edge input (often itself an
@@ -123,8 +134,8 @@ object Graphs {
     // eager driver-side jobs are added — profiled 3.2× faster than
     // eagerly localCheckpoint-ing each generation (which pays a
     // scheduler round-trip + block write + codegen break per round).
-    // Blocks are freed by the ContextCleaner once the returned frame is
-    // unreachable.
+    // Both caches are explicitly unpersisted on loop exit, after the
+    // final generation materializes.
     val outgoing = directed.join(deg, "u").cache()
     val verts = directed.select(col("u").as("x")).distinct().cache()
     val n = verts.agg(count(lit(1)).as("n"))
@@ -135,6 +146,13 @@ object Graphs {
     // run neither overflows the planner with a 50-deep tree nor holds
     // more than one |V|-sized generation of blocks. Small runs (the
     // common analytics shape) never pay the materialization.
+    // When rotation WILL occur, the loop-invariant caches must
+    // materialize before the first in-loop checkpoint: the registry diff
+    // would otherwise attribute their blocks to that generation and free
+    // them mid-loop (the hitsBipartite edge-generation lesson).
+    if (checkpointEvery > 0 && iters > checkpointEvery) {
+      outgoing.count(); verts.count()
+    }
     var gen: Option[graft.util.Lineage.Gen] = None
     for (i <- 1 to iters) {
       val sums = ranks
@@ -158,7 +176,17 @@ object Graphs {
         ranks = next.df
       }
     }
-    ranks
+    // loop-exit hygiene (round-9 discipline): materialize the final
+    // generation eagerly, then release every internal cache/checkpoint.
+    // Returning the lazy frame instead would either leak the loop
+    // caches for the session lifetime or — if the caller unpersisted
+    // them — silently recompute an iters-deep uncached tree.
+    val out = graft.util.Lineage.checkpoint(ranks)
+    gen.foreach(graft.util.Lineage.free)
+    graft.util.Lineage.free(eGen)
+    outgoing.unpersist(blocking = false)
+    verts.unpersist(blocking = false)
+    out.df
   }
 
   /** DuckDB spelling of [[pageRank]] — unrolled-CTE oracle generated for
@@ -258,9 +286,14 @@ object Graphs {
       }
       removed.unpersist()
     }
-    verts.join(deg.withColumnRenamed("d", "core_degree"), Seq("x"), "left")
-      .select(col("x"), col("core_degree").isNotNull.as("in_core"),
-        col("core_degree"))
+    // loop-exit hygiene: see [[pageRank]]
+    val out = graft.util.Lineage.checkpoint(
+      verts.join(deg.withColumnRenamed("d", "core_degree"), Seq("x"), "left")
+        .select(col("x"), col("core_degree").isNotNull.as("in_core"),
+          col("core_degree")))
+    gen.foreach(graft.util.Lineage.free)
+    sym.unpersist(blocking = false)
+    out.df
   }
 
   /** DuckDB spelling of [[kCore]]: an unrolled-CTE oracle with `rounds`
@@ -377,7 +410,10 @@ object Graphs {
       if (rounds % 8 == 7) nxt = nxt.localCheckpoint(eager = false)
       nxt = nxt.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val row = nxt.agg(count(lit(1)), sum(col("d"))).head()
-      val s2 = (row.getLong(0), row.getLong(1))
+      // null-safe witness read: when `source` is not a vertex of the
+      // edge list the frontier is empty, so sum(d) is NULL — the
+      // contract then returns every vertex at NULL dist, not an NPE
+      val s2 = (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
       dist.unpersist()
       dist = nxt
       done = s2 == state
@@ -387,7 +423,12 @@ object Graphs {
         throw new IllegalStateException(
           s"sssp did not reach a fixpoint in $maxRounds rounds")
     }
-    verts.join(dist, Seq("x"), "left").select(col("x"), col("d").as("dist"))
+    // loop-exit hygiene: see [[pageRank]]
+    val out = graft.util.Lineage.checkpoint(
+      verts.join(dist, Seq("x"), "left").select(col("x"), col("d").as("dist")))
+    dist.unpersist(blocking = false)
+    e.unpersist(blocking = false)
+    out.df
   }
 
   /** DuckDB spelling of [[sssp]]: `rounds` unrolled relaxation passes
@@ -428,9 +469,12 @@ object Graphs {
       edges: DataFrame,
       damping: Double = 0.85,
       iters: Int = 3): DataFrame = {
-    val directed = edges.select(col("u"), col("v"), col("w").cast("long"))
-      .unionAll(edges.select(col("v").as("u"), col("u").as("v"),
-        col("w").cast("long")))
+    // one eager materialization of the symmetrized list: see [[pageRank]]
+    val eGen = graft.util.Lineage.checkpoint(
+      edges.select(col("u"), col("v"), col("w").cast("long"))
+        .unionAll(edges.select(col("v").as("u"), col("u").as("v"),
+          col("w").cast("long"))))
+    val directed = eGen.df
     val wdeg = directed.groupBy("u").agg(sum(col("w")).as("wd"))
     val outgoing = directed.join(wdeg, "u").cache()
     val verts = directed.select(col("u").as("x")).distinct().cache()
@@ -450,7 +494,12 @@ object Graphs {
           (lit(1 - damping) / col("n") +
             lit(damping) * coalesce(col("m"), lit(0.0))).as("r"))
     }
-    ranks
+    // loop-exit hygiene: see [[pageRank]]
+    val out = graft.util.Lineage.checkpoint(ranks)
+    graft.util.Lineage.free(eGen)
+    outgoing.unpersist(blocking = false)
+    verts.unpersist(blocking = false)
+    out.df
   }
 
   /** DuckDB spelling of [[pageRankWeighted]] — unrolled like
@@ -512,7 +561,11 @@ object Graphs {
         .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("m"))
         .select(col("x"), (-col("m.nl")).as("lbl"))
     }
-    labels.select(col("x"), col("lbl").as("community"))
+    // loop-exit hygiene: see [[pageRank]]
+    val out = graft.util.Lineage.checkpoint(
+      labels.select(col("x"), col("lbl").as("community")))
+    sym.unpersist(blocking = false)
+    out.df
   }
 
   /** DuckDB spelling of [[labelPropagation]]: `rounds` unrolled CTE
@@ -550,8 +603,11 @@ object Graphs {
       damping: Double = 0.85,
       iters: Int = 3): DataFrame = {
     require(seeds.nonEmpty, "personalized PageRank needs a seed set")
-    val directed = edges.select(col("u"), col("v"))
-      .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+    // one eager materialization of the symmetrized list: see [[pageRank]]
+    val eGen = graft.util.Lineage.checkpoint(
+      edges.select(col("u"), col("v"))
+        .unionAll(edges.select(col("v").as("u"), col("u").as("v"))))
+    val directed = eGen.df
     val deg = directed.groupBy("u").agg(count(lit(1)).as("od"))
     val outgoing = directed.join(deg, "u").cache()
     val verts = directed.select(col("u").as("x")).distinct().cache()
@@ -570,7 +626,12 @@ object Graphs {
           (lit(1 - damping) * tele +
             lit(damping) * coalesce(col("m"), lit(0.0))).as("r"))
     }
-    ranks
+    // loop-exit hygiene: see [[pageRank]]
+    val out = graft.util.Lineage.checkpoint(ranks)
+    graft.util.Lineage.free(eGen)
+    outgoing.unpersist(blocking = false)
+    verts.unpersist(blocking = false)
+    out.df
   }
 
   /** DuckDB spelling of [[pageRankPersonalized]] — the
@@ -625,33 +686,58 @@ object Graphs {
     */
   def hitsBipartite(edges: DataFrame, iters: Int = 4): DataFrame = {
     import graft.queries.Det.r6
-    val e = edges.select(col("src"), col("dst")).cache()
+    import graft.util.Lineage
+    require(iters >= 1, s"hitsBipartite needs iters >= 1, got $iters")
+    // the edge list is its OWN tracked generation (eager localCheckpoint,
+    // not a lazy cache): a lazy cache would first materialize inside
+    // iteration 1's generation checkpoint, whose registry diff would
+    // mis-attribute the edge blocks to that generation and free them on
+    // rotation — silently un-caching the loop invariant
+    val eGen = Lineage.checkpoint(edges.select(col("src"), col("dst")))
+    val e = eGen.df
     val srcs = e.select(col("src").as("x")).distinct()
-    val dsts = e.select(col("dst").as("x")).distinct()
     def dsumRaw(c: org.apache.spark.sql.Column) =
       sum(c.cast("decimal(25,6)")).cast("double")
     var hub = srcs.select(col("x"), lit(1.0).as("h"))
     var auth: DataFrame = null
+    // Generation discipline (round-9 fix): each half-iteration's raw-sum
+    // frame ROTATES through an eager localCheckpoint (util/Lineage), not
+    // cache(). cache() materializes blocks but does NOT truncate the
+    // logical plan — iteration i's analyzer tree still embedded every
+    // prior generation twice (its L1 norm + the normalized join), so the
+    // tree grew ~4× per iteration and analysis/optimization alone took
+    // minutes (measured 586.9 s at sf0.1 for iters=4 under cache();
+    // ~3 s rotated). The checkpoint truncates lineage, so every
+    // half-iteration plans as one small join+aggregate, and freeing the
+    // previous generation keeps executor storage at two vertex-sized
+    // frames regardless of iters.
+    var aGen: Option[Lineage.Gen] = None
+    var hGen: Option[Lineage.Gen] = None
     for (_ <- 1 to iters) {
-      // cache each raw-sum frame: it is consumed TWICE (its own L1
-      // norm + the normalized join), and uncached that doubling
-      // compounds through the lineage — 2^(2·iters) re-executions of
-      // the edge join (measured 181 s at sf0.1 for iters=4; ~2 s
-      // cached). Frames are vertex-sized; the ContextCleaner reaps
-      // them when the result goes unreachable.
-      val aRaw = e.join(hub.withColumnRenamed("x", "src"), "src")
-        .groupBy(col("dst").as("x")).agg(dsumRaw(col("h")).as("raw"))
-        .cache()
-      val ta = aRaw.agg(dsumRaw(col("raw")).as("t"))
-      auth = aRaw.crossJoin(broadcast(ta))
+      val aG = Lineage.checkpoint(
+        e.join(hub.withColumnRenamed("x", "src"), "src")
+          .groupBy(col("dst").as("x")).agg(dsumRaw(col("h")).as("raw")))
+      // hub's backing generation was consumed by the checkpoint above;
+      // the previous auth generation by the previous hub checkpoint
+      hGen.foreach(Lineage.free)
+      aGen.foreach(Lineage.free)
+      aGen = Some(aG)
+      val ta = aG.df.agg(dsumRaw(col("raw")).as("t"))
+      auth = aG.df.crossJoin(broadcast(ta))
         .select(col("x"), r6(col("raw") / col("t")).as("a"))
-      val hRaw = e.join(auth.withColumnRenamed("x", "dst"), "dst")
-        .groupBy(col("src").as("x")).agg(dsumRaw(col("a")).as("raw"))
-        .cache()
-      val th = hRaw.agg(dsumRaw(col("raw")).as("t"))
-      hub = hRaw.crossJoin(broadcast(th))
+      val hG = Lineage.checkpoint(
+        e.join(auth.withColumnRenamed("x", "dst"), "dst")
+          .groupBy(col("src").as("x")).agg(dsumRaw(col("a")).as("raw")))
+      hGen = Some(hG)
+      val th = hG.df.agg(dsumRaw(col("raw")).as("t"))
+      hub = hG.df.crossJoin(broadcast(th))
         .select(col("x"), r6(col("raw") / col("t")).as("h"))
     }
+    // the final hub/auth projections read only the two surviving
+    // checkpointed generations, so the edge blocks can go now; the final
+    // generations back the returned frame (bench/session hygiene or the
+    // ContextCleaner reaps them once the result is dropped)
+    Lineage.free(eGen)
     hub.select(lit("hub").as("side"), col("x").as("vertex"),
         col("h").as("score"))
       .unionAll(auth.select(lit("authority").as("side"),
@@ -741,12 +827,17 @@ object Graphs {
         throw new IllegalStateException(
           s"closenessCentrality did not settle in $maxRounds rounds")
     }
-    dist.groupBy(col("s").as("seed"))
-      .agg(count(lit(1)).as("n_reached"), sum(col("d")).as("dist_sum"))
-      .select(col("seed"), col("n_reached"), col("dist_sum"),
-        when(col("dist_sum") > 0, graft.queries.Det.r6(
-          (col("n_reached") - 1).cast("double") /
-            col("dist_sum").cast("double"))).as("closeness"))
+    // loop-exit hygiene: see [[pageRank]]
+    val out = graft.util.Lineage.checkpoint(
+      dist.groupBy(col("s").as("seed"))
+        .agg(count(lit(1)).as("n_reached"), sum(col("d")).as("dist_sum"))
+        .select(col("seed"), col("n_reached"), col("dist_sum"),
+          when(col("dist_sum") > 0, graft.queries.Det.r6(
+            (col("n_reached") - 1).cast("double") /
+              col("dist_sum").cast("double"))).as("closeness")))
+    dist.unpersist(blocking = false)
+    e.unpersist(blocking = false)
+    out.df
   }
 
   /** DuckDB spelling of [[closenessCentrality]]: `rounds` unrolled

@@ -46,7 +46,12 @@ object LinAlg {
         struct(i.as("i"), j.as("j"),
           (element_at(v, i + 1).cast("double") *
             element_at(v, j + 1).cast("double")).as("p")))))
-    val exploded = df.select(explode(pairs).as("t"))
+    // tolerate ragged input: a null or EMPTY embedding contributes no
+    // statistics (size 0 would otherwise build the descending sequence
+    // [0, −1] and evaluate element_at(v, 0), which Spark rejects —
+    // SQL array indices are 1-based)
+    val present = df.filter(size(v) >= 1)
+    val exploded = present.select(explode(pairs).as("t"))
       .select(col("t.i").cast("long").as("i"),
         col("t.j").cast("long").as("j"), col("t.p").as("p"))
     val gram = exploded.groupBy("i", "j")
@@ -71,7 +76,13 @@ object LinAlg {
   def topEigen(cov: DataFrame, iters: Int = 50): (Array[Double], Double) = {
     val entries = cov.select("i", "j", "cov").collect()
       .map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(2)))
+    require(entries.nonEmpty, "topEigen needs a non-empty covariance matrix")
     val d = entries.map(_._2).max + 1
+    // enforce the "bounded model object" contract the collect() relies
+    // on: d² doubles must stay driver-sized (4096² ≈ 128 MB), or the
+    // caller is feeding data, not a covariance matrix
+    require(d <= 4096,
+      s"topEigen collects a d×d matrix on the driver; d=$d exceeds 4096")
     val m = Array.ofDim[Double](d, d)
     entries.foreach { case (i, j, x) => m(i)(j) = x; m(j)(i) = x }
     var vcur = Array.tabulate(d)(i => if (i == 0) 1.0 else 0.0)

@@ -88,7 +88,14 @@ object Privacy {
     val bigEnough = keyed.groupBy(qi.map { case (n, _) => col(n) }: _*)
       .agg(count(lit(1)).as("_n"))
       .filter(col("_n") >= k)
-      .drop("_n")
-    keyed.join(bigEnough, qi.map(_._1), "left_semi")
+      .select(qi.map { case (n, _) => col(n).as(s"_qik_$n") }: _*)
+    // null-SAFE (<=>) semi-join keys: the audit's GROUP BY treats a null
+    // QI value as its own group, so a null group of size ≥ k must
+    // survive suppression too — a plain equi-semi-join is null-rejecting
+    // and would silently drop it, breaking the documented invariant
+    // `suppressToK(df, qi, k).count() == n_rows − rows_below_k`
+    val cond = qi.map { case (n, _) => col(n) <=> col(s"_qik_$n") }
+      .reduce(_ && _)
+    keyed.join(bigEnough, cond, "left_semi")
   }
 }

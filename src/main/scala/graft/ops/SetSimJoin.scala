@@ -104,25 +104,10 @@ object SetSimJoin {
       setCol: Column,
       threshold: Double,
   ): DataFrame = {
-    require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
     val sets = df
       .select(col(idCol).as("_id"), array_distinct(setCol).as("elems"))
       .filter(size(col("elems")) > 0)
-    val elems = sets.select(col("_id"), explode(col("elems")).as("elem"))
-    val dfreq = elems.groupBy("elem").agg(count(lit(1)).as("df"))
-    val ranked = elems.join(dfreq, "elem")
-      .groupBy("_id")
-      .agg(sort_array(collect_list(struct(col("df"), col("elem")))).as("ranked"))
-      .withColumn("sz", size(col("ranked")))
-    val prefixA = ranked
-      .withColumn("plen",
-        (col("sz") - ceil(lit(threshold) * col("sz")) + lit(2)).cast("int"))
-      .select(col("_id").as("id_a"),
-        explode(expr("transform(slice(ranked, 1, plen), x -> x.elem)")).as("elem"))
-    val allB = elems.select(col("_id").as("id_b"), col("elem"))
-    prefixA.join(allB, "elem")
-      .filter(col("id_a") =!= col("id_b"))
-      .select("id_a", "id_b").distinct()
+    containmentCandidates(sets, threshold)
       .join(sets.toDF("id_a", "elems_a"), "id_a")
       .join(sets.toDF("id_b", "elems_b"), "id_b")
       .withColumn("cont",
@@ -130,5 +115,53 @@ object SetSimJoin {
           size(col("elems_a")))
       .filter(col("cont") >= threshold)
       .select("id_a", "id_b", "cont")
+  }
+
+  /** The candidate stage of [[containmentJoin]], exposed so the
+    * positional filter's pruning is directly measurable (its spec
+    * asserts strictly fewer candidates than `positional = false` with
+    * an identical final result). `sets` must be `(_id, elems)` with
+    * distinct non-empty element arrays.
+    */
+  private[ops] def containmentCandidates(
+      sets: DataFrame,
+      threshold: Double,
+      positional: Boolean = true): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
+    val elems = sets.select(col("_id"), explode(col("elems")).as("elem"))
+    val dfreq = elems.groupBy("elem").agg(count(lit(1)).as("df"))
+    val ranked = elems.join(dfreq, "elem")
+      .groupBy("_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("elem")))).as("ranked"))
+      .withColumn("sz", size(col("ranked")))
+    // positions ride along (Xiao et al., WWW'08 §3.2 positional filter):
+    // for a shared element at 1-based ranks (pa, qb) of A and B, the
+    // overlap is bounded by min(pa−1, qb−1) + 1 + min(|A|−pa, |B|−qb)
+    // — common elements split into strictly-before / this one /
+    // strictly-after in the SHARED global (df, elem) order. Any shared
+    // element whose bound can still reach t·|A| keeps the pair; the
+    // filter only PRUNES candidates (the exact |A∩B| verify below is
+    // unchanged), and the one-unit slack on the t·|A| comparison keeps
+    // IEEE rounding from ever touching a true pair.
+    val withPos = ranked
+      .select(col("_id"), col("sz"),
+        posexplode(expr("transform(ranked, x -> x.elem)")).as(Seq("p0", "elem")))
+      .select(col("_id"), col("sz"), (col("p0") + 1).as("pos"), col("elem"))
+    val prefixA = withPos
+      .filter(col("pos") <=
+        col("sz") - ceil(lit(threshold) * col("sz")) + lit(2))
+      .select(col("_id").as("id_a"), col("sz").as("sz_a"),
+        col("pos").as("pa"), col("elem"))
+    val allB = withPos.select(col("_id").as("id_b"), col("sz").as("sz_b"),
+      col("pos").as("qb"), col("elem"))
+    val paired = prefixA.join(allB, "elem")
+      .filter(col("id_a") =!= col("id_b"))
+    val pruned =
+      if (positional) paired.filter(
+        (least(col("pa") - 1, col("qb") - 1) + lit(1) +
+          least(col("sz_a") - col("pa"), col("sz_b") - col("qb")))
+          .cast("double") > lit(threshold) * col("sz_a") - lit(1.0))
+      else paired
+    pruned.select("id_a", "id_b").distinct()
   }
 }

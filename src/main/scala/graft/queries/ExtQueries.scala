@@ -142,6 +142,14 @@ object ExtQueries {
     */
   private val clustersFastCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  /** Drop the memoized shared cluster frame. Bench/Verify per-query
+    * hygiene unpersists every block in the block manager; the memoized
+    * frame is backed by lineage-TRUNCATED checkpoint blocks, so a stale
+    * memo entry after clearing would throw
+    * CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on its next read (round-9
+    * lesson). Harness loops that clear caches must call this too. */
+  def invalidateSharedStages(): Unit = clustersFastCache.clear()
   private def clustersFast(s: SparkSession, dir: String): DataFrame =
     clustersFastCache.getOrElseUpdate((s.sparkContext.applicationId, dir), {
       val c = Dedup

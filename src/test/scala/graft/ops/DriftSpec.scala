@@ -136,6 +136,37 @@ class DriftSpec extends SparkTestBase {
     assert(got == want, s"missing: ${want -- got}; spurious: ${got -- want}")
   }
 
+  test("containment positional filter prunes candidates without losing pairs") {
+    import spark.implicits._
+    // doc 1 shares its rarest element z with doc 2, but z sits LAST in
+    // doc 2's ranking with nothing after it: the positional bound
+    // min(pa−1,qb−1)+1+min(|A|−pa,|B|−qb) = 1 < ⌈t·|A|⌉ = 3 kills the
+    // (1,2) candidate the prefix join alone would emit; the w-sharing
+    // docs (real ≥ t pairs) survive the bound
+    val docs = Seq(
+      (1L, Seq("z", "w1", "w2", "w3")),
+      (2L, Seq("u1", "u2", "u3", "u4", "u5", "u6", "u7", "u8", "z")),
+      (3L, Seq("w1", "w2", "w3", "f3")),
+      (4L, Seq("w1", "w2", "w3", "f4")),
+      (5L, Seq("w1", "w2", "w3", "f5")))
+    val sets = docs.toDF("_id", "elems")
+    val t = 0.75
+    val withPos = SetSimJoin.containmentCandidates(sets, t).count()
+    val without = SetSimJoin.containmentCandidates(sets, t,
+      positional = false).count()
+    assert(withPos < without,
+      s"positional filter pruned nothing: $withPos vs $without")
+    // and the FINAL result equals brute force (recall intact)
+    val got = SetSimJoin.containmentJoin(sets, "_id", col("elems"), t)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for {
+      (ia, ea) <- docs; (ib, eb) <- docs if ia != ib
+      c = ea.toSet.intersect(eb.toSet).size.toDouble / ea.toSet.size
+      if c >= t
+    } yield (ia, ib)).toSet
+    assert(got == want, s"missing: ${want -- got}; spurious: ${got -- want}")
+  }
+
   test("pmiBigrams: hand-computed PMI, ordering, and minCount filter") {
     import spark.implicits._
     // one doc "a b a b ...": 10 tokens (a×5, b×5), 9 bigrams

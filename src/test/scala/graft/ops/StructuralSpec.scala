@@ -30,6 +30,15 @@ class StructuralSpec extends SparkTestBase {
     assert(got(4L) == 3L)
   }
 
+  test("sssp: a source absent from the edge list yields all-NULL distances") {
+    // round-9 advice fix: the empty frontier makes sum(d) NULL — the
+    // witness read must not NPE; the contract returns NULL everywhere
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L)).toDF("u", "v", "w")
+    val got = Graphs.sssp(edges, source = 99L).collect()
+    assert(got.length == 3)
+    assert(got.forall(_.isNullAt(1)))
+  }
+
   // ---- Graphs.pageRankWeighted / TextRank --------------------------------
 
   test("pageRankWeighted: ranks sum to 1 and weight skews the flow") {
@@ -70,6 +79,13 @@ class StructuralSpec extends SparkTestBase {
     assert(auth(10L) > auth(11L)) // 10 is cited by both hubs
   }
 
+  test("hits: iters = 0 is rejected loudly, not an NPE at the union") {
+    val edges = Seq((1L, 10L)).toDF("src", "dst")
+    val e = intercept[IllegalArgumentException](
+      Graphs.hitsBipartite(edges, iters = 0))
+    assert(e.getMessage.contains("iters >= 1"))
+  }
+
   // ---- Privacy -----------------------------------------------------------
 
   private val privDf = Seq(
@@ -100,6 +116,24 @@ class StructuralSpec extends SparkTestBase {
     assert(kept.select("g").distinct().collect().map(_.getString(0)).toSeq == Seq("a"))
   }
 
+  test("suppressToK keeps a NULL QI group of size >= k (audit parity)") {
+    // round-9 advice fix: the audit's GROUP BY makes nulls their own
+    // group, so suppression must use null-safe keys — a plain semi-join
+    // would drop the 3-row null group and break the count invariant
+    val df = Seq(
+      (Option("a"), 1L), (Option("a"), 1L),
+      (None: Option[String], 2L), (None, 2L), (None, 2L),
+      (Option("b"), 3L)).toDF("g", "s")
+    val kept = Privacy.suppressToK(df, Seq("g" -> col("g")), k = 2)
+    assert(kept.count() == 5L) // only the 1-row "b" group is suppressed
+    assert(kept.filter(col("g").isNull).count() == 3L)
+    // invariant vs the audit at the same level
+    val audit = Privacy.kAnonymityAudit(df,
+      Seq(Privacy.QiLevel("l", Seq("g" -> col("g")))),
+      sensitive = col("s"), k = 2, l = 1).collect().head
+    assert(kept.count() == audit.getLong(1) - audit.getLong(5))
+  }
+
   // ---- LinAlg ------------------------------------------------------------
 
   private val vecs = Seq(
@@ -113,6 +147,25 @@ class StructuralSpec extends SparkTestBase {
     assert(got((0L, 0L)) == ((2L, 10.0, 1.0))) // 1+9; (10-16/2)/2
     assert(got((0L, 1L)) == ((2L, 14.0, 1.0))) // 2+12; (14-24/2)/2
     assert(got((1L, 1L)) == ((2L, 20.0, 1.0))) // 4+16; (20-36/2)/2
+  }
+
+  test("gramCov tolerates null and empty embeddings (they contribute nothing)") {
+    val ragged = Seq(
+      (1L, Option(Array(1.0f, 2.0f))),
+      (2L, Option(Array(3.0f, 4.0f))),
+      (3L, Option(Array.empty[Float])),
+      (4L, None: Option[Array[Float]])).toDF("vec_id", "embedding")
+    val got = LinAlg.gramCov(ragged, "embedding").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // identical statistics to the 2-row clean frame: n = 2 everywhere
+    assert(got.values.toSet == Set(2L))
+    assert(got.keySet == Set((0L, 0L), (0L, 1L), (1L, 1L)))
+  }
+
+  test("topEigen rejects a matrix past the driver-bounded dimension") {
+    val big = Seq((0L, 5000L, 1.0)).toDF("i", "j", "cov")
+    val e = intercept[IllegalArgumentException](LinAlg.topEigen(big))
+    assert(e.getMessage.contains("4096"))
   }
 
   test("topEigen: residual of the dominant eigenpair is tiny") {
