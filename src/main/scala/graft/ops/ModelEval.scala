@@ -87,8 +87,13 @@ object ModelEval {
     * Determinism: bin = `least(floor(p·bins), bins−1)` on the raw
     * double (identical spelling both engines), label mean from exact
     * integer sums, probability mean via the decimal-sum [[Det.davg]]
-    * discipline, gap and ECE terms r6-rounded before the exact decimal
-    * ECE fold.
+    * discipline OVER THE 6-dp-ROUNDED p — r6 first, then the decimal
+    * cast. Casting a raw >6-decimal double to DECIMAL(25,6) is engine-
+    * dependent on halfway values (Spark rounds the shortest string
+    * representation, DuckDB the binary value; found at sf0.1, one p at
+    * x.xxxxxx5 flipped avg_p's last digit), while r6 computes the same
+    * floor on the same IEEE double everywhere. Gap and ECE terms
+    * r6-rounded before the exact decimal ECE fold.
     *
     * Scale shape: one hash aggregate to ≤ `bins` rows; everything after
     * is on the bounded bin table.
@@ -106,7 +111,7 @@ object ModelEval {
       .groupBy("bin")
       .agg(
         count(lit(1)).as("n"),
-        r6(sum(col("p").cast("decimal(25,6)")).cast("double") / count(lit(1)))
+        r6(sum(r6(col("p")).cast("decimal(25,6)")).cast("double") / count(lit(1)))
           .as("avg_p"),
         r6(sum("y").cast("double") / count(lit(1))).as("pos_rate"))
       .withColumn("gap", r6(abs(col("avg_p") - col("pos_rate"))))

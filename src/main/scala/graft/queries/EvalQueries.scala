@@ -150,7 +150,7 @@ object EvalQueries {
         s"AS p, $posCase AS y FROM events), " +
         "g AS (SELECT least(floor(p * 10)::BIGINT, 9) AS bin, " +
         "count(*)::BIGINT AS n, " +
-        O.r6(s"${dsumT("p")} / count(*)") + " AS avg_p, " +
+        O.r6(s"${dsumT(O.r6("p"))} / count(*)") + " AS avg_p, " +
         O.r6("CAST(sum(y) AS DOUBLE) / count(*)") + " AS pos_rate " +
         "FROM r GROUP BY 1), " +
         "g2 AS (SELECT bin, n, avg_p, pos_rate, " +

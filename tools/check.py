@@ -11,7 +11,9 @@ Usage: python3 tools/check.py <sfdir> <outdir>
 import glob
 import json
 import math
+import os
 import sys
+import time
 
 import duckdb
 import pandas as pd
@@ -33,8 +35,19 @@ def main(sfdir, outdir):
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    # GRAFT_CHECK_ONLY / GRAFT_CHECK_SKIP: comma lists to restrict or
+    # resume a long sweep (the sf0.1 full-gate run crunches recursive /
+    # brute-force oracles for tens of minutes; a crash or timeout should
+    # not force re-running the queries that already passed)
+    only = {q.strip() for q in os.environ.get("GRAFT_CHECK_ONLY", "").split(",") if q.strip()}
+    skip = {q.strip() for q in os.environ.get("GRAFT_CHECK_SKIP", "").split(",") if q.strip()}
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only}
+    if skip:
+        oracle = {k: v for k, v in oracle.items() if k not in skip}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        t0 = time.time()
         files = glob.glob(f"{outdir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output")
@@ -87,11 +100,15 @@ def main(sfdir, outdir):
             print(f"FAIL {name}: col {c} row {i}: oracle={a!r} spark={b!r}")
             n_fail += 1
         else:
-            print(f"PASS {name} ({len(want)} rows)")
+            print(f"PASS {name} ({len(want)} rows, oracle {time.time() - t0:.1f}s)", flush=True)
             n_pass += 1
     # rows-only queries (in outdir but not in oracle)
     for d in sorted(glob.glob(f"{outdir}/q_*")):
         name = d.split("/")[-1]
+        if only and name not in only:
+            continue
+        if name in skip:
+            continue
         if name not in oracle:
             files = glob.glob(f"{d}/*.parquet")
             n = sum(len(pd.read_parquet(f)) for f in files) if files else 0
