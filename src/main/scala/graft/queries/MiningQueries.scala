@@ -381,30 +381,53 @@ object MiningQueries {
 
   val oracleSql: Map[String, String] = Map(
     // full DBSCAN replay: grid join (the q_density spelling), degree,
-    // core set, core-core transitive closure (recursive CTE), border
-    // attach by MIN core-neighbor cluster — the declared deterministic
-    // canonicalization of textbook DBSCAN's visit-order dependence
-    "q_dbscan" ->
-      ("WITH RECURSIVE pts AS (SELECT event_id, " +
+    // core set, core-core connected components, border attach by MIN
+    // core-neighbor cluster — the declared deterministic
+    // canonicalization of textbook DBSCAN's visit-order dependence.
+    // The closure is UNROLLED min-label pointer-jumping, not a
+    // recursive (id, root) reachability CTE: the naive closure
+    // materializes Σ|component|² rows, which at sf0.1 (a near-
+    // percolating lattice with a giant core component) never finished
+    // in DuckDB. Each round takes the min over self, neighbors, and
+    // the jump l(l(id)) — label chains contract multiplicatively
+    // (pseudo-random ids on the lattice ⇒ ~log n rounds; the unrolled
+    // 40 is a large margin, and extra rounds are fixpoint no-ops — the
+    // kCore unrolled-oracle discipline; an under-unroll would surface
+    // as a loud hash mismatch, never silently). MATERIALIZED stops the
+    // multiply-referenced chain from inlining.
+    "q_dbscan" -> {
+      val ccRounds = (1 to 96).map { i =>
+        s"l$i AS MATERIALIZED (SELECT t.id, " +
+          "least(t.l, coalesce(nb.ml, t.l), coalesce(jp.l, t.l)) AS l " +
+          s"FROM l${i - 1} t " +
+          s"LEFT JOIN (SELECT e.dst AS id, min(s.l) AS ml FROM e " +
+          s"JOIN l${i - 1} s ON s.id = e.src GROUP BY e.dst) nb " +
+          "ON nb.id = t.id " +
+          s"LEFT JOIN l${i - 1} jp ON jp.id = t.l)"
+      }.mkString(", ")
+      "WITH pts AS (SELECT event_id, " +
         "40.2::DOUBLE + (user_id % 997) * 0.0008::DOUBLE AS lat, " +
         "-74.6::DOUBLE + (event_id % 1013) * 0.0008::DOUBLE AS lon FROM events), " +
-        "p AS (SELECT event_id, lat, lon, " +
+        "p AS MATERIALIZED (SELECT event_id, lat, lon, " +
         "floor(lat / 0.0065::DOUBLE)::BIGINT AS cy, " +
         "floor(lon / 0.0065::DOUBLE)::BIGINT AS cx FROM pts), " +
         "q AS (SELECT event_id AS qid, lat AS qlat, lon AS qlon, " +
         "cy + dy AS cy, cx + dx AS cx FROM p " +
         "CROSS JOIN range(-1, 2) t1(dy) CROSS JOIN range(-1, 2) t2(dx)), " +
-        "j AS (SELECT q.qid AS a, p.event_id AS b FROM q JOIN p USING (cy, cx) " +
+        "j AS MATERIALIZED (SELECT q.qid AS a, p.event_id AS b " +
+        "FROM q JOIN p USING (cy, cx) " +
         "WHERE " + havSql("qlat", "qlon", "lat", "lon") + " <= 300.0 " +
         "AND q.qid != p.event_id), " +
-        "core AS (SELECT a AS pid FROM j GROUP BY a HAVING count(*) + 1 >= 5), " +
-        "ce AS (SELECT j.a, j.b FROM j " +
+        "core AS MATERIALIZED (SELECT a AS pid FROM j " +
+        "GROUP BY a HAVING count(*) + 1 >= 5), " +
+        "ce AS MATERIALIZED (SELECT j.a, j.b FROM j " +
         "WHERE j.a < j.b AND j.a IN (SELECT pid FROM core) " +
         "AND j.b IN (SELECT pid FROM core)), " +
-        "e AS (SELECT a AS src, b AS dst FROM ce UNION ALL SELECT b, a FROM ce), " +
-        "reach(id, r) AS (SELECT src, src FROM e " +
-        "UNION SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id), " +
-        "cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id), " +
+        "e AS MATERIALIZED (SELECT a AS src, b AS dst FROM ce " +
+        "UNION ALL SELECT b, a FROM ce), " +
+        "l0 AS MATERIALIZED (SELECT pid AS id, pid AS l FROM core), " +
+        s"$ccRounds, " +
+        "cc AS MATERIALIZED (SELECT id, l AS cluster_id FROM l96), " +
         "corecl AS (SELECT pid, coalesce(cc.cluster_id, pid) AS cluster_id " +
         "FROM core LEFT JOIN cc ON cc.id = core.pid), " +
         "border AS (SELECT j.a AS pid, min(c.cluster_id) AS cluster_id " +
@@ -416,7 +439,8 @@ object MiningQueries {
         "coalesce(k.cluster_id, bo.cluster_id) AS cluster_id " +
         "FROM pts LEFT JOIN corecl k ON pts.event_id = k.pid " +
         "LEFT JOIN border bo ON pts.event_id = bo.pid " +
-        "ORDER BY point_id"),
+        "ORDER BY point_id"
+    },
     // brute-force dominance: the two-phase sweep must return exactly
     // the non-dominated distinct pairs
     "q_skyline" ->
