@@ -142,6 +142,47 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("set-similarity joins match the brute-force all-pairs oracle on random corpora") {
+    import spark.implicits._
+    import graft.ops.SetSimJoin
+    // small vocabulary → heavy element collisions, so the prefix and
+    // positional filters both fire with real pruning pressure; doc
+    // sizes 1–10 put the ceil(t·|d|) boundary on both sides of every
+    // threshold tested.
+    val vocab = ('a' to 't').map(_.toString)
+    val genDoc = Gen.choose(1, 10).flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab)))
+    for {
+      seed <- 1L to 3L
+      t <- Seq(0.5, 0.8)
+    } {
+      val docs = sample(Gen.listOfN(35, genDoc), seed)
+        .zipWithIndex.map { case (d, i) => (i.toLong, d.toArray) }
+      // a List, not a Map: a for-comprehension over a Map would yield a
+      // Map and silently collapse pairs sharing the same left id.
+      val sets = docs.map { case (i, d) => i -> d.distinct.toSet }
+        .filter(_._2.nonEmpty)
+      val df = docs.toDF("id", "elems")
+
+      val bruteJac = (for {
+        (ia, a) <- sets; (ib, b) <- sets if ia < ib
+        j = (a & b).size.toDouble / (a | b).size if j >= t
+      } yield (ia, ib)).toSet
+      val gotJac = SetSimJoin.jaccardSelfJoin(df, "id", col("elems"), t)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(gotJac == bruteJac,
+        s"jaccard seed=$seed t=$t: missing=${bruteJac -- gotJac} extra=${gotJac -- bruteJac}")
+
+      val bruteCont = (for {
+        (ia, a) <- sets; (ib, b) <- sets if ia != ib
+        c = (a & b).size.toDouble / a.size if c >= t
+      } yield (ia, ib)).toSet
+      val gotCont = SetSimJoin.containmentJoin(df, "id", col("elems"), t)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(gotCont == bruteCont,
+        s"containment seed=$seed t=$t: missing=${bruteCont -- gotCont} extra=${gotCont -- bruteCont}")
+    }
+  }
+
   test("SQL function registry: names resolve, values match the Column API, bad args fail analysis") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
