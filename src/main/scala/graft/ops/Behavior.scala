@@ -195,4 +195,81 @@ object Behavior {
       .select(col("state_from"), col("state_to"), col("n"),
         r6(col("n").cast("double") / col("_tot")).as("p"))
   }
+
+  /** Multi-touch conversion attribution: each user's event stream is
+    * cut into journeys at every `convType` event (journey j = all
+    * events after the j-th conversion, up to and including the
+    * (j+1)-th); for every journey that CONVERTS, its non-conversion
+    * touches split the credit three standard ways at once —
+    * first-touch (all to the earliest touch), last-touch (all to the
+    * latest touch before the conversion), and linear (1/n each). The
+    * per-touch-type credit table is the channel-value readout growth
+    * analytics reports.
+    *
+    * Scale shape: one user-keyed shuffle; all windows partition by
+    * (user) or (user, journey); credits are key-local aggregates over
+    * the touch frame. Determinism: journeys and first/last ranks order
+    * by (ts, id) — a total order; linear shares are r6(1/n) decimal-
+    * summed.
+    */
+  def attribution(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      tieCol: String,
+      typeCol: String,
+      convType: String): DataFrame = {
+    val byUser = Window.partitionBy(col("_u"))
+      .orderBy(col("_ts"), col("_id"))
+    // journey id = conversions strictly before this row
+    val journeyed = events
+      .select(col(userCol).as("_u"), col(tsCol).as("_ts"),
+        col(tieCol).as("_id"), col(typeCol).as("_t"))
+      .withColumn("_j",
+        coalesce(sum((col("_t") === convType).cast("long"))
+          .over(byUser.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val converted = journeyed
+      .filter(col("_t") === convType)
+      .select(col("_u"), col("_j")).distinct()
+    val touches = journeyed
+      .filter(col("_t") =!= convType)
+      .join(converted, Seq("_u", "_j"))
+    val byJourney = Window.partitionBy(col("_u"), col("_j"))
+    val ranked = touches
+      .withColumn("_ra", row_number().over(
+        byJourney.orderBy(col("_ts"), col("_id"))))
+      .withColumn("_rd", row_number().over(
+        byJourney.orderBy(col("_ts").desc, col("_id").desc)))
+      .withColumn("_n", count(lit(1)).over(byJourney))
+    ranked.groupBy(col("_t").as("touch_type"))
+      .agg(
+        count(lit(1)).as("n_touches"),
+        sum((col("_ra") === 1).cast("long")).as("first_credit"),
+        sum((col("_rd") === 1).cast("long")).as("last_credit"),
+        r6(sum(r6(lit(1.0) / col("_n")).cast("decimal(25,6)"))
+          .cast("double")).as("linear_credit"))
+      .orderBy("touch_type")
+  }
+
+  /** DuckDB spelling of [[attribution]] over a `(u, ts, id, t)`
+    * subquery.
+    */
+  def attributionOracleSql(eventsSql: String, convType: String): String = {
+    val r6 = graft.queries.Oracle.r6 _
+    s"WITH ev AS ($eventsSql), " +
+      "jn AS (SELECT *, coalesce(sum(CASE WHEN t = '" + convType +
+      "' THEN 1 ELSE 0 END) OVER (PARTITION BY u ORDER BY ts, id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS j FROM ev), " +
+      s"cj AS (SELECT DISTINCT u, j FROM jn WHERE t = '$convType'), " +
+      s"tc AS (SELECT jn.* FROM jn JOIN cj USING (u, j) WHERE t <> '$convType'), " +
+      "rk AS (SELECT *, row_number() OVER (PARTITION BY u, j ORDER BY ts, id) AS ra, " +
+      "row_number() OVER (PARTITION BY u, j ORDER BY ts DESC, id DESC) AS rd, " +
+      "count(*) OVER (PARTITION BY u, j) AS n FROM tc) " +
+      "SELECT t AS touch_type, count(*)::BIGINT AS n_touches, " +
+      "CAST(sum(CASE WHEN ra = 1 THEN 1 ELSE 0 END) AS BIGINT) AS first_credit, " +
+      "CAST(sum(CASE WHEN rd = 1 THEN 1 ELSE 0 END) AS BIGINT) AS last_credit, " +
+      r6("CAST(sum(CAST(" + r6("1.0 / n") +
+        " AS DECIMAL(25,6))) AS DOUBLE)") + " AS linear_credit " +
+      "FROM rk GROUP BY 1 ORDER BY touch_type"
+  }
 }

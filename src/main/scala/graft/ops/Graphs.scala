@@ -867,4 +867,87 @@ object Graphs {
       r6("CAST(n_reached - 1 AS DOUBLE) / CAST(dist_sum AS DOUBLE)") +
       " END AS closeness FROM fin ORDER BY seed"
   }
+
+  /** Newman modularity breakdown of a vertex partition (Newman &
+    * Girvan 2004): for each community c over an undirected graph with
+    * m edges, `dq_c = L_c/m − (deg_c/2m)²` where L_c is the number of
+    * intra-community edges and deg_c the community's total degree;
+    * global Q is the sum of the per-community rows. The per-community
+    * table (not just the scalar) is the useful artifact — it names
+    * WHICH communities carry the partition quality, the readout a
+    * community-detection pipeline audits after [[labelPropagation]].
+    *
+    * Inputs: `edges(u, v)` distinct with u < v (the
+    * [[coOccurrenceEdges]] contract), `labels(x, community)` covering
+    * every endpoint. Shape: two label-keyed equi-joins (each endpoint)
+    * + key-local aggregates; the edge/degree totals are 1-row
+    * broadcast scalars. No windows, no pair explosion — safe at any
+    * scale the label frame itself is.
+    *
+    * Determinism: L_c, deg_c, m are exact integers; dq is two exact
+    * integer-valued divisions, one subtraction, one square — the same
+    * IEEE tree both engines — rounded once (r6).
+    */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val lbl = labels.select(col("x"), col("community"))
+    val e = edges.select(col("u"), col("v"))
+    // total edge count as a 1-row broadcast scalar
+    val m = e.agg(count(lit(1)).as("_m"))
+    // degree mass per community: symmetrize, then label each endpoint
+    val degByC = e.select(col("u").as("x"))
+      .unionAll(e.select(col("v").as("x")))
+      .join(lbl, "x")
+      .groupBy("community")
+      .agg(count(lit(1)).as("deg_sum"))
+    // intra-community edges: both endpoints carry the same label
+    val internal = e
+      .join(lbl.select(col("x").as("u"), col("community").as("_cu")), "u")
+      .join(lbl.select(col("x").as("v"), col("community").as("_cv")), "v")
+      .filter(col("_cu") === col("_cv"))
+      .groupBy(col("_cu").as("community"))
+      .agg(count(lit(1)).as("n_internal"))
+    val nodes = lbl.groupBy("community").agg(count(lit(1)).as("n_nodes"))
+    nodes
+      .join(degByC, Seq("community"), "left")
+      .join(internal, Seq("community"), "left")
+      .crossJoin(broadcast(m))
+      .select(
+        col("community"),
+        col("n_nodes"),
+        coalesce(col("n_internal"), lit(0L)).as("n_internal"),
+        coalesce(col("deg_sum"), lit(0L)).as("deg_sum"),
+        graft.queries.Det.r6(
+          coalesce(col("n_internal"), lit(0L)).cast("double") /
+            col("_m").cast("double") -
+            (coalesce(col("deg_sum"), lit(0L)).cast("double") /
+              (col("_m").cast("double") * 2.0)) *
+              (coalesce(col("deg_sum"), lit(0L)).cast("double") /
+                (col("_m").cast("double") * 2.0))).as("dq"))
+      .orderBy("community")
+  }
+
+  /** DuckDB spelling of [[modularity]] over a labels subquery
+    * (typically [[labelPropagationOracleSql]] nested verbatim).
+    */
+  def modularityOracleSql(edgesSql: String, labelsSql: String): String = {
+    val r6 = graft.queries.Oracle.r6 _
+    s"WITH me AS ($edgesSql), l AS ($labelsSql), " +
+      "m AS (SELECT count(*)::BIGINT AS m FROM me), " +
+      "dg AS (SELECT l.community, count(*)::BIGINT AS deg_sum FROM " +
+      "(SELECT u AS x FROM me UNION ALL SELECT v AS x FROM me) s " +
+      "JOIN l ON l.x = s.x GROUP BY 1), " +
+      "intra AS (SELECT la.community, count(*)::BIGINT AS n_internal " +
+      "FROM me JOIN l la ON la.x = me.u JOIN l lb ON lb.x = me.v " +
+      "WHERE la.community = lb.community GROUP BY 1), " +
+      "nodes AS (SELECT community, count(*)::BIGINT AS n_nodes " +
+      "FROM l GROUP BY 1) " +
+      "SELECT community, n_nodes, " +
+      "coalesce(n_internal, 0)::BIGINT AS n_internal, " +
+      "coalesce(deg_sum, 0)::BIGINT AS deg_sum, " +
+      r6("coalesce(n_internal, 0)::DOUBLE / m::DOUBLE - " +
+        "(coalesce(deg_sum, 0)::DOUBLE / (m::DOUBLE * 2.0)) * " +
+        "(coalesce(deg_sum, 0)::DOUBLE / (m::DOUBLE * 2.0))") +
+      " AS dq FROM nodes LEFT JOIN dg USING (community) " +
+      "LEFT JOIN intra USING (community) CROSS JOIN m ORDER BY community"
+  }
 }

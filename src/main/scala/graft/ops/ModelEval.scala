@@ -123,4 +123,81 @@ object ModelEval {
       .select("bin", "n", "avg_p", "pos_rate", "gap", "ece")
       .orderBy("bin")
   }
+
+  /** Off-policy evaluation of a deterministic target policy over
+    * logged (action, reward) data: inverse-propensity scoring (Horvitz
+    * & Thompson 1952; Li et al., WSDM 2011) with the logging
+    * propensity taken as the empirical action share (the context-free
+    * logger), plus the self-normalized variant (SNIPS, Swaminathan &
+    * Joachims 2015), which trades a small bias for variance control —
+    * both in one pass. `targetAction` is a Column: the policy π(x)
+    * evaluated per row.
+    *
+    * `IPS = (1/N) Σ 1(a_i = π(x_i)) · w_i · r_i` with `w_i = N/n_{a_i}`;
+    * `SNIPS` replaces 1/N with 1/Σ matched w_i. One row out: counts,
+    * both estimates, and the matched mass (the effective sample size
+    * diagnostic — a tiny `n_matched` means the logs barely cover π).
+    *
+    * Scale shape: one action-share aggregate (≤ |action vocabulary|
+    * rows, broadcast back) + one global aggregate. Determinism: w is a
+    * ratio of exact integers; w·r terms r6'd, decimal-summed, one
+    * final division each.
+    */
+  def ipsEstimate(
+      df: DataFrame,
+      actionCol: String,
+      rewardCol: String,
+      targetAction: org.apache.spark.sql.Column): DataFrame = {
+    val base = df.select(
+      col(actionCol).as("_a"),
+      col(rewardCol).cast("double").as("_r"),
+      targetAction.as("_pi"))
+    val shares = base.groupBy("_a").agg(count(lit(1)).as("_na"))
+    val total = base.agg(count(lit(1)).as("_n"))
+    base
+      .join(broadcast(shares), "_a")
+      .crossJoin(broadcast(total))
+      .select(
+        col("_n"),
+        (col("_a") === col("_pi")).as("_m"),
+        r6(col("_n").cast("double") / col("_na").cast("double")).as("_w"),
+        col("_r"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("_m").cast("long")).as("n_matched"),
+        sum(when(col("_m"), r6(col("_w") * col("_r")))
+          .otherwise(lit(0.0)).cast("decimal(25,6)")).as("_swr"),
+        sum(when(col("_m"), col("_w")).otherwise(lit(0.0))
+          .cast("decimal(25,6)")).as("_sw"))
+      .select(
+        col("n"), col("n_matched"),
+        r6(col("_swr").cast("double") / col("n")).as("ips"),
+        when(col("_sw") > 0,
+          r6(col("_swr").cast("double") / col("_sw").cast("double")))
+          .as("snips"),
+        r6(col("_sw").cast("double")).as("matched_mass"))
+  }
+
+  /** DuckDB spelling of [[ipsEstimate]] over a `(a, r, pi)` subquery. */
+  def ipsOracleSql(loggedSql: String): String = {
+    val r6 = graft.queries.Oracle.r6 _
+    s"WITH b AS ($loggedSql), " +
+      "sh AS (SELECT a, count(*)::BIGINT AS na FROM b GROUP BY 1), " +
+      "t AS (SELECT count(*)::BIGINT AS n FROM b), " +
+      "w AS (SELECT b.a = b.pi AS m, " +
+      r6("t.n::DOUBLE / sh.na::DOUBLE") + " AS w, b.r, t.n " +
+      "FROM b JOIN sh USING (a) CROSS JOIN t) " +
+      "SELECT max(n)::BIGINT AS n, " +
+      "CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_matched, " +
+      r6("CAST(sum(CAST(CASE WHEN m THEN " + r6("w * r") +
+        " ELSE 0.0 END AS DECIMAL(25,6))) AS DOUBLE) / max(n)") + " AS ips, " +
+      "CASE WHEN sum(CAST(CASE WHEN m THEN w ELSE 0.0 END " +
+      "AS DECIMAL(25,6))) > 0 THEN " +
+      r6("CAST(sum(CAST(CASE WHEN m THEN " + r6("w * r") +
+        " ELSE 0.0 END AS DECIMAL(25,6))) AS DOUBLE) / " +
+        "CAST(sum(CAST(CASE WHEN m THEN w ELSE 0.0 END " +
+        "AS DECIMAL(25,6))) AS DOUBLE)") + " END AS snips, " +
+      r6("CAST(sum(CAST(CASE WHEN m THEN w ELSE 0.0 END " +
+        "AS DECIMAL(25,6))) AS DOUBLE)") + " AS matched_mass FROM w"
+  }
 }

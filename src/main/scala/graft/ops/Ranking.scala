@@ -61,4 +61,82 @@ object Ranking {
       .orderBy(col("rrf").desc, col(idCol))
       .limit(topK)
   }
+
+  /** Offline ranking-quality readout: NDCG@k and MRR per query over a
+    * ranked candidate frame `(qid, rank, rel)` — rank 1-based and
+    * unique within qid, rel a small non-negative integer grade. The
+    * standard burnside gains: `DCG = Σ_{rank≤k} (2^rel − 1)/log2(rank+1)`,
+    * IDCG the same sum with gains re-ranked by rel descending (ties by
+    * original rank — a total order, so the ideal permutation is
+    * deterministic), `NDCG = DCG/IDCG` (0 when the query has no
+    * relevant candidate), `MRR = 1/min(rank | rel > 0)` (0 likewise).
+    *
+    * Scale shape: the input is the top-k frame the retrieval stage
+    * already produces (bounded per query, like [[rrfFuse]]); both
+    * windows partition by qid over ≤ k rows, and everything else is a
+    * key-local aggregate. Determinism: gains and ranks are exact
+    * integers; each term is the identical IEEE tree (`ln` both
+    * engines), r6 at the term level, decimal sums, one final division.
+    */
+  def rankEval(
+      ranked: DataFrame,
+      qidCol: String,
+      rankCol: String,
+      relCol: String,
+      k: Int): DataFrame = {
+    val inK = ranked.filter(col(rankCol) <= k)
+      .select(col(qidCol).as("qid"),
+        col(rankCol).cast("long").as("rank"),
+        col(relCol).cast("long").as("rel"))
+    val gain = pow(lit(2.0), col("rel")) - lit(1.0)
+    val ideal = Window.partitionBy("qid")
+      .orderBy(col("rel").desc, col("rank"))
+    val terms = inK
+      .withColumn("irank", row_number().over(ideal).cast("long"))
+      .select(col("qid"), col("rel"), col("rank"),
+        r6(gain / (log(col("rank") + lit(1.0)) / log(lit(2.0))))
+          .as("_t"),
+        r6(gain / (log(col("irank") + lit(1.0)) / log(lit(2.0))))
+          .as("_it"))
+    terms.groupBy("qid")
+      .agg(
+        count(lit(1)).as("n_ranked"),
+        sum((col("rel") > 0).cast("long")).as("n_rel"),
+        sum(col("_t").cast("decimal(25,6)")).cast("double").as("_dcg"),
+        sum(col("_it").cast("decimal(25,6)")).cast("double").as("_idcg"),
+        min(when(col("rel") > 0, col("rank"))).as("_fr"))
+      .select(
+        col("qid"), col("n_ranked"), col("n_rel"),
+        r6(col("_dcg")).as("dcg"),
+        when(col("_idcg") > 0, r6(col("_dcg") / col("_idcg")))
+          .otherwise(lit(0.0)).as("ndcg"),
+        when(col("_fr").isNotNull, r6(lit(1.0) / col("_fr")))
+          .otherwise(lit(0.0)).as("mrr"))
+  }
+
+  /** DuckDB spelling of [[rankEval]] over a `(qid, rank, rel)`
+    * subquery. Emits the same columns; no ORDER BY (caller appends).
+    */
+  def rankEvalOracleSql(rankedSql: String, k: Int): String = {
+    val r6 = graft.queries.Oracle.r6 _
+    s"WITH rk AS (SELECT qid, rank::BIGINT AS rank, rel::BIGINT AS rel " +
+      s"FROM ($rankedSql) WHERE rank <= $k), " +
+      "t AS (SELECT qid, rel, rank, " +
+      "row_number() OVER (PARTITION BY qid ORDER BY rel DESC, rank ASC) " +
+      "AS irank FROM rk), " +
+      "g AS (SELECT qid, rel, rank, " +
+      r6("(pow(2.0, rel) - 1.0) / (ln(rank + 1.0) / ln(2.0))") + " AS t, " +
+      r6("(pow(2.0, rel) - 1.0) / (ln(irank + 1.0) / ln(2.0))") + " AS it " +
+      "FROM t), " +
+      "a AS (SELECT qid, count(*)::BIGINT AS n_ranked, " +
+      "CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel, " +
+      "CAST(sum(CAST(t AS DECIMAL(25,6))) AS DOUBLE) AS dcg0, " +
+      "CAST(sum(CAST(it AS DECIMAL(25,6))) AS DOUBLE) AS idcg0, " +
+      "min(CASE WHEN rel > 0 THEN rank END) AS fr FROM g GROUP BY qid) " +
+      "SELECT qid, n_ranked, n_rel, " + r6("dcg0") + " AS dcg, " +
+      "CASE WHEN idcg0 > 0 THEN " + r6("dcg0 / idcg0") +
+      " ELSE 0.0 END AS ndcg, " +
+      "CASE WHEN fr IS NOT NULL THEN " + r6("1.0 / fr") +
+      " ELSE 0.0 END AS mrr FROM a"
+  }
 }

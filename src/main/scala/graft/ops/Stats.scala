@@ -416,4 +416,65 @@ object Stats {
     sweep(local, Seq.empty)
       .select(col("x").as(xCol), col("y").as(yCol))
   }
+
+  /** Mutual information between two categorical columns — the
+    * dependence audit behind feature selection and leakage checks
+    * (χ² tells you IF the columns associate; MI tells you how many
+    * nats of one the other carries). Emits the full per-cell PMI
+    * table — `term = p(x,y)·ln(p(x,y)/(p(x)p(y)))` — plus the total
+    * repeated per row (the q_calibration 1-row-broadcast pattern), so
+    * the hot cells driving the dependence are inspectable.
+    *
+    * Scale shape: three hash aggregates (cell, x-margin, y-margin; the
+    * margins broadcast back) + one 1-row total. Determinism: all
+    * counts are exact integers below 2^53, each term is one ln of an
+    * exact-integer ratio (`n_xy·N / (n_x·n_y)`) times one division,
+    * r6'd before the decimal total.
+    */
+  def mutualInformation(
+      df: DataFrame,
+      xCol: String,
+      yCol: String): DataFrame = {
+    val base = df.select(col(xCol).as("x"), col(yCol).as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+    val cells = base.groupBy("x", "y").agg(count(lit(1)).as("n_xy"))
+    val mx = base.groupBy("x").agg(count(lit(1)).as("_nx"))
+    val my = base.groupBy("y").agg(count(lit(1)).as("_ny"))
+    val n = base.agg(count(lit(1)).as("_n"))
+    val terms = cells
+      .join(broadcast(mx), "x")
+      .join(broadcast(my), "y")
+      .crossJoin(broadcast(n))
+      .withColumn("term", r6(
+        (col("n_xy").cast("double") / col("_n").cast("double")) *
+          log((col("n_xy").cast("double") * col("_n").cast("double")) /
+            (col("_nx").cast("double") * col("_ny").cast("double")))))
+    val mi = terms
+      .agg(r6(sum(col("term").cast("decimal(25,6)")).cast("double"))
+        .as("mi"))
+    terms.crossJoin(broadcast(mi))
+      .select(col("x"), col("y"), col("n_xy"), col("term"), col("mi"))
+      .orderBy("x", "y")
+  }
+
+  /** DuckDB spelling of [[mutualInformation]] over a `(x, y)`
+    * subquery.
+    */
+  def mutualInformationOracleSql(baseSql: String): String = {
+    val r6s = graft.queries.Oracle.r6 _
+    s"WITH b AS (SELECT x, y FROM ($baseSql) " +
+      "WHERE x IS NOT NULL AND y IS NOT NULL), " +
+      "c AS (SELECT x, y, count(*)::BIGINT AS n_xy FROM b GROUP BY 1, 2), " +
+      "mx AS (SELECT x, count(*)::BIGINT AS nx FROM b GROUP BY 1), " +
+      "my AS (SELECT y, count(*)::BIGINT AS ny FROM b GROUP BY 1), " +
+      "t AS (SELECT count(*)::BIGINT AS n FROM b), " +
+      "tm AS (SELECT c.x, c.y, c.n_xy, " +
+      r6s("(n_xy::DOUBLE / n::DOUBLE) * " +
+        "ln((n_xy::DOUBLE * n::DOUBLE) / (nx::DOUBLE * ny::DOUBLE))") +
+      " AS term FROM c JOIN mx USING (x) JOIN my USING (y) CROSS JOIN t), " +
+      "mi AS (SELECT " +
+      r6s("CAST(sum(CAST(term AS DECIMAL(25,6))) AS DOUBLE)") +
+      " AS mi FROM tm) " +
+      "SELECT x, y, n_xy, term, mi FROM tm CROSS JOIN mi ORDER BY x, y"
+  }
 }

@@ -245,4 +245,54 @@ object TextPrep {
       .join(hits, Seq("host"), "left")
       .withColumn("blocked", coalesce(col("blocked"), lit(false)))
   }
+
+  /** Corpus-frequency boilerplate removal (the CCNet/C4 duplicated-
+    * paragraph pass, mapped to disjoint token chunks since this corpus
+    * is single-line): split each document into disjoint `chunkSize`-
+    * token chunks, count each chunk text's document frequency across
+    * the corpus, DROP every chunk appearing in ≥ `minDf` distinct
+    * documents, and reassemble the survivors in order. Returns one row
+    * per input document: the cleaned text plus the removal audit
+    * (`n_chunks`, `n_removed`, `removed_frac`).
+    *
+    * Scale shape: one explode (output-sized), one chunk-text-keyed
+    * count-distinct aggregate (the "paragraph hash table", shuffled on
+    * the chunk hash so hot boilerplate chunks partial-aggregate
+    * map-side), one equi-join back, one per-doc reassembly aggregate.
+    * Never pairs of documents — corpus² never appears.
+    */
+  def removeDuplicateChunks(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkSize: Int = 8,
+      minDf: Int = 2): DataFrame = {
+    require(minDf >= 2, "minDf < 2 would drop every chunk")
+    val chunks = chunk(df, idCol, textCol, chunkSize, stride = chunkSize)
+      .select(col(idCol), col("chunk_idx"), col("chunk_text"))
+    val docFreq = chunks
+      .groupBy("chunk_text")
+      .agg(countDistinct(col(idCol)).as("_df"))
+    val kept = chunks.join(docFreq, "chunk_text")
+      .filter(col("_df") < minDf)
+    val perDoc = chunks.groupBy(idCol)
+      .agg(count(lit(1)).as("n_chunks"))
+    val keptAgg = kept.groupBy(idCol)
+      .agg(
+        count(lit(1)).as("_n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("chunk_idx"), col("chunk_text")))),
+          _.getField("chunk_text"))).as("clean_text"))
+    df.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .join(keptAgg, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_chunks"),
+        (col("n_chunks") - coalesce(col("_n_kept"), lit(0L))).as("n_removed"),
+        r6((col("n_chunks") - coalesce(col("_n_kept"), lit(0L)))
+          .cast("double") / col("n_chunks").cast("double"))
+          .as("removed_frac"))
+  }
 }

@@ -502,4 +502,83 @@ object TimeSeries {
       r6("exp(CAST(km_log AS DOUBLE))") + " AS survival " +
       "FROM km WHERE d > 0 ORDER BY t"
   }
+
+  /** Classical additive seasonal decomposition of the daily value
+    * series: `y = trend + seasonal + resid`. Trend is the centered
+    * `period`-day moving average (full windows only — NULL on the
+    * series' first/last `period/2` days, the textbook contract);
+    * seasonal is the day-of-period mean of the detrended series,
+    * re-centered to sum to zero across the period; resid is the rest.
+    *
+    * Scale shape: the input aggregate (one row per day) is tiny no
+    * matter how large the event table is — the only data-sized work is
+    * the initial groupBy(date), a partial-aggregable shuffle; the
+    * unpartitioned windows run over the day-count frame (10³ rows for
+    * years of data), which is the right single-partition size.
+    *
+    * Determinism: the daily sums route through DECIMAL ([[dsum]]);
+    * the moving average is a decimal window sum over already-r6'd
+    * doubles with one division; day-of-week means are [[davg]]-style;
+    * each output is rounded once.
+    */
+  def seasonalDecompose(
+      events: DataFrame,
+      tsCol: String,
+      valCol: String): DataFrame = {
+    val period = 7
+    val half = period / 2
+    val daily = events
+      .groupBy(to_date(col(tsCol)).as("d"))
+      .agg(dsum(col(valCol)).as("y"))
+    val mw = Window.orderBy("d").rowsBetween(-half, half)
+    val trended = daily
+      .withColumn("_n", count(lit(1)).over(mw))
+      .withColumn("_s", sum(col("y").cast("decimal(25,6)")).over(mw))
+      .withColumn("trend",
+        when(col("_n") === period,
+          r6(col("_s").cast("double") / lit(period.toDouble))))
+      .withColumn("dow", dayofweek(col("d")))
+    val detr = trended.withColumn("_detr", col("y") - col("trend"))
+    val sRaw = detr.filter(col("trend").isNotNull)
+      .groupBy("dow")
+      .agg(davg(col("_detr")).as("_sraw"))
+    val sMean = sRaw.agg(davg(col("_sraw")).as("_smean"))
+    val seasonal = sRaw.crossJoin(broadcast(sMean))
+      .select(col("dow"), r6(col("_sraw") - col("_smean")).as("seasonal"))
+    detr.join(seasonal, Seq("dow"), "left")
+      .select(
+        col("d"), col("y"), col("trend"), col("seasonal"),
+        when(col("trend").isNotNull,
+          r6(col("y") - col("trend") - col("seasonal"))).as("resid"))
+      .orderBy("d")
+  }
+
+  /** DuckDB spelling of [[seasonalDecompose]] (period 7, daily). */
+  def seasonalDecomposeOracleSql(
+      table: String,
+      tsCol: String,
+      valCol: String): String = {
+    val r6 = graft.queries.Oracle.r6 _
+    val dsum = graft.queries.Oracle.dsum _
+    "WITH daily AS (SELECT CAST(" + tsCol + " AS DATE) AS d, " +
+      dsum(valCol) + s" AS y FROM $table GROUP BY 1), " +
+      "tr AS (SELECT d, y, (dayofweek(d) + 1)::INT AS dow, " +
+      "count(*) OVER w AS n, " +
+      "CAST(sum(CAST(y AS DECIMAL(25,6))) OVER w AS DOUBLE) AS s " +
+      "FROM daily WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING " +
+      "AND 3 FOLLOWING)), " +
+      "tt AS (SELECT d, y, dow, CASE WHEN n = 7 THEN " +
+      r6("s / 7.0") + " END AS trend FROM tr), " +
+      "sr AS (SELECT dow, " +
+      r6("CAST(sum(CAST(y - trend AS DECIMAL(25,6))) AS DOUBLE) / count(*)") +
+      " AS sraw FROM tt WHERE trend IS NOT NULL GROUP BY 1), " +
+      "sm AS (SELECT " +
+      r6("CAST(sum(CAST(sraw AS DECIMAL(25,6))) AS DOUBLE) / count(*)") +
+      " AS smean FROM sr), " +
+      "se AS (SELECT dow, " + r6("sraw - smean") +
+      " AS seasonal FROM sr CROSS JOIN sm) " +
+      "SELECT d, y, trend, seasonal, CASE WHEN trend IS NOT NULL THEN " +
+      r6("y - trend - seasonal") + " END AS resid " +
+      "FROM tt LEFT JOIN se USING (dow) ORDER BY d"
+  }
 }

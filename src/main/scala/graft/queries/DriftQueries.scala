@@ -87,6 +87,17 @@ object DriftQueries {
     Drift.ksStatistic(Tables.table(s, dir, "events"),
       "value", "event_type", "click", "purchase")
 
+  /** Mutual information ([[graft.ops.Stats.mutualInformation]])
+    * between event type and day-of-week — the nats-valued dependence
+    * audit complementing q_chi2's significance cells; per-cell PMI
+    * terms plus the repeated total.
+    */
+  def qMi(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.mutualInformation(
+      Tables.events(s, dir)
+        .select(col("event_type").as("x"), dayofweek(col("ts")).as("y")),
+      "x", "y")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_kl_drift" -> (qKlDrift _),
     "q_chi2" -> (qChi2 _),
@@ -96,6 +107,7 @@ object DriftQueries {
     "q_pmi" -> (qPmi _),
     "q_entropy" -> (qEntropy _),
     "q_ks_drift" -> (qKsDrift _),
+    "q_mi" -> (qMi _),
   )
 
   private val ln2 = "0.6931471805599453"
@@ -192,6 +204,8 @@ object DriftQueries {
         "mx AS (SELECT max(d) AS mxd FROM dv) " +
         "SELECT max(na) AS n_a, max(nb) AS n_b, max(d) AS ks, " +
         "min(CASE WHEN d = mxd THEN v END) AS at_value FROM dv, mx"),
+    "q_mi" -> graft.ops.Stats.mutualInformationOracleSql(
+      "SELECT event_type AS x, (dayofweek(ts) + 1)::INT AS y FROM events"),
     "q_editsim" -> // brute force: proves the deletion-key join's recall
       ("SELECT a.c_name AS w1, b.c_name AS w2 " +
         "FROM customer a, customer b " +

@@ -69,6 +69,49 @@ object EvalQueries {
       k = 60, topK = 20)
   }
 
+  /** Graded-relevance ranking eval ([[Ranking.rankEval]]): each user's
+    * events ranked by `(value DESC, event_id ASC)` play the retrieval
+    * list, with a graded label from the event type (purchase 3,
+    * signup 2, click 1, else 0) — NDCG@10 and MRR per user, the
+    * offline readout a retrieval/recommendation pipeline reports.
+    */
+  def qNdcg(s: SparkSession, dir: String): DataFrame = {
+    val ranked = Tables.events(s, dir)
+      .select(col("user_id").as("qid"), col("event_id"), col("value"),
+        when(col("event_type") === "purchase", 3L)
+          .when(col("event_type") === "signup", 2L)
+          .when(col("event_type") === "click", 1L)
+          .otherwise(0L).as("rel"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("value").desc, col("event_id"))))
+    Ranking.rankEval(ranked, "qid", "rank", "rel", k = 10)
+      .withColumnRenamed("qid", "user_id")
+      .orderBy("user_id")
+  }
+
+  /** Off-policy IPS/SNIPS evaluation ([[ModelEval.ipsEstimate]]) of a
+    * deterministic context-dependent target policy (purchase for even
+    * users, click for odd) over the logged (event_type, value) stream —
+    * the counterfactual "what would this policy have earned" readout,
+    * with the matched-mass effective-sample diagnostic.
+    */
+  def qIps(s: SparkSession, dir: String): DataFrame =
+    ModelEval.ipsEstimate(
+      Tables.events(s, dir),
+      "event_type", "value",
+      when(col("user_id") % 2 === 0, lit("purchase")).otherwise(lit("click")))
+
+  /** Multi-touch attribution ([[graft.ops.Behavior.attribution]]):
+    * user journeys cut at purchases; converted journeys credit their
+    * touches first/last/linear per touch type — the channel-value
+    * table.
+    */
+  def qAttribution(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Behavior.attribution(
+      Tables.events(s, dir),
+      "user_id", "ts", "event_id", "event_type", convType = "purchase")
+
   /** k-core pruning ([[Graphs.kCore]]) of the co-purchase graph at
     * k = 75 — above the graph's first peel shell (min degree ~42) so
     * the peel genuinely cascades (5 rounds at sf0.01/sf0.1), below its
@@ -98,6 +141,9 @@ object EvalQueries {
     "q_auc" -> (qAuc _),
     "q_calibration" -> (qCalibration _),
     "q_rrf" -> (qRrf _),
+    "q_ndcg" -> (qNdcg _),
+    "q_ips" -> (qIps _),
+    "q_attribution" -> (qAttribution _),
     "q_kcore" -> (qKcore _),
     "q_fd" -> (qFd _),
   )
@@ -192,6 +238,22 @@ object EvalQueries {
           "coalesce(1.0 / (60 + rank_dens), 0.0)") + " AS rrf " +
         "FROM ra FULL JOIN rb USING (doc_id) " +
         "ORDER BY rrf DESC, doc_id LIMIT 20"),
+    "q_ndcg" ->
+      ("SELECT qid AS user_id, n_ranked, n_rel, dcg, ndcg, mrr FROM (" +
+        Ranking.rankEvalOracleSql(
+          "SELECT user_id AS qid, row_number() OVER (PARTITION BY user_id " +
+            "ORDER BY value DESC, event_id ASC) AS rank, " +
+            "CASE event_type WHEN 'purchase' THEN 3 WHEN 'signup' THEN 2 " +
+            "WHEN 'click' THEN 1 ELSE 0 END AS rel FROM events",
+          k = 10) +
+        ") ORDER BY user_id"),
+    "q_ips" -> ModelEval.ipsOracleSql(
+      "SELECT event_type AS a, value AS r, " +
+        "CASE WHEN user_id % 2 = 0 THEN 'purchase' ELSE 'click' END AS pi " +
+        "FROM events"),
+    "q_attribution" -> graft.ops.Behavior.attributionOracleSql(
+      "SELECT user_id AS u, ts, event_id AS id, event_type AS t FROM events",
+      convType = "purchase"),
     "q_kcore" ->
       ("SELECT x AS vertex, in_core, core_degree FROM (" +
         Graphs.kCoreOracleSql(

@@ -48,6 +48,17 @@ object PrepQueries {
     Bpe.encodedCounts(docs(s, dir), "doc_id", "text", nMerges = 6)
       .orderBy("doc_id")
 
+  /** Corpus-frequency boilerplate removal
+    * ([[TextPrep.removeDuplicateChunks]]): disjoint 8-token chunks,
+    * any chunk shared by ≥ 2 distinct documents dropped, survivors
+    * reassembled — the duplicated-paragraph pass of a CCNet/C4-style
+    * pipeline, with the per-document removal audit.
+    */
+  def qBoilerplate(s: SparkSession, dir: String): DataFrame =
+    TextPrep.removeDuplicateChunks(docs(s, dir), "doc_id", "text",
+        chunkSize = 8, minDf = 2)
+      .orderBy("doc_id")
+
   def qRepetition(s: SparkSession, dir: String): DataFrame =
     graft.ops.TextAnalysis.repetitionMetrics(docs(s, dir), "doc_id", "text")
       .orderBy("doc_id")
@@ -153,6 +164,7 @@ object PrepQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_chunks" -> (qChunks _),
+    "q_boilerplate" -> (qBoilerplate _),
     "q_redact" -> (qRedact _),
     "q_surprisal" -> (qSurprisal _),
     "q_repetition" -> (qRepetition _),
@@ -181,6 +193,28 @@ object PrepQueries {
         "SELECT doc_id, chunk_idx, array_to_string(toks, ' ') AS chunk_text, " +
         "len(toks)::INT AS n_tokens FROM c WHERE len(toks) > 0 " +
         "ORDER BY doc_id, chunk_idx"),
+    // disjoint-chunk mirror of the q_chunks CTE (size 8 = stride 8),
+    // then the df count / filter / ordered string_agg reassembly
+    "q_boilerplate" ->
+      ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "s AS (SELECT doc_id, w, greatest(CAST(ceil((len(w) - 8)::DOUBLE / 8) AS INT), 0) AS last FROM w), " +
+        "c AS (SELECT doc_id, CAST(t.i AS INT) AS chunk_idx, " +
+        "w[CAST(t.i*8 + 1 AS INT):CAST(t.i*8 + 8 AS INT)] AS toks " +
+        "FROM s, unnest(range(0, s.last + 1)) AS t(i)), " +
+        "cc AS (SELECT doc_id, chunk_idx, array_to_string(toks, ' ') AS ct " +
+        "FROM c WHERE len(toks) > 0), " +
+        "f AS (SELECT ct, count(DISTINCT doc_id) AS df FROM cc GROUP BY 1), " +
+        "k AS (SELECT cc.doc_id, cc.chunk_idx, cc.ct FROM cc " +
+        "JOIN f USING (ct) WHERE f.df < 2), " +
+        "n AS (SELECT doc_id, count(*)::BIGINT AS n_chunks FROM cc GROUP BY 1), " +
+        "ka AS (SELECT doc_id, count(*)::BIGINT AS n_kept, " +
+        "string_agg(ct, ' ' ORDER BY chunk_idx) AS clean_text FROM k GROUP BY 1) " +
+        "SELECT d.doc_id, coalesce(ka.clean_text, '') AS clean_text, " +
+        "n.n_chunks, (n.n_chunks - coalesce(ka.n_kept, 0))::BIGINT AS n_removed, " +
+        O.r6("(n.n_chunks - coalesce(ka.n_kept, 0))::DOUBLE / n.n_chunks::DOUBLE") +
+        " AS removed_frac " +
+        "FROM documents d JOIN n USING (doc_id) LEFT JOIN ka USING (doc_id) " +
+        "ORDER BY doc_id"),
     "q_redact" ->
       (s"SELECT doc_id, $redactSql AS text_redacted, " +
         s"len(regexp_extract_all($redactSql, '<(EMAIL|SSN|PHONE|IP)>'))::INT " +

@@ -53,6 +53,15 @@ object SignalQueries {
       seeds = Seq(0L, 1L, 2L, 3L, 4L))
       .orderBy("seed")
 
+  /** Additive seasonal decomposition ([[TimeSeries.seasonalDecompose]])
+    * of the daily event-value series: centered 7-day moving-average
+    * trend, zero-centered day-of-week seasonal, residual — the
+    * y = trend + seasonal + resid split behind seasonality-aware
+    * monitoring and forecasting.
+    */
+  def qDecompose(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.seasonalDecompose(Tables.events(s, dir), "ts", "value")
+
   /** Range-partition plan ([[Quantiles.rangePartitionPlan]]) for an
     * 8-way split of `l_extendedprice` — exact-quantile boundaries plus
     * the per-partition load audit.
@@ -66,6 +75,7 @@ object SignalQueries {
     "q_ewma" -> (qEwma _),
     "q_trend" -> (qTrend _),
     "q_km" -> (qKm _),
+    "q_decompose" -> (qDecompose _),
     "q_closeness" -> (qCloseness _),
     "q_range_plan" -> (qRangePlan _),
   )
@@ -84,6 +94,8 @@ object SignalQueries {
       " ORDER BY event_type"),
     "q_km" -> TimeSeries.kaplanMeierOracleSql(
       "orders", "o_custkey", "o_orderdate", censorDays = 90),
+    "q_decompose" -> TimeSeries.seasonalDecomposeOracleSql(
+      "events", "ts", "value"),
     "q_closeness" -> Graphs.closenessOracleSql(
       coPurchaseEdgesSql, seeds = Seq(0L, 1L, 2L, 3L, 4L), rounds = 8),
     "q_range_plan" -> Quantiles.rangePartitionPlanOracleSql(

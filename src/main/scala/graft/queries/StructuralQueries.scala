@@ -110,6 +110,19 @@ object StructuralQueries {
       .select(col("x").as("vertex"), col("community"))
       .orderBy("vertex")
 
+  /** Modularity breakdown ([[Graphs.modularity]]) of the q_lpa
+    * partition over the same co-purchase graph — the quality readout
+    * that closes the community-detection loop (per-community intra-edge
+    * mass vs the null model; global Q = Σ dq).
+    */
+  def qModularity(s: SparkSession, dir: String): DataFrame = {
+    val edges = Graphs.coOccurrenceEdges(
+      Tables.table(s, dir, "lineitem"), "l_orderkey", "l_partkey")
+    Graphs.modularity(edges,
+      Graphs.labelPropagation(edges, rounds = 4)
+        .select(col("x"), col("community")))
+  }
+
   /** Personalized PageRank ([[Graphs.pageRankPersonalized]]) seeded at
     * parts {0, 1, 2} — local importance relative to a seed set.
     */
@@ -179,6 +192,7 @@ object StructuralQueries {
     "q_kanon" -> (qKanon _),
     "q_kanon_enforce" -> (qKanonEnforce _),
     "q_lpa" -> (qLpa _),
+    "q_modularity" -> (qModularity _),
     "q_ppr" -> (qPpr _),
     "q_quantile_dist" -> (qQuantileDist _),
     "q_pip" -> (qPip _),
@@ -265,6 +279,9 @@ object StructuralQueries {
     "q_lpa" -> ("SELECT x AS vertex, community FROM (" +
       Graphs.labelPropagationOracleSql(coPurchaseEdgesSql, rounds = 4) +
       ") ORDER BY vertex"),
+    "q_modularity" -> Graphs.modularityOracleSql(
+      coPurchaseEdgesSql,
+      Graphs.labelPropagationOracleSql(coPurchaseEdgesSql, rounds = 4)),
     "q_ppr" -> Graphs.pagerankPersonalizedOracleSql(
       coPurchaseEdgesSql, seeds = Seq(0L, 1L, 2L), damping = 0.85, iters = 3,
       finalSelect = "SELECT x AS vertex, " + O.r6("r * 1000.0") +

@@ -255,6 +255,14 @@ class PlanSpec extends SparkTestBase {
     // censoring rule)
     // (q_range_plan: the 1-row B−1-boundary array broadcast every row's
     // partition assignment reads)
+    // (q_modularity: the 1-row edge-total broadcast under the null
+    // model — the q_pagerank 1-row |V| shape)
+    // (q_decompose: the 1-row seasonal-mean broadcast re-centering the
+    // ≤7-row day-of-week table)
+    // (q_ips: the 1-row log-size broadcast pricing the propensity
+    // weights — the q_benford scalar shape)
+    // (q_mi: the 1-row corpus total + 1-row MI sum broadcast against
+    // the cell table — the q_calibration scalar shape)
     val bnljByDesign = Set("q_sim_topk", "q_sim_topk_agg", "q_top_tokens",
       "q_tfidf", "q_asof", "q_sim_ivf", "q_surprisal", "q_kmeans",
       "q_text_knn", // brute-force top-k: broadcast query side, like q_sim_topk
@@ -265,7 +273,8 @@ class PlanSpec extends SparkTestBase {
       "q_pmi", "q_ks_drift", "q_kmv_union", "q_skew_audit", "q_target_enc",
       "q_basket", "q_bins", "q_jaro", "q_bitmap", "q_psi", "q_quantile_norm",
       "q_twostage", "q_benford", "q_sample", "q_split", "q_calibration",
-      "q_rrf", "q_hits", "q_textrank", "q_km", "q_range_plan")
+      "q_rrf", "q_hits", "q_textrank", "q_km", "q_range_plan",
+      "q_modularity", "q_decompose", "q_ips", "q_mi")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = plan(fn(spark, Sf0001))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")

@@ -1,0 +1,207 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Round-9 additions: modularity, ranking eval (NDCG/MRR), seasonal
+  * decomposition, and corpus boilerplate-chunk removal — hand fixtures
+  * with closed-form expectations.
+  */
+class Round9OpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // ---- Graphs.modularity --------------------------------------------------
+
+  /** Two triangles {1,2,3} and {4,5,6} joined by the bridge 3-4. */
+  private def twoTriangles =
+    Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+      .toDF("u", "v")
+
+  test("modularity: two bridged triangles under the natural partition") {
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (6L, 4L))
+      .toDF("x", "community")
+    val got = Graphs.modularity(twoTriangles, labels).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toMap
+    // m = 7; each community: 3 internal edges, degree mass 7
+    // dq = 3/7 − (7/14)² = 0.17857142… → r6 0.178571
+    assert(got(1L) == ((3L, 3L, 7L, 0.178571)))
+    assert(got(4L) == ((3L, 3L, 7L, 0.178571)))
+  }
+
+  test("modularity: the all-in-one partition scores exactly zero") {
+    val labels = (1L to 6L).map(x => (x, 0L)).toDF("x", "community")
+    val rows = Graphs.modularity(twoTriangles, labels).collect()
+    assert(rows.length == 1)
+    // L_c = m and deg_c = 2m → dq = 1 − 1 = 0
+    assert(rows.head.getDouble(4) == 0.0)
+  }
+
+  test("modularity: singleton partition is never positive") {
+    val labels = (1L to 6L).map(x => (x, x)).toDF("x", "community")
+    val rows = Graphs.modularity(twoTriangles, labels).collect()
+    assert(rows.length == 6)
+    assert(rows.forall(r => r.getLong(2) == 0L)) // no internal edges
+    assert(rows.map(_.getDouble(4)).sum < 0.0)
+  }
+
+  // ---- Ranking.rankEval ---------------------------------------------------
+
+  private def evalOne(rows: Seq[(Long, Long, Long)]) =
+    Ranking.rankEval(rows.toDF("qid", "rank", "rel"),
+        "qid", "rank", "rel", k = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(4), r.getDouble(5))).toMap
+
+  test("rankEval: a perfectly ordered list scores NDCG 1 and MRR 1") {
+    val got = evalOne(Seq((1L, 1L, 3L), (1L, 2L, 2L), (1L, 3L, 1L)))
+    val (_, nRel, ndcg, mrr) = got(1L)
+    assert(nRel == 3L && ndcg == 1.0 && mrr == 1.0)
+  }
+
+  test("rankEval: no relevant candidate gives the 0-not-NULL verdict") {
+    val got = evalOne(Seq((1L, 1L, 0L), (1L, 2L, 0L)))
+    val (nRanked, nRel, ndcg, mrr) = got(1L)
+    assert(nRanked == 2L && nRel == 0L && ndcg == 0.0 && mrr == 0.0)
+  }
+
+  test("rankEval: MRR is the reciprocal of the first relevant rank") {
+    val got = evalOne(Seq((1L, 1L, 0L), (1L, 2L, 0L), (1L, 3L, 2L)))
+    assert(got(1L)._4 == 0.333333) // r6(1/3)
+    // inverted order scores strictly below 1
+    assert(got(1L)._3 > 0.0 && got(1L)._3 < 1.0)
+  }
+
+  test("rankEval: candidates beyond k are ignored") {
+    val inK = evalOne(Seq((1L, 1L, 1L), (1L, 2L, 0L)))
+    val withTail = evalOne(
+      Seq((1L, 1L, 1L), (1L, 2L, 0L)) ++ (11L to 20L).map(r => (1L, r, 3L)))
+    assert(inK(1L) == withTail(1L))
+  }
+
+  // ---- TimeSeries.seasonalDecompose --------------------------------------
+
+  test("seasonalDecompose: a pure weekly signal leaves zero residual") {
+    // 21 days, one event per day, value = dow pattern (period sums are
+    // constant, so every full 7-day moving average equals the mean)
+    val pattern = Seq(10.0, 20.0, 30.0, 40.0, 30.0, 20.0, 10.0)
+    val rows = (0 until 21).map { i =>
+      (java.sql.Timestamp.valueOf(f"2024-01-${1 + i}%02d 12:00:00"),
+        pattern(i % 7))
+    }.toDF("ts", "value")
+    val got = TimeSeries.seasonalDecompose(rows, "ts", "value")
+      .orderBy("d").collect()
+    assert(got.length == 21)
+    // first/last 3 days: no full window → NULL trend and resid
+    assert(got.take(3).forall(_.isNullAt(2)))
+    assert(got.takeRight(3).forall(_.isNullAt(2)))
+    val mid = got.drop(3).dropRight(3)
+    assert(mid.forall(r => math.abs(r.getDouble(2) - 160.0 / 7) < 1e-6))
+    assert(mid.forall(r => math.abs(r.getDouble(4)) < 1e-5)) // resid ~ 0
+    // seasonal components cancel across one period
+    val season = mid.take(7).map(_.getDouble(3)).sum
+    assert(math.abs(season) < 1e-4)
+  }
+
+  // ---- TextPrep.removeDuplicateChunks -------------------------------------
+
+  test("removeDuplicateChunks: shared chunks drop, order is preserved") {
+    val docs = Seq(
+      (1L, "a b c d"),        // [a b] shared with doc 2 → "c d" survives
+      (2L, "a b x y"),
+      (3L, "p q r s"),        // untouched
+      (4L, "k1 k2 a b k3 k4"), // interior removal keeps flank order
+      (5L, "a b z z"),
+    ).toDF("doc_id", "text")
+    val got = TextPrep.removeDuplicateChunks(docs, "doc_id", "text",
+        chunkSize = 2, minDf = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got(1L) == (("c d", 2L, 1L, 0.5)))
+    assert(got(3L) == (("p q r s", 2L, 0L, 0.0)))
+    assert(got(4L) == (("k1 k2 k3 k4", 3L, 1L, 0.333333)))
+    assert(got(5L) == (("z z", 2L, 1L, 0.5)))
+  }
+
+  test("removeDuplicateChunks: a fully boilerplate doc empties cleanly") {
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a b")).toDF("doc_id", "text")
+    val got = TextPrep.removeDuplicateChunks(docs, "doc_id", "text",
+        chunkSize = 2, minDf = 2)
+      .collect().map(r => (r.getString(1), r.getLong(3), r.getDouble(4)))
+    assert(got.forall(_ == (("", 1L, 1.0))))
+  }
+
+  // ---- ModelEval.ipsEstimate ----------------------------------------------
+
+  test("ipsEstimate: uniform logs price a constant policy at its mean reward") {
+    // two actions, 50/50 logged, rewards 10 (A) and 2 (B); target
+    // policy always plays A → w = 2 on matched rows:
+    // IPS = (1/4)·Σ_matched 2·10 = 10; SNIPS = 40/4 = 10
+    val logs = Seq(("A", 10.0), ("A", 10.0), ("B", 2.0), ("B", 2.0))
+      .toDF("action", "reward")
+    val r = ModelEval.ipsEstimate(logs, "action", "reward", lit("A"))
+      .collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 10.0) // ips
+    assert(r.getDouble(3) == 10.0) // snips
+    assert(r.getDouble(4) == 4.0)  // matched mass = Σ w = 2·2
+  }
+
+  test("ipsEstimate: a policy the logs never matched scores 0 with NULL snips") {
+    val logs = Seq(("A", 1.0), ("B", 2.0)).toDF("action", "reward")
+    val r = ModelEval.ipsEstimate(logs, "action", "reward", lit("C"))
+      .collect().head
+    assert(r.getLong(1) == 0L && r.getDouble(2) == 0.0 && r.isNullAt(3))
+  }
+
+  // ---- Behavior.attribution -----------------------------------------------
+
+  test("attribution: first/last/linear credit a converted journey") {
+    // user 1: view → click → buy (converted journey with 2 touches);
+    // user 2: click only (never converts → no credit at all)
+    val ev = Seq(
+      (1L, 1L, "view"), (1L, 2L, "click"), (1L, 3L, "buy"),
+      (2L, 4L, "click"),
+    ).map { case (u, i, t) =>
+      (u, java.sql.Timestamp.valueOf(f"2024-01-01 00:00:0$i"), i, t)
+    }.toDF("u", "ts", "id", "t")
+    val got = graft.ops.Behavior.attribution(ev, "u", "ts", "id", "t", "buy")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got("view") == ((1L, 1L, 0L, 0.5)))   // first touch
+    assert(got("click") == ((1L, 0L, 1L, 0.5)))  // last touch
+    assert(!got.contains("buy"))
+  }
+
+  test("attribution: a second conversion starts a fresh journey") {
+    // view → buy → click → buy: journey 0 credits view fully,
+    // journey 1 credits click fully
+    val ev = Seq((1L, 1L, "view"), (1L, 2L, "buy"),
+        (1L, 3L, "click"), (1L, 4L, "buy"))
+      .map { case (u, i, t) =>
+        (u, java.sql.Timestamp.valueOf(f"2024-01-01 00:00:0$i"), i, t)
+      }.toDF("u", "ts", "id", "t")
+    val got = graft.ops.Behavior.attribution(ev, "u", "ts", "id", "t", "buy")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got("view") == ((1L, 1L, 1.0)))
+    assert(got("click") == ((1L, 1L, 1.0)))
+  }
+
+  // ---- Stats.mutualInformation --------------------------------------------
+
+  test("mutualInformation: independent columns carry zero nats") {
+    val rows = for (x <- Seq("a", "b"); y <- Seq(1, 2); _ <- 1 to 5)
+      yield (x, y)
+    val got = Stats.mutualInformation(rows.toDF("x", "y"), "x", "y").collect()
+    assert(got.length == 4)
+    assert(got.forall(_.getDouble(4) == 0.0)) // mi
+  }
+
+  test("mutualInformation: a deterministic copy carries H(X) = ln 2 nats") {
+    val rows = Seq(("a", 1), ("a", 1), ("b", 2), ("b", 2)).toDF("x", "y")
+    val got = Stats.mutualInformation(rows, "x", "y").collect()
+    assert(got.forall(r => math.abs(r.getDouble(4) - math.log(2.0)) < 1e-5))
+  }
+}
