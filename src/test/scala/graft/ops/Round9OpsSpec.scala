@@ -204,4 +204,78 @@ class Round9OpsSpec extends SparkTestBase {
     val got = Stats.mutualInformation(rows, "x", "y").collect()
     assert(got.forall(r => math.abs(r.getDouble(4) - math.log(2.0)) < 1e-5))
   }
+
+  // ---- property-style invariants over pseudo-random fixtures -------------
+
+  /** Deterministic LCG so the properties reproduce without scalacheck. */
+  private def lcg(seed: Long): Iterator[Long] =
+    Iterator.iterate(seed)(s => s * 6364136223846793005L + 1442695040888963407L).drop(1)
+
+  test("rankEval property: NDCG matches a brute-force Scala recompute") {
+    val draws = lcg(42L)
+    // 20 queries × 8 ranked candidates with random grades 0..3
+    val rows = for (q <- 1L to 20L; r <- 1L to 8L)
+      yield (q, r, math.floorMod(draws.next(), 4L))
+    val got = Ranking.rankEval(rows.toDF("qid", "rank", "rel"),
+        "qid", "rank", "rel", k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      val terms = rs.sortBy(_._2)
+        .map { case (_, rank, rel) =>
+          r6((math.pow(2.0, rel) - 1) / (math.log(rank + 1.0) / math.log(2.0)))
+        }
+      val ideal = rs.map(_._3).sortBy(-_).zipWithIndex
+        .map { case (rel, i) =>
+          r6((math.pow(2.0, rel) - 1) / (math.log(i + 2.0) / math.log(2.0)))
+        }
+      val (dcg, idcg) = (terms.sum, ideal.sum)
+      val want = if (idcg > 0) r6(r6(dcg) / r6(idcg)) else 0.0
+      assert(math.abs(got(q) - want) < 1e-9, s"qid $q: ${got(q)} vs $want")
+    }
+  }
+
+  test("modularity property: dq sums stay in [-1, 1] and improve with structure") {
+    val draws = lcg(7L)
+    // random graph on 30 vertices, ~80 edges, plus a random partition
+    val edges = (1 to 80).map { _ =>
+      val u = math.floorMod(draws.next(), 30L)
+      val v = math.floorMod(draws.next(), 30L)
+      (math.min(u, v), math.max(u, v))
+    }.filter(e => e._1 != e._2).distinct.toDF("u", "v")
+    val rand = (0L to 29L).map(x => (x, math.floorMod(x * 2654435761L, 3L)))
+      .toDF("x", "community")
+    val qRand = Graphs.modularity(edges, rand)
+      .collect().map(_.getDouble(4)).sum
+    assert(qRand >= -1.0 && qRand <= 1.0)
+    // the trivial all-in-one partition is exactly 0; a random partition
+    // of a structureless graph should not beat a perfect one on a
+    // genuinely clustered graph
+    val clustered = (for (c <- 0L to 2L; i <- 0L until 10L; j <- (i + 1) until 10L)
+      yield (c * 10 + i, c * 10 + j)).toDF("u", "v")
+    val perfect = (0L to 29L).map(x => (x, x / 10L)).toDF("x", "community")
+    val qPerfect = Graphs.modularity(clustered, perfect)
+      .collect().map(_.getDouble(4)).sum
+    assert(qPerfect > 0.6 && qPerfect <= 1.0) // 3 equal cliques → Q = 2/3
+    assert(qPerfect > qRand)
+  }
+
+  test("attribution property: every credit flavor conserves the journey count") {
+    val draws = lcg(99L)
+    // 40 users × 12 events with random types; buys cut journeys
+    val types = Seq("view", "click", "signup", "buy")
+    val ev = (for (u <- 1L to 40L; i <- 1L to 12L) yield {
+      val t = types(math.floorMod(draws.next(), 4L).toInt)
+      (u, java.sql.Timestamp.valueOf(f"2024-01-01 00:${i}%02d:00"), u * 100 + i, t)
+    }).toDF("u", "ts", "id", "t")
+    val got = graft.ops.Behavior.attribution(ev, "u", "ts", "id", "t", "buy")
+      .collect()
+    val first = got.map(_.getLong(2)).sum
+    val last = got.map(_.getLong(3)).sum
+    val linear = got.map(_.getDouble(4)).sum
+    // first/last each assign exactly one credit per journey-with-touches;
+    // linear splits exactly one credit per journey (r6 rounding slack)
+    assert(first == last)
+    assert(math.abs(linear - first) < 0.01)
+  }
 }
