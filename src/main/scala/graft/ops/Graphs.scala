@@ -926,6 +926,77 @@ object Graphs {
       .orderBy("community")
   }
 
+  /** Link prediction over an undirected graph: for every DISTANCE-2
+    * pair (a, b) that is not already an edge, the common-neighbor
+    * count and the Adamic–Adar score `Σ_w 1/ln(deg w)` (Adamic &
+    * Adar 2003) over shared neighbors w — the classic
+    * related-items/people-you-may-know candidate scorer. Returns the
+    * top `topK` by (aa DESC, cn DESC, a, b) — a total order, so the
+    * cut boundary is deterministic.
+    *
+    * Scale shape: the wedge self-join on the center vertex is the
+    * triangle-counting hazard (fanout Σ deg(w)²), so neighbors are
+    * routed through a degree cap: centers with deg > `maxNeighborDeg`
+    * are excluded from wedge formation. This is the standard
+    * hub-suppression of production AA — a hub contributes only
+    * 1/ln(huge) ≈ 0 per pair while generating deg² candidates, so the
+    * cap removes quadratic work that carries no signal. The cap is a
+    * SEMANTIC parameter (documented, oracle-mirrored), not a silent
+    * truncation.
+    *
+    * Determinism: cn is an exact integer; each 1/ln(deg) term is one
+    * libm ln of an exact integer, r6'd, decimal-summed.
+    */
+  def adamicAdar(
+      edges: DataFrame,
+      maxNeighborDeg: Int = 256,
+      topK: Int = 50): DataFrame = {
+    val sym = edges.select(col("u"), col("v"))
+      .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+    val deg = sym.groupBy(col("u").as("w")).agg(count(lit(1)).as("_deg"))
+    // center-keyed adjacency with the center's AA weight riding along
+    val adj = sym.select(col("u").as("w"), col("v").as("x"))
+      .join(deg, "w")
+      .filter(col("_deg") <= maxNeighborDeg && col("_deg") >= 2)
+      .withColumn("_aw", graft.queries.Det.r6(
+        lit(1.0) / log(col("_deg").cast("double"))))
+    val wedges = adj.select(col("w"), col("x").as("a"), col("_aw"))
+      .join(adj.select(col("w"), col("x").as("b")), "w")
+      .filter(col("a") < col("b"))
+    val scored = wedges
+      .groupBy("a", "b")
+      .agg(
+        count(lit(1)).as("cn"),
+        graft.queries.Det.dsum(col("_aw")).as("aa"))
+    scored
+      .join(edges.select(col("u").as("a"), col("v").as("b")),
+        Seq("a", "b"), "left_anti")
+      .orderBy(col("aa").desc, col("cn").desc, col("a"), col("b"))
+      .limit(topK)
+  }
+
+  /** DuckDB spelling of [[adamicAdar]]. */
+  def adamicAdarOracleSql(
+      edgesSql: String,
+      maxNeighborDeg: Int,
+      topK: Int): String = {
+    val r6 = graft.queries.Oracle.r6 _
+    s"WITH eu AS ($edgesSql), " +
+      "e AS (SELECT u, v FROM eu UNION ALL SELECT v AS u, u AS v FROM eu), " +
+      "d AS (SELECT u AS w, count(*)::BIGINT AS deg FROM e GROUP BY 1), " +
+      "adj AS (SELECT e.u AS w, e.v AS x, " +
+      r6("1.0 / ln(deg::DOUBLE)") + " AS aw " +
+      s"FROM e JOIN d ON d.w = e.u WHERE deg <= $maxNeighborDeg AND deg >= 2), " +
+      "wg AS (SELECT a.w, a.x AS a, b.x AS b, a.aw " +
+      "FROM adj a JOIN adj b ON a.w = b.w AND a.x < b.x), " +
+      "sc AS (SELECT a, b, count(*)::BIGINT AS cn, " +
+      r6("CAST(sum(CAST(aw AS DECIMAL(25,6))) AS DOUBLE)") + " AS aa " +
+      "FROM wg GROUP BY 1, 2) " +
+      "SELECT a, b, cn, aa FROM sc " +
+      "WHERE NOT EXISTS (SELECT 1 FROM eu WHERE eu.u = sc.a AND eu.v = sc.b) " +
+      s"ORDER BY aa DESC, cn DESC, a, b LIMIT $topK"
+  }
+
   /** DuckDB spelling of [[modularity]] over a labels subquery
     * (typically [[labelPropagationOracleSql]] nested verbatim).
     */

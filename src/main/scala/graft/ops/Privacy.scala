@@ -98,4 +98,58 @@ object Privacy {
       .reduce(_ && _)
     keyed.join(bigEnough, cond, "left_semi")
   }
+
+  /** ε-differentially-private count release (Dwork et al. 2006): one
+    * grouped count per key with Laplace(1/ε) noise added via the
+    * inverse-CDF transform — count queries have sensitivity 1, so
+    * scale b = 1/ε. The uniform draw is the md5 hash of the group key
+    * (the [[Corpus.hashBucket]] contract), NOT an OS RNG: the release
+    * is replayable (same salt → same table, the property a governed
+    * release pipeline and a hash gate both need), and the privacy
+    * boundary is the secrecy of the salt — rotate it per release, as
+    * PRG-seeded DP deployments do. The true count never leaves the
+    * aggregate.
+    *
+    * Scale shape: ONE partial-aggregable hash aggregate; the noise is
+    * a narrow per-group expression. Determinism: `u = (h + 0.5)/2²⁰`
+    * is strictly inside (0,1) and never exactly ½, so
+    * `−b·sign(u−½)·ln(1−2|u−½|)` is one libm ln per group, identical
+    * cross-engine, r6'd once.
+    */
+  def noisyCounts(
+      df: DataFrame,
+      keys: Seq[String],
+      epsilon: Double,
+      salt: String = "dp"): DataFrame = {
+    require(epsilon > 0, "epsilon must be positive")
+    val buckets = 1 << 20
+    val grouped = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("_n"))
+    val keyStr = concat_ws("|", keys.map(c => col(c).cast("string")): _*)
+    val u = (Corpus.hashBucket(keyStr, salt, buckets).cast("double") +
+      lit(0.5)) / lit(buckets.toDouble)
+    val c = u - lit(0.5)
+    val noise = lit(-1.0 / epsilon) * signum(c) *
+      log(lit(1.0) - lit(2.0) * abs(c))
+    grouped.select(
+      keys.map(col) :+
+        graft.queries.Det.r6(col("_n") + noise).as("noisy_n"): _*)
+  }
+
+  /** DuckDB spelling of [[noisyCounts]] for a single string key. */
+  def noisyCountsOracleSql(
+      table: String,
+      key: String,
+      epsilon: Double,
+      salt: String = "dp"): String = {
+    val r6 = graft.queries.Oracle.r6 _
+    val b = 1 << 20
+    val h = s"(('0x' || substr(md5('$salt' || $key::VARCHAR), 1, 8))" +
+      s"::BIGINT % $b)"
+    val u = s"(($h::DOUBLE + 0.5) / $b.0)"
+    s"SELECT $key, " +
+      r6(s"count(*) + (-1.0 / $epsilon) * sign($u - 0.5) * " +
+        s"ln(1.0 - 2.0 * abs($u - 0.5))") +
+      s" AS noisy_n FROM $table GROUP BY 1"
+  }
 }

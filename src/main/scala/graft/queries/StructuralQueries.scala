@@ -134,6 +134,27 @@ object StructuralQueries {
       .select(col("x").as("vertex"), Det.r6(col("r") * lit(1000.0)).as("rank_k"))
       .orderBy("vertex")
 
+  /** Adamic–Adar link prediction ([[Graphs.adamicAdar]]) over the
+    * co-purchase graph: top-50 non-edge distance-2 pairs by shared-
+    * neighbor mass, hub centers (deg > 80) suppressed — the
+    * related-items candidate scorer.
+    */
+  def qAdamic(s: SparkSession, dir: String): DataFrame =
+    Graphs.adamicAdar(
+      Graphs.coOccurrenceEdges(
+        Tables.table(s, dir, "lineitem"), "l_orderkey", "l_partkey"),
+      maxNeighborDeg = 80, topK = 50)
+
+  /** ε-DP noisy count release ([[Privacy.noisyCounts]]) of the
+    * per-event-type counts at ε = 1 — the governed-release twin of the
+    * k-anonymity gates, hash-seeded so the release (and the gate)
+    * replays exactly.
+    */
+  def qDpCounts(s: SparkSession, dir: String): DataFrame =
+    Privacy.noisyCounts(Tables.events(s, dir), Seq("event_type"),
+        epsilon = 1.0)
+      .orderBy("event_type")
+
   /** Exact global p50/p90/p99 by two-pass distributed selection
     * ([[Quantiles.exactQuantiles]]) — no global sort, no value-buffering
     * aggregate.
@@ -193,6 +214,8 @@ object StructuralQueries {
     "q_kanon_enforce" -> (qKanonEnforce _),
     "q_lpa" -> (qLpa _),
     "q_modularity" -> (qModularity _),
+    "q_adamic" -> (qAdamic _),
+    "q_dp_counts" -> (qDpCounts _),
     "q_ppr" -> (qPpr _),
     "q_quantile_dist" -> (qQuantileDist _),
     "q_pip" -> (qPip _),
@@ -282,6 +305,10 @@ object StructuralQueries {
     "q_modularity" -> Graphs.modularityOracleSql(
       coPurchaseEdgesSql,
       Graphs.labelPropagationOracleSql(coPurchaseEdgesSql, rounds = 4)),
+    "q_adamic" -> Graphs.adamicAdarOracleSql(
+      coPurchaseEdgesSql, maxNeighborDeg = 80, topK = 50),
+    "q_dp_counts" -> (Privacy.noisyCountsOracleSql(
+      "events", "event_type", epsilon = 1.0) + " ORDER BY event_type"),
     "q_ppr" -> Graphs.pagerankPersonalizedOracleSql(
       coPurchaseEdgesSql, seeds = Seq(0L, 1L, 2L), damping = 0.85, iters = 3,
       finalSelect = "SELECT x AS vertex, " + O.r6("r * 1000.0") +

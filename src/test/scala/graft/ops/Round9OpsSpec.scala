@@ -205,6 +205,56 @@ class Round9OpsSpec extends SparkTestBase {
     assert(got.forall(r => math.abs(r.getDouble(4) - math.log(2.0)) < 1e-5))
   }
 
+  // ---- Graphs.adamicAdar --------------------------------------------------
+
+  test("adamicAdar: scores distance-2 non-edges, skips edges and hubs") {
+    // path 1-2-3 plus 3-4: (1,3) and (2,4) are distance-2 non-edges
+    // through centers of degree 2; (1,2) is an edge → excluded
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    val got = Graphs.adamicAdar(edges, maxNeighborDeg = 256, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val w = r6(1.0 / math.log(2.0))
+    assert(got.keySet == Set((1L, 3L), (2L, 4L)))
+    assert(got((1L, 3L)) == ((1L, r6(w))))
+    // hub cap: with maxNeighborDeg = 1 no center qualifies → empty
+    assert(Graphs.adamicAdar(edges, maxNeighborDeg = 1, topK = 10).count() == 0)
+  }
+
+  test("adamicAdar: shared neighbors accumulate") {
+    // 1 and 2 share centers 3 and 4 (deg 2 each): cn = 2, aa = 2/ln 2
+    val edges = Seq((1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L)).toDF("u", "v")
+    val top = Graphs.adamicAdar(edges, maxNeighborDeg = 256, topK = 1)
+      .collect().head
+    assert((top.getLong(0), top.getLong(1), top.getLong(2)) == ((1L, 2L, 2L)))
+    assert(math.abs(top.getDouble(3) - 2.0 / math.log(2.0)) < 1e-5)
+  }
+
+  // ---- Privacy.noisyCounts ------------------------------------------------
+
+  test("noisyCounts: replayable, epsilon-scaled, and never the true count") {
+    val rows = (1 to 1000).map(i => (s"k${i % 4}", i)).toDF("k", "v")
+    val e1 = Privacy.noisyCounts(rows, Seq("k"), epsilon = 1.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val e1b = Privacy.noisyCounts(rows, Seq("k"), epsilon = 1.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(e1 == e1b) // same salt → identical release
+    // noise is nonzero but Laplace(1)-plausible (|noise| < 15 ≈ 15b)
+    assert(e1.values.forall(v => math.abs(v - 250.0) > 1e-9))
+    assert(e1.values.forall(v => math.abs(v - 250.0) < 15.0))
+    // epsilon 2 halves the scale: same u draw → exactly half the noise
+    val e2 = Privacy.noisyCounts(rows, Seq("k"), epsilon = 2.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    e1.foreach { case (k, v) =>
+      assert(math.abs((e2(k) - 250.0) * 2.0 - (v - 250.0)) < 1e-4)
+    }
+    // a different salt is a different release
+    val es = Privacy.noisyCounts(rows, Seq("k"), epsilon = 1.0, salt = "dp2")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(es != e1)
+  }
+
   // ---- property-style invariants over pseudo-random fixtures -------------
 
   /** Deterministic LCG so the properties reproduce without scalacheck. */
