@@ -124,6 +124,154 @@ object ModelEval {
       .orderBy("bin")
   }
 
+  /** Classification point metrics at a fixed decision threshold: the
+    * confusion matrix plus precision / recall / F1 / accuracy — the
+    * readout a deployed binary classifier reports next to its AUC
+    * (which is threshold-free and can hide an unusable operating
+    * point). One hash aggregate; every metric is a single division of
+    * exact integer counts (F1 spelled as `2tp/(2tp+fp+fn)` so it too
+    * is ONE division), r6'd once; degenerate denominators report NULL.
+    */
+  def classificationReport(
+      df: DataFrame,
+      scoreCol: String,
+      posCol: String,
+      threshold: Double): DataFrame = {
+    val base = df.filter(col(scoreCol).isNotNull)
+      .select(
+        (col(scoreCol) >= threshold).cast("long").as("_pred"),
+        col(posCol).cast("long").as("_y"))
+    base.agg(
+        sum(col("_pred") * col("_y")).as("tp"),
+        sum(col("_pred") * (lit(1L) - col("_y"))).as("fp"),
+        sum((lit(1L) - col("_pred")) * col("_y")).as("fn"),
+        sum((lit(1L) - col("_pred")) * (lit(1L) - col("_y"))).as("tn"))
+      .select(
+        col("tp"), col("fp"), col("fn"), col("tn"),
+        when(col("tp") + col("fp") > 0,
+          r6(col("tp").cast("double") / (col("tp") + col("fp"))))
+          .as("precision"),
+        when(col("tp") + col("fn") > 0,
+          r6(col("tp").cast("double") / (col("tp") + col("fn"))))
+          .as("recall"),
+        when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
+          r6((lit(2.0) * col("tp")) /
+            (lit(2L) * col("tp") + col("fp") + col("fn"))))
+          .as("f1"),
+        r6((col("tp") + col("tn")).cast("double") /
+          (col("tp") + col("fp") + col("fn") + col("tn"))).as("accuracy"))
+  }
+
+  /** DuckDB spelling of [[classificationReport]]. */
+  def classificationReportOracleSql(
+      table: String,
+      scoreExpr: String,
+      posExpr: String,
+      threshold: Double): String = {
+    val r6 = graft.queries.Oracle.r6 _
+    s"WITH b AS (SELECT CASE WHEN $scoreExpr >= $threshold THEN 1 ELSE 0 END " +
+      s"AS pred, $posExpr AS y FROM $table WHERE $scoreExpr IS NOT NULL), " +
+      "c AS (SELECT CAST(sum(pred * y) AS BIGINT) AS tp, " +
+      "CAST(sum(pred * (1 - y)) AS BIGINT) AS fp, " +
+      "CAST(sum((1 - pred) * y) AS BIGINT) AS fn, " +
+      "CAST(sum((1 - pred) * (1 - y)) AS BIGINT) AS tn FROM b) " +
+      "SELECT tp, fp, fn, tn, " +
+      "CASE WHEN tp + fp > 0 THEN " + r6("tp::DOUBLE / (tp + fp)") +
+      " END AS precision, " +
+      "CASE WHEN tp + fn > 0 THEN " + r6("tp::DOUBLE / (tp + fn)") +
+      " END AS recall, " +
+      "CASE WHEN 2 * tp + fp + fn > 0 THEN " +
+      r6("(2.0 * tp) / (2 * tp + fp + fn)") + " END AS f1, " +
+      r6("(tp + tn)::DOUBLE / (tp + fp + fn + tn)") + " AS accuracy FROM c"
+  }
+
+  /** Average precision (the area under the precision–recall curve by
+    * the standard step interpolation): over the distinct-score grid
+    * scanned descending, `AP = Σ_s (npos_s / P) · precision(s)` with
+    * `precision(s) = tp(≥s)/pred(≥s)`. The PR-curve summary that, on
+    * imbalanced outcomes, discriminates where AUC saturates.
+    *
+    * Scale shape: the corpus reduces to the distinct-score grid in one
+    * hash aggregate; the "at or above" cumulatives come from the SAME
+    * order-preserving bucket decomposition as [[aucRank]] (strictly-
+    * below sums: per-bucket offsets broadcast, windows only within a
+    * bucket), so no single-partition global window exists at any size.
+    * Determinism: every term is `npos·tp / (P·pred)` — one division of
+    * exact integer products (< 2⁵³ far past sf10) — r6'd then
+    * decimal-summed.
+    */
+  def averagePrecision(
+      df: DataFrame,
+      scoreCol: String,
+      posCol: String): DataFrame = {
+    val g = df
+      .filter(col(scoreCol).isNotNull)
+      .select(col(scoreCol).as("s"), col(posCol).cast("long").as("p"))
+      .groupBy("s")
+      .agg(sum("p").as("npos"), count(lit(1)).as("ntot"))
+      .withColumn("_bkt", floor(col("s")).cast("long"))
+    val offsets = g.groupBy("_bkt")
+      .agg(sum("npos").as("_bp"), sum("ntot").as("_bt"))
+      .withColumn("_offp",
+        coalesce(sum("_bp").over(
+          Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .withColumn("_offt",
+        coalesce(sum("_bt").over(
+          Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("_bkt", "_offp", "_offt")
+    val wB = Window.partitionBy("_bkt").orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val below = g
+      .join(broadcast(offsets), "_bkt")
+      .withColumn("_posBelow",
+        col("_offp") + coalesce(sum("npos").over(wB), lit(0L)))
+      .withColumn("_totBelow",
+        col("_offt") + coalesce(sum("ntot").over(wB), lit(0L)))
+    val totals = g.agg(sum("npos").as("_P"), sum("ntot").as("_N"))
+    below.crossJoin(broadcast(totals))
+      .select(col("_P"), col("_N"),
+        when(col("npos") > 0, r6(
+          (col("npos") * (col("_P") - col("_posBelow"))).cast("double") /
+            (col("_P") * (col("_N") - col("_totBelow"))).cast("double")))
+          .otherwise(lit(0.0)).as("_term"))
+      .agg(
+        max("_P").as("n_pos"),
+        max("_N").as("n"),
+        when(max("_P") > 0,
+          r6(sum(col("_term").cast("decimal(25,6)")).cast("double")))
+          .as("ap"))
+  }
+
+  /** DuckDB spelling of [[averagePrecision]] (plain global windows —
+    * single-threaded SQL may).
+    */
+  def averagePrecisionOracleSql(
+      table: String,
+      scoreExpr: String,
+      posExpr: String): String = {
+    val r6 = graft.queries.Oracle.r6 _
+    s"WITH b AS (SELECT $scoreExpr AS s, $posExpr AS p FROM $table " +
+      s"WHERE $scoreExpr IS NOT NULL), " +
+      "g AS (SELECT s, CAST(sum(p) AS BIGINT) AS npos, " +
+      "count(*)::BIGINT AS ntot FROM b GROUP BY 1), " +
+      "c AS (SELECT s, npos, ntot, " +
+      "coalesce(sum(npos) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED " +
+      "PRECEDING AND 1 PRECEDING), 0)::BIGINT AS posBelow, " +
+      "coalesce(sum(ntot) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED " +
+      "PRECEDING AND 1 PRECEDING), 0)::BIGINT AS totBelow FROM g), " +
+      "t AS (SELECT CAST(sum(npos) AS BIGINT) AS P, " +
+      "CAST(sum(ntot) AS BIGINT) AS N FROM g), " +
+      "tm AS (SELECT CASE WHEN npos > 0 THEN " +
+      r6("(npos * (P - posBelow))::DOUBLE / (P * (N - totBelow))::DOUBLE") +
+      " ELSE 0.0 END AS term, P, N FROM c CROSS JOIN t) " +
+      "SELECT max(P) AS n_pos, max(N) AS n, " +
+      "CASE WHEN max(P) > 0 THEN " +
+      r6("CAST(sum(CAST(term AS DECIMAL(25,6))) AS DOUBLE)") +
+      " END AS ap FROM tm"
+  }
+
   /** Off-policy evaluation of a deterministic target policy over
     * logged (action, reward) data: inverse-propensity scoring (Horvitz
     * & Thompson 1952; Li et al., WSDM 2011) with the logging

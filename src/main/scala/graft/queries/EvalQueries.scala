@@ -90,6 +90,22 @@ object EvalQueries {
       .orderBy("user_id")
   }
 
+  /** Classification point metrics ([[ModelEval.classificationReport]])
+    * of `value ≥ 50` as a purchase predictor: confusion matrix +
+    * precision/recall/F1/accuracy — the operating-point readout next
+    * to q_auc's threshold-free ranking quality.
+    */
+  def qPrf(s: SparkSession, dir: String): DataFrame =
+    ModelEval.classificationReport(labeled(s, dir), "value", "_pos",
+      threshold = 50.0)
+
+  /** Average precision ([[ModelEval.averagePrecision]]) of `value` as
+    * a purchase score — the PR-curve summary over the distinct-score
+    * grid, bucketed prefix sums like q_auc.
+    */
+  def qAp(s: SparkSession, dir: String): DataFrame =
+    ModelEval.averagePrecision(labeled(s, dir), "value", "_pos")
+
   /** Off-policy IPS/SNIPS evaluation ([[ModelEval.ipsEstimate]]) of a
     * deterministic context-dependent target policy (purchase for even
     * users, click for odd) over the logged (event_type, value) stream —
@@ -144,6 +160,8 @@ object EvalQueries {
     "q_ndcg" -> (qNdcg _),
     "q_ips" -> (qIps _),
     "q_attribution" -> (qAttribution _),
+    "q_prf" -> (qPrf _),
+    "q_ap" -> (qAp _),
     "q_kcore" -> (qKcore _),
     "q_fd" -> (qFd _),
   )
@@ -247,6 +265,10 @@ object EvalQueries {
             "WHEN 'click' THEN 1 ELSE 0 END AS rel FROM events",
           k = 10) +
         ") ORDER BY user_id"),
+    "q_prf" -> ModelEval.classificationReportOracleSql(
+      "events", "value", posCase, threshold = 50.0),
+    "q_ap" -> ModelEval.averagePrecisionOracleSql(
+      "events", "value", posCase),
     "q_ips" -> ModelEval.ipsOracleSql(
       "SELECT event_type AS a, value AS r, " +
         "CASE WHEN user_id % 2 = 0 THEN 'purchase' ELSE 'click' END AS pi " +

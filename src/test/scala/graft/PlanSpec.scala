@@ -274,7 +274,10 @@ class PlanSpec extends SparkTestBase {
       "q_basket", "q_bins", "q_jaro", "q_bitmap", "q_psi", "q_quantile_norm",
       "q_twostage", "q_benford", "q_sample", "q_split", "q_calibration",
       "q_rrf", "q_hits", "q_textrank", "q_km", "q_range_plan",
-      "q_modularity", "q_decompose", "q_ips", "q_mi")
+      "q_modularity", "q_decompose", "q_ips", "q_mi",
+      // q_ap: the 1-row (P, N) totals broadcast against the
+      // distinct-score grid — the q_auc scalar shape
+      "q_ap")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = plan(fn(spark, Sf0001))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")

@@ -205,6 +205,52 @@ class Round9OpsSpec extends SparkTestBase {
     assert(got.forall(r => math.abs(r.getDouble(4) - math.log(2.0)) < 1e-5))
   }
 
+  // ---- ModelEval.classificationReport / averagePrecision ------------------
+
+  test("classificationReport: hand confusion matrix at a threshold") {
+    // scores 1..8 with y=1 on {3,6,7,8}: at t=5 (inclusive ≥), the
+    // predicted-positive set is {5,6,7,8} → tp=3 fp=1 fn=1 tn=3
+    val rows = Seq(
+      (1.0, 0L), (2.0, 0L), (3.0, 1L), (4.0, 0L),
+      (5.0, 0L), (6.0, 1L), (7.0, 1L), (8.0, 1L)).toDF("s", "y")
+    val r = ModelEval.classificationReport(rows, "s", "y", threshold = 5.0)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((3L, 1L, 1L, 3L)))
+    assert(r.getDouble(4) == 0.75) // precision 3/4
+    assert(r.getDouble(5) == 0.75) // recall 3/4
+    assert(r.getDouble(6) == 0.75) // f1 = 6/8
+    assert(r.getDouble(7) == 0.75) // accuracy 6/8
+  }
+
+  test("classificationReport: all-negative predictions report NULL precision") {
+    val rows = Seq((1.0, 1L), (2.0, 0L)).toDF("s", "y")
+    val r = ModelEval.classificationReport(rows, "s", "y", threshold = 9.0)
+      .collect().head
+    assert(r.isNullAt(4) && r.getDouble(5) == 0.0)
+  }
+
+  test("averagePrecision: a perfect ranking scores AP = 1") {
+    val rows = Seq((5.0, 1L), (4.0, 1L), (3.0, 0L), (2.0, 0L)).toDF("s", "y")
+    val r = ModelEval.averagePrecision(rows, "s", "y").collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 4L && r.getDouble(2) == 1.0)
+  }
+
+  test("averagePrecision: hand case with an interleaved ranking") {
+    // desc: y=1 (tp=1/1), y=0, y=1 (tp=2/3) → AP = (1/2)(1 + 2/3)
+    val rows = Seq((3.0, 1L), (2.0, 0L), (1.0, 1L)).toDF("s", "y")
+    val r = ModelEval.averagePrecision(rows, "s", "y").collect().head
+    assert(math.abs(r.getDouble(2) - (0.5 * (1.0 + 2.0 / 3.0))) < 1e-5)
+  }
+
+  test("averagePrecision: ties collapse to one grid point") {
+    // both positives share score 2 with one negative above: the grid
+    // point at s=2 has pred=3, tp=2 → AP = (2/2)·(2/3)
+    val rows = Seq((3.0, 0L), (2.0, 1L), (2.0, 1L)).toDF("s", "y")
+    val r = ModelEval.averagePrecision(rows, "s", "y").collect().head
+    assert(math.abs(r.getDouble(2) - 2.0 / 3.0) < 1e-5)
+  }
+
   // ---- Graphs.adamicAdar --------------------------------------------------
 
   test("adamicAdar: scores distance-2 non-edges, skips edges and hubs") {
