@@ -283,16 +283,21 @@ object TextPrep {
         concat_ws(" ", transform(
           array_sort(collect_list(struct(col("chunk_idx"), col("chunk_text")))),
           _.getField("chunk_text"))).as("clean_text"))
+    // a doc whose text yields zero chunks (empty/whitespace) still
+    // reports: 0 chunks, 0 removed, frac 0.0 — it must not vanish from
+    // (or NULL out of) the cleaned corpus
     df.select(col(idCol))
       .join(perDoc, Seq(idCol), "left")
       .join(keptAgg, Seq(idCol), "left")
       .select(
         col(idCol),
         coalesce(col("clean_text"), lit("")).as("clean_text"),
-        col("n_chunks"),
-        (col("n_chunks") - coalesce(col("_n_kept"), lit(0L))).as("n_removed"),
-        r6((col("n_chunks") - coalesce(col("_n_kept"), lit(0L)))
-          .cast("double") / col("n_chunks").cast("double"))
-          .as("removed_frac"))
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        (coalesce(col("n_chunks"), lit(0L)) -
+          coalesce(col("_n_kept"), lit(0L))).as("n_removed"),
+        when(col("n_chunks") > 0,
+          r6((col("n_chunks") - coalesce(col("_n_kept"), lit(0L)))
+            .cast("double") / col("n_chunks").cast("double")))
+          .otherwise(lit(0.0)).as("removed_frac"))
   }
 }

@@ -210,10 +210,12 @@ object PrepQueries {
         "ka AS (SELECT doc_id, count(*)::BIGINT AS n_kept, " +
         "string_agg(ct, ' ' ORDER BY chunk_idx) AS clean_text FROM k GROUP BY 1) " +
         "SELECT d.doc_id, coalesce(ka.clean_text, '') AS clean_text, " +
-        "n.n_chunks, (n.n_chunks - coalesce(ka.n_kept, 0))::BIGINT AS n_removed, " +
+        "coalesce(n.n_chunks, 0)::BIGINT AS n_chunks, " +
+        "(coalesce(n.n_chunks, 0) - coalesce(ka.n_kept, 0))::BIGINT AS n_removed, " +
+        "CASE WHEN n.n_chunks > 0 THEN " +
         O.r6("(n.n_chunks - coalesce(ka.n_kept, 0))::DOUBLE / n.n_chunks::DOUBLE") +
-        " AS removed_frac " +
-        "FROM documents d JOIN n USING (doc_id) LEFT JOIN ka USING (doc_id) " +
+        " ELSE 0.0 END AS removed_frac " +
+        "FROM documents d LEFT JOIN n USING (doc_id) LEFT JOIN ka USING (doc_id) " +
         "ORDER BY doc_id"),
     "q_redact" ->
       (s"SELECT doc_id, $redactSql AS text_redacted, " +

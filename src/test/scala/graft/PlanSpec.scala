@@ -410,4 +410,49 @@ class PlanSpec extends SparkTestBase {
     val p = plan(read)
     assert(p.contains("PartitionFilters: [isnotnull(day"), s"no partition pruning in:\n$p")
   }
+
+  test("boilerplate removal: df count is partial+final, reassembly keyed, no window") {
+    val p = plan(graft.queries.PrepQueries.qBoilerplate(spark, Sf0001))
+    // the chunk document-frequency count and the per-doc reassembly are
+    // hash aggregates (map-side combinable); an ordered-window spelling
+    // here would single-partition the corpus
+    assert("HashAggregate|ObjectHashAggregate|SortAggregate".r
+      .findAllIn(p).length >= 4, s"no partial aggregation in:\n$p")
+    assert(!p.contains("Window"), s"boilerplate plan uses a window:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("adamic-adar: wedge join is an equi-join on the center, top-k is TakeOrdered") {
+    val p = plan(graft.queries.StructuralQueries.qAdamic(spark, Sf0001))
+    // the deg² hazard must stay an equi-join on w (shuffle or broadcast
+    // hash), and the top-50 cut must plan as TakeOrdered, never a
+    // global sort of all candidate pairs
+    assert(p.contains("TakeOrderedAndProject"), s"top-k is a global sort:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"wedge join degraded:\n$p")
+  }
+
+  test("average precision: every window is bucket-partitioned (no global window)") {
+    val p = plan(graft.queries.EvalQueries.qAp(spark, Sf0001))
+    // the q_auc discipline: cumulatives decompose into per-bucket
+    // windows + a bucket-count-sized offset window; no window may run
+    // over the unbucketed score grid
+    val windows = p.linesIterator.filter(_.contains("Window")).toList
+    assert(windows.nonEmpty, s"expected windows in:\n$p")
+    // the only single-partition window is over the ~500-row bucket
+    // table (one row per floor(score)); the grid window partitions by
+    // _bkt — assert the grid-sized sort carries the partition key
+    assert(p.contains("_bkt"), s"bucket decomposition missing:\n$p")
+  }
+
+  test("attribution: one user-keyed exchange feeds all journey windows") {
+    val p = plan(graft.queries.EvalQueries.qAttribution(spark, Sf0001))
+    // journey cut + first/last ranks + touch counts all partition by
+    // the user (and journey) key — hashpartitioning on _u must appear,
+    // and no partition-less window may exist
+    assert(p.contains("hashpartitioning(_u"), s"no user-keyed exchange in:\n$p")
+    assert(!p.contains("SinglePartition, Window") &&
+      !p.contains("Window [") || p.contains("hashpartitioning"),
+      s"unpartitioned window in:\n$p")
+  }
 }

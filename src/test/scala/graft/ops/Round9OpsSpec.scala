@@ -124,6 +124,19 @@ class Round9OpsSpec extends SparkTestBase {
     assert(got(5L) == (("z z", 2L, 1L, 0.5)))
   }
 
+  test("removeDuplicateChunks: an empty-text doc survives as one unique chunk") {
+    // "" tokenizes to one empty token → ONE chunk with df = 1 (kept);
+    // both engines agree (string_split('', ' ') = ['']), and the doc
+    // must stay in the cleaned corpus either way
+    val docs = Seq((1L, ""), (2L, "a b"), (3L, "a b")).toDF("doc_id", "text")
+    val got = TextPrep.removeDuplicateChunks(docs, "doc_id", "text",
+        chunkSize = 2, minDf = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got(1L) == (("", 1L, 0L, 0.0)))
+    assert(got(2L) == (("", 1L, 1L, 1.0)))
+  }
+
   test("removeDuplicateChunks: a fully boilerplate doc empties cleanly") {
     val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a b")).toDF("doc_id", "text")
     val got = TextPrep.removeDuplicateChunks(docs, "doc_id", "text",
