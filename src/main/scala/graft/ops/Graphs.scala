@@ -1002,7 +1002,11 @@ object Graphs {
     */
   def modularityOracleSql(edgesSql: String, labelsSql: String): String = {
     val r6 = graft.queries.Oracle.r6 _
-    s"WITH me AS ($edgesSql), l AS ($labelsSql), " +
+    // l is referenced four times (degree mass, both intra endpoints,
+    // node counts); MATERIALIZED stops the engine from inlining —
+    // i.e. re-running — the whole unrolled-LPA pipeline per reference
+    // (at sf1 the 4x recomputation spilled DuckDB to disk exhaustion)
+    s"WITH me AS MATERIALIZED ($edgesSql), l AS MATERIALIZED ($labelsSql), " +
       "m AS (SELECT count(*)::BIGINT AS m FROM me), " +
       "dg AS (SELECT l.community, count(*)::BIGINT AS deg_sum FROM " +
       "(SELECT u AS x FROM me UNION ALL SELECT v AS x FROM me) s " +

@@ -411,6 +411,51 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("PartitionFilters: [isnotnull(day"), s"no partition pruning in:\n$p")
   }
 
+  test("AQE splits a skewed join partition at runtime (no manual salt needed)") {
+    // q_join_salted proves the MANUAL skew remedy; this proves the
+    // automatic one — AQE's skew-join split — actually engages, i.e.
+    // the conf the 100 TB story leans on is live, not assumed. Low
+    // thresholds make the toy hot key trigger the same code path a
+    // hot-key shuffle partition triggers at cluster scale.
+    import spark.implicits._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    ).map(k => k -> scala.util.Try(conf.get(k)).toOption.flatMap(Option(_)))
+      .toMap
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256KB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      // the payload must be DATA-DEPENDENT and high-entropy: a literal
+      // pad constant-folds out of the exchange, and a repeated string
+      // compresses away in the map output — either way no partition
+      // ever looks big enough to split
+      val left = spark.range(0, 120000)
+        .select(when(col("id") % 2 === 0, 0L).otherwise(col("id")).as("k"),
+          concat(md5(col("id").cast("string")),
+            md5((col("id") + lit(7)).cast("string"))).as("pad"))
+      val right = spark.range(0, 2000)
+        .select(col("id").as("k"), lit(1L).as("dim"))
+      val joined = left.join(right, "k")
+      // materialize THIS queryExecution (count() would plan its own)
+      // so the adaptive plan finalizes with runtime stage statistics
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true") || p.contains("skewed"),
+        s"AQE did not mark the hot-key join skewed:\n${p.take(4000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("boilerplate removal: df count is partial+final, reassembly keyed, no window") {
     val p = plan(graft.queries.PrepQueries.qBoilerplate(spark, Sf0001))
     // the chunk document-frequency count and the per-doc reassembly are

@@ -33,7 +33,11 @@ def norm(v):
 def main(sfdir, outdir):
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+        # driver snapshots are flat files; Spark-written replicas
+        # (ScaleUp output, e.g. /tmp/sf1) are part-file directories
+        path = f"{sfdir}/{t}.parquet"
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     # GRAFT_CHECK_ONLY / GRAFT_CHECK_SKIP: comma lists to restrict or
     # resume a long sweep (the sf0.1 full-gate run crunches recursive /
