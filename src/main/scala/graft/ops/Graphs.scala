@@ -951,6 +951,9 @@ object Graphs {
       edges: DataFrame,
       maxNeighborDeg: Int = 256,
       topK: Int = 50): DataFrame = {
+    require(topK >= 1, "adamicAdar needs topK >= 1")
+    require(maxNeighborDeg >= 2,
+      "adamicAdar needs maxNeighborDeg >= 2 — degree-1 centers form no wedges")
     val sym = edges.select(col("u"), col("v"))
       .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
     val deg = sym.groupBy(col("u").as("w")).agg(count(lit(1)).as("_deg"))

@@ -84,6 +84,7 @@ object Ranking {
       rankCol: String,
       relCol: String,
       k: Int): DataFrame = {
+    require(k >= 1, "rankEval needs k >= 1")
     val inK = ranked.filter(col(rankCol) <= k)
       .select(col(qidCol).as("qid"),
         col(rankCol).cast("long").as("rank"),

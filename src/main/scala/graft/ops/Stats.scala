@@ -457,6 +457,111 @@ object Stats {
       .orderBy("x", "y")
   }
 
+  /** Poisson(1) cumulative probabilities, shared verbatim with the
+    * oracle spelling so the inverse-CDF cut points are bit-identical
+    * in both engines (the PPR literal-interpolation discipline).
+    */
+  private[ops] val PoissonCum: Seq[Double] = {
+    val probs = Iterator.iterate(math.exp(-1.0) -> 0) {
+      case (p, k) => (p / (k + 1), k + 1)
+    }.map(_._1).take(9).toSeq
+    probs.scanLeft(0.0)(_ + _).tail // cum P(X <= k), k = 0..8
+  }
+
+  /** Bootstrap confidence interval for the mean by deterministic
+    * multiplier bootstrap (the Poisson-weight form used by
+    * bag-of-little-bootstraps pipelines, Kleiner et al. 2014): each
+    * row gets `b` replicate weights w ~ Poisson(1) drawn from the md5
+    * hash of (row id, replicate) via the inverse CDF, each replicate's
+    * weighted mean is computed with DECIMAL sums, and the CI is read
+    * off the replicate means' order statistics (2.5%/97.5% ranks).
+    * Hash-seeded like [[Privacy.noisyCounts]]: the resample — and so
+    * the CI — replays exactly under any partitioning.
+    *
+    * Scale shape: one explode by the replicate count (N·b rows, the
+    * documented cost knob — production subsamples first), one
+    * (replicate)-keyed aggregate to b rows, windows only over the
+    * b-row frame. Determinism: integer weights, decimal sums, one
+    * division per replicate, exact order statistics over b values.
+    */
+  def bootstrapMeanCI(
+      df: DataFrame,
+      idCol: String,
+      valCol: String,
+      b: Int = 64,
+      salt: String = "boot"): DataFrame = {
+    require(b >= 4, "need at least 4 replicates for order-statistic CIs")
+    val buckets = 1 << 20
+    val base = df.filter(col(valCol).isNotNull)
+      .select(col(idCol).as("_id"), col(valCol).cast("double").as("_x"))
+    val rep = base.select(col("_id"), col("_x"),
+      explode(sequence(lit(0), lit(b - 1))).as("_b"))
+    val u = (Corpus.hashBucket(
+      concat_ws("|", col("_id").cast("string"), col("_b").cast("string")),
+      salt, buckets).cast("double") + lit(0.5)) / lit(buckets.toDouble)
+    val w = PoissonCum.zipWithIndex.foldRight(lit(PoissonCum.size): Column) {
+      case ((c, k), rest) => when(u < lit(c), lit(k)).otherwise(rest)
+    }.cast("long")
+    val reps = rep
+      .withColumn("_w", w)
+      .groupBy("_b")
+      .agg(
+        sum(col("_w")).as("_n"),
+        sum((col("_w") * col("_x")).cast("decimal(25,6)")).as("_s"))
+      .filter(col("_n") > 0)
+      .select(col("_b"),
+        r6(col("_s").cast("double") / col("_n").cast("double")).as("_m"))
+    val ranked = reps.withColumn("_r",
+      row_number().over(Window.orderBy(col("_m"), col("_b"))))
+      .withColumn("_nb", count(lit(1)).over(Window.partitionBy()))
+    val loRank = greatest(floor(col("_nb") * 0.025).cast("long"), lit(1L))
+    val hiRank = least(ceil(col("_nb") * 0.975).cast("long"), col("_nb"))
+    val ci = ranked.agg(
+      min(when(col("_r") === loRank, col("_m"))).as("ci_lo"),
+      min(when(col("_r") === hiRank, col("_m"))).as("ci_hi"),
+      count(lit(1)).as("n_replicates"))
+    val overall = base.agg(
+      count(lit(1)).as("n"),
+      davg(col("_x")).as("mean"))
+    overall.crossJoin(broadcast(ci))
+      .select("n", "mean", "n_replicates", "ci_lo", "ci_hi")
+  }
+
+  /** DuckDB spelling of [[bootstrapMeanCI]] over an `(id, x)`
+    * subquery — the same interpolated Poisson cut points.
+    */
+  def bootstrapMeanCIOracleSql(
+      baseSql: String,
+      b: Int,
+      salt: String = "boot"): String = {
+    val r6s = graft.queries.Oracle.r6 _
+    val bk = 1 << 20
+    val h = s"(('0x' || substr(md5('$salt' || id::VARCHAR || '|' || " +
+      s"t.b::VARCHAR), 1, 8))::BIGINT % $bk)"
+    val uExpr = s"(($h::DOUBLE + 0.5) / $bk.0)"
+    val ladder = PoissonCum.zipWithIndex
+      .map { case (c, k) => s"WHEN u < ${c}::DOUBLE THEN $k" }
+      .mkString(" ")
+    s"WITH base AS (SELECT id, x::DOUBLE AS x FROM ($baseSql) " +
+      "WHERE x IS NOT NULL), " +
+      s"rep AS (SELECT id, x, t.b, $uExpr AS u FROM base, " +
+      s"unnest(range(0, $b)) AS t(b)), " +
+      s"wt AS (SELECT b, x, CASE $ladder ELSE ${PoissonCum.size} END " +
+      "AS w FROM rep), " +
+      "reps AS (SELECT b, " +
+      r6s("CAST(sum(CAST(w * x AS DECIMAL(25,6))) AS DOUBLE) / sum(w)") +
+      " AS m FROM wt GROUP BY b HAVING sum(w) > 0), " +
+      "rk AS (SELECT m, b, row_number() OVER (ORDER BY m, b) AS r, " +
+      "count(*) OVER () AS nb FROM reps), " +
+      "ci AS (SELECT min(CASE WHEN r = greatest(CAST(floor(nb * 0.025) " +
+      "AS BIGINT), 1) THEN m END) AS ci_lo, " +
+      "min(CASE WHEN r = least(CAST(ceil(nb * 0.975) AS BIGINT), nb) " +
+      "THEN m END) AS ci_hi, count(*)::BIGINT AS n_replicates FROM rk), " +
+      "o AS (SELECT count(*)::BIGINT AS n, " +
+      graft.queries.Oracle.davg("x") + " AS mean FROM base) " +
+      "SELECT n, mean, n_replicates, ci_lo, ci_hi FROM o CROSS JOIN ci"
+  }
+
   /** DuckDB spelling of [[mutualInformation]] over a `(x, y)`
     * subquery.
     */

@@ -98,7 +98,17 @@ object DriftQueries {
         .select(col("event_type").as("x"), dayofweek(col("ts")).as("y")),
       "x", "y")
 
+  /** Deterministic multiplier-bootstrap CI
+    * ([[graft.ops.Stats.bootstrapMeanCI]]) for the mean event value:
+    * 64 hash-seeded Poisson(1)-weighted replicates, order-statistic
+    * 95% bounds — the uncertainty readout a point estimate lacks.
+    */
+  def qBootstrap(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.bootstrapMeanCI(
+      Tables.events(s, dir), "event_id", "value", b = 64)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bootstrap" -> (qBootstrap _),
     "q_kl_drift" -> (qKlDrift _),
     "q_chi2" -> (qChi2 _),
     "q_editsim" -> (qEditsim _),
@@ -204,6 +214,8 @@ object DriftQueries {
         "mx AS (SELECT max(d) AS mxd FROM dv) " +
         "SELECT max(na) AS n_a, max(nb) AS n_b, max(d) AS ks, " +
         "min(CASE WHEN d = mxd THEN v END) AS at_value FROM dv, mx"),
+    "q_bootstrap" -> graft.ops.Stats.bootstrapMeanCIOracleSql(
+      "SELECT event_id AS id, value AS x FROM events", b = 64),
     "q_mi" -> graft.ops.Stats.mutualInformationOracleSql(
       "SELECT event_type AS x, (dayofweek(ts) + 1)::INT AS y FROM events"),
     "q_editsim" -> // brute force: proves the deletion-key join's recall

@@ -277,7 +277,9 @@ class PlanSpec extends SparkTestBase {
       "q_modularity", "q_decompose", "q_ips", "q_mi",
       // q_ap: the 1-row (P, N) totals broadcast against the
       // distinct-score grid — the q_auc scalar shape
-      "q_ap")
+      // q_bootstrap: the 1-row CI verdict broadcast against the 1-row
+      // overall mean — the q_sample interval-contract shape
+      "q_ap", "q_bootstrap")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = plan(fn(spark, Sf0001))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")

@@ -25,8 +25,8 @@ class QueriesSmokeSpec extends SparkTestBase {
     * correctness report. Update the constant when adding queries.
     */
   test("registry size is pinned (no silent gate dropouts)") {
-    assert(SparkEntry.queries.size === 238,
-      s"registry has ${SparkEntry.queries.size} queries; expected 238 — " +
+    assert(SparkEntry.queries.size === 239,
+      s"registry has ${SparkEntry.queries.size} queries; expected 239 — " +
         "if you added/removed queries update this pin deliberately")
   }
 }

@@ -277,8 +277,26 @@ class Round9OpsSpec extends SparkTestBase {
     val w = r6(1.0 / math.log(2.0))
     assert(got.keySet == Set((1L, 3L), (2L, 4L)))
     assert(got((1L, 3L)) == ((1L, r6(w))))
-    // hub cap: with maxNeighborDeg = 1 no center qualifies → empty
-    assert(Graphs.adamicAdar(edges, maxNeighborDeg = 1, topK = 10).count() == 0)
+    // a cap below 2 is a contract error (deg-1 centers form no wedges)
+    intercept[IllegalArgumentException] {
+      Graphs.adamicAdar(edges, maxNeighborDeg = 1, topK = 10)
+    }
+  }
+
+  test("adamicAdar: hub centers above the cap contribute no wedges") {
+    // star center 9 (deg 4) is over cap 3, so ITS wedges — e.g.
+    // (3,4), (1,3) — vanish; surviving pairs route only through the
+    // deg-2 centers: (1,2) via 5, and (5,9) via 1 and 2
+    val edges = Seq((9L, 1L), (9L, 2L), (9L, 3L), (9L, 4L),
+        (5L, 1L), (5L, 2L)).toDF("u", "v")
+    val got = Graphs.adamicAdar(edges, maxNeighborDeg = 3, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.keySet == Set((1L, 2L), (5L, 9L)))
+    assert(got((5L, 9L)) == 2L) // shared centers 1 AND 2
+    // without the cap the hub's wedges appear too
+    val uncapped = Graphs.adamicAdar(edges, maxNeighborDeg = 256, topK = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((3L, 4L)) && uncapped.contains((1L, 3L)))
   }
 
   test("adamicAdar: shared neighbors accumulate") {
