@@ -979,6 +979,97 @@ object Graphs {
   }
 
   /** DuckDB spelling of [[adamicAdar]]. */
+  /** Degree value at the `q`-quantile of the symmetrized-degree
+    * distribution (ascending rank semantics: the smallest degree d
+    * whose cumulative vertex count reaches ⌈q·n⌉), floored at 2 — the
+    * self-tuning input to [[adamicAdar]]'s hub cap. A constant cap
+    * tuned on one corpus mis-sizes on the next (cap 128 vs 80 was a
+    * measured 6× wedge-mass swing on the same gate, SCALE.md §10f);
+    * the quantile pins the SEMANTICS ("suppress the top (1−q) hub
+    * tail") and lets the value follow the distribution.
+    *
+    * Cost/shape: one degree aggregate, then a histogram over DISTINCT
+    * degree values — provably ≤ √(4m)+1 rows for any graph with m
+    * edges (k distinct degrees force Σdeg ≥ k(k+1)/2 ≤ 2m), so the
+    * unpartitioned cumulative window is structurally bounded, the
+    * topEigen/bootstrap discipline. The returned scalar is a model
+    * parameter (driver-side single-row read, the triangleCounts `m`
+    * pattern).
+    *
+    * Determinism: counts are exact integers; the only float step is
+    * ⌈q·n⌉ — one IEEE multiply + ceil, spelled identically in
+    * [[adamicAdarAdaptiveOracleSql]].
+    */
+  def degreeCapAtQuantile(edges: DataFrame, q: Double): Long = {
+    require(q > 0.0 && q <= 1.0, s"quantile out of range: $q")
+    import org.apache.spark.sql.expressions.Window
+    val sym = edges.select(col("u").as("w"))
+      .unionAll(edges.select(col("v").as("w")))
+    val hist = sym.groupBy("w").agg(count(lit(1)).as("_deg"))
+      .groupBy("_deg").agg(count(lit(1)).as("_cnt"))
+    val cum = hist
+      .withColumn("_cum", sum(col("_cnt")).over(Window.orderBy(col("_deg"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_n", sum(col("_cnt")).over(Window.partitionBy()))
+    val cap = cum
+      .filter(col("_cum") >=
+        ceil(lit(q) * col("_n").cast("double")).cast("long"))
+      .agg(min(col("_deg"))).head().getLong(0)
+    math.max(2L, cap)
+  }
+
+  /** [[adamicAdar]] with the hub cap derived from the graph's own
+    * degree distribution via [[degreeCapAtQuantile]] — the production
+    * form: the quantile travels across corpora, the cap value does
+    * not. The derived cap is logged so a run records the parameter it
+    * actually executed with.
+    */
+  def adamicAdarAdaptive(
+      edges: DataFrame,
+      capQuantile: Double = 0.99,
+      topK: Int = 50): DataFrame = {
+    val cap = degreeCapAtQuantile(edges, capQuantile)
+    System.err.println(
+      s"[graft] adamicAdarAdaptive: derived degree cap $cap " +
+        s"at quantile $capQuantile")
+    adamicAdar(edges, maxNeighborDeg = math.min(cap, Int.MaxValue).toInt,
+      topK = topK)
+  }
+
+  /** DuckDB spelling of [[adamicAdarAdaptive]]: the cap CTE replays
+    * [[degreeCapAtQuantile]] (histogram → bounded cumulative window →
+    * ⌈q·n⌉ rank cut, floored at 2), then the [[adamicAdarOracleSql]]
+    * body filters against it.
+    */
+  def adamicAdarAdaptiveOracleSql(
+      edgesSql: String,
+      capQuantile: Double,
+      topK: Int): String = {
+    val r6 = graft.queries.Oracle.r6 _
+    s"WITH eu AS MATERIALIZED ($edgesSql), " +
+      "e AS (SELECT u, v FROM eu UNION ALL SELECT v AS u, u AS v FROM eu), " +
+      "d AS MATERIALIZED (SELECT u AS w, count(*)::BIGINT AS deg " +
+      "FROM e GROUP BY 1), " +
+      "hist AS (SELECT deg, count(*)::BIGINT AS cnt FROM d GROUP BY 1), " +
+      "cum AS (SELECT deg, sum(cnt) OVER (ORDER BY deg " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
+      "sum(cnt) OVER () AS n FROM hist), " +
+      s"cap AS (SELECT greatest(2, min(deg)) AS cap FROM cum " +
+      s"WHERE cum >= CAST(ceil($capQuantile * CAST(n AS DOUBLE)) AS BIGINT)), " +
+      "adj AS (SELECT d.w, e.v AS x, " +
+      r6("1.0 / ln(deg::DOUBLE)") + " AS aw " +
+      "FROM e JOIN d ON d.w = e.u " +
+      "WHERE deg <= (SELECT cap FROM cap) AND deg >= 2), " +
+      "wg AS (SELECT a.w, a.x AS a, b.x AS b, a.aw " +
+      "FROM adj a JOIN adj b ON a.w = b.w AND a.x < b.x), " +
+      "sc AS (SELECT a, b, count(*)::BIGINT AS cn, " +
+      r6("CAST(sum(CAST(aw AS DECIMAL(25,6))) AS DOUBLE)") + " AS aa " +
+      "FROM wg GROUP BY 1, 2) " +
+      "SELECT a, b, cn, aa FROM sc " +
+      "WHERE NOT EXISTS (SELECT 1 FROM eu WHERE eu.u = sc.a AND eu.v = sc.b) " +
+      s"ORDER BY aa DESC, cn DESC, a, b LIMIT $topK"
+  }
+
   def adamicAdarOracleSql(
       edgesSql: String,
       maxNeighborDeg: Int,

@@ -43,6 +43,20 @@ object Spatial {
   /** Meters per degree of longitude at the equator; scales by cos(lat). */
   private val MetersPerDegLonEq = 111320.0
 
+  /** Smallest cell size (degrees) for which a 3×3 cell neighborhood
+    * still covers `radiusM` in both axes at every |lat| ≤
+    * `maxAbsLatDeg` — the feasibility floor of [[gridRadiusJoin]]'s
+    * coverage `require`s. Candidate fanout per point is the occupancy
+    * of 9 cells ∝ (3·cellDeg)², so for a SELF radius join the floor is
+    * also the optimum: shrinking the cell toward it strictly shrinks
+    * the candidate area (the exact-distance survivors are invariant)
+    * while the explode stays a fixed 9 rows per query point.
+    */
+  def minCellDeg(radiusM: Double, maxAbsLatDeg: Double): Double =
+    math.max(
+      radiusM / MinMetersPerDegLat,
+      radiusM / (MetersPerDegLonEq * math.cos(math.toRadians(maxAbsLatDeg))))
+
   /** Great-circle distance in meters between two (lat, lon) points,
     * standard haversine. Spelled as one expression tree so the DuckDB
     * oracle can replicate it token for token.
@@ -158,6 +172,17 @@ object Spatial {
     * stage anywhere, so the plan survives a 100× point count as long
     * as physical density (cell occupancy) stays bounded, which is the
     * same assumption DBSCAN's own O(n · density) cost model makes.
+    *
+    * Occupancy bound (the SCALE.md §10d knob, now code): when
+    * `maxCellOccupancy > 0`, one cheap aggregate samples the max cell
+    * occupancy at the caller's `cellDeg`; if it exceeds the bound, the
+    * grid rebuilds at the [[minCellDeg]] feasibility floor (×1.02
+    * safety), which shrinks the 9-cell candidate area ∝ cellDeg² while
+    * leaving the exact-distance survivor set — and therefore every
+    * label — IDENTICAL. On a densifying corpus (the fixed-area sf1
+    * lattice) this cuts candidate pairs by (cellDeg/floor)²; on sparse
+    * data the sample stays under the bound and the caller's grid is
+    * kept untouched. Pass 0 to pin the caller's `cellDeg` exactly.
     */
   def dbscan(
       points: DataFrame,
@@ -165,13 +190,33 @@ object Spatial {
       radiusM: Double,
       minPts: Int,
       cellDeg: Double,
-      maxAbsLatDeg: Double): DataFrame = {
+      maxAbsLatDeg: Double,
+      maxCellOccupancy: Int = 64): DataFrame = {
+    val sc = points.sparkSession.sparkContext
+    val persistedBefore = sc.getPersistentRDDs.keySet
+    val floorC = minCellDeg(radiusM, maxAbsLatDeg) * 1.02
+    val cellUsed =
+      if (maxCellOccupancy <= 0 || cellDeg <= floorC) cellDeg
+      else {
+        val occ = points
+          .groupBy(floor(col(latCol) / cellDeg).cast("long"),
+            floor(col(lonCol) / cellDeg).cast("long"))
+          .agg(count(lit(1)).as("_n"))
+          .agg(max(col("_n"))).head().getLong(0)
+        if (occ <= maxCellOccupancy) cellDeg
+        else {
+          System.err.println(s"[graft] dbscan: max cell occupancy $occ > " +
+            s"$maxCellOccupancy at cellDeg=$cellDeg; rebuilding grid at " +
+            s"the feasibility floor $floorC")
+          floorC
+        }
+      }
     val q = points.select(col(idCol).as("_qid"),
       col(latCol).as("_qlat2"), col(lonCol).as("_qlon2"))
     // neighbor pairs (a, b), a ≠ b, dist ≤ radius — reused three times
     // (degree count, core-core edges, border assignment)
     val nbrs = gridRadiusJoin(points, q, idCol, latCol, lonCol,
-        "_qid", "_qlat2", "_qlon2", radiusM, cellDeg, maxAbsLatDeg)
+        "_qid", "_qlat2", "_qlon2", radiusM, cellUsed, maxAbsLatDeg)
       .filter(col("_qid") =!= col(idCol))
       .select(col("_qid").as("a"), col(idCol).as("b"))
       .cache()
@@ -195,7 +240,7 @@ object Spatial {
       .join(coreClusters.select(col("pid").as("b"), col("cluster_id")), "b")
       .groupBy(col("a").as("pid"))
       .agg(min(col("cluster_id")).as("cluster_id"))
-    points.select(col(idCol).as("pid"))
+    val labeled = points.select(col(idCol).as("pid"))
       .join(coreClusters.select(col("pid"), col("cluster_id").as("_ccl")),
         Seq("pid"), "left")
       .join(borderAssign.select(col("pid"), col("cluster_id").as("_bcl")),
@@ -206,6 +251,18 @@ object Spatial {
           .when(col("_bcl").isNotNull, lit("border"))
           .otherwise(lit("noise")).as("role"),
         coalesce(col("_ccl"), col("_bcl")).as("cluster_id"))
+    // exit hygiene (the triangleCounts discipline): the returned plan
+    // must not stay rooted in the pair cache — the op's LARGEST
+    // intermediate — or in the CC loop's final checkpoint generation,
+    // or a library caller keeps both resident for the session. The
+    // point-sized label frame materializes eagerly; then every block
+    // this call persisted (the pair cache AND the embedded clustering's
+    // generation) is released, leaving only the result's own blocks.
+    val out = graft.util.Lineage.checkpoint(labeled)
+    val reg = sc.getPersistentRDDs
+    (reg.keySet -- persistedBefore -- out.ids)
+      .foreach(id => reg.get(id).foreach(_.unpersist(blocking = false)))
+    out.df
   }
 
   /** A polygon for [[pointInPolygons]]: closed ring of (lon, lat) =

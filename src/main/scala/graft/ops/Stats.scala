@@ -491,6 +491,16 @@ object Stats {
       b: Int = 64,
       salt: String = "boot"): DataFrame = {
     require(b >= 4, "need at least 4 replicates for order-statistic CIs")
+    // the replicate ranking below is a single-partition window — safe
+    // ONLY because its frame is the b-row replicate table, never the
+    // data. This bound makes that contract enforced rather than
+    // advisory (the topEigen discipline): b beyond it would turn the
+    // window into a serialization point, and a bootstrap with
+    // thousands of replicates should subsample per replicate (bag of
+    // little bootstraps) instead of widening this frame.
+    require(b <= 4096,
+      s"b=$b replicates: the rank window is bounded by construction " +
+        "at b <= 4096 — use bag-of-little-bootstraps subsampling beyond")
     val buckets = 1 << 20
     val base = df.filter(col(valCol).isNotNull)
       .select(col(idCol).as("_id"), col(valCol).cast("double").as("_x"))

@@ -1023,6 +1023,38 @@ object ExtQueries {
         col("user_id"), col("n_events"), col("sum_value"))
       .orderBy("user_id", "session_start")
 
+  /** STREAMING sessionization hash-gated against the same DuckDB
+    * oracle as q_sessions ([[graft.streaming.EventStreams
+    * .sessionizeEventsDirToParquet]]): the events table replayed as a
+    * file stream through the watermarked `session_window` aggregate in
+    * append mode, closed sessions foreachBatch-appended to parquet,
+    * and THAT parquet read back as the gate result — the
+    * streaming path proven end-to-end against SQL, not just
+    * suite-internally against its batch twin (VERDICT r9 item 7).
+    */
+  /** Gap-break sessionization in SQL (lag + cumulative break sum) —
+    * shared by the batch gate and its streaming twin. */
+  private val sessionsOracleSql: String =
+    "WITH e AS (SELECT ts::TIMESTAMP AS t, user_id, value FROM events), " +
+      "m AS (SELECT t, user_id, value, " +
+      "CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w >= INTERVAL 6 HOUR " +
+      "THEN 1 ELSE 0 END AS brk FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)), " +
+      "s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY t " +
+      "ROWS UNBOUNDED PRECEDING) AS sid FROM m) " +
+      "SELECT min(t) AS session_start, max(t) + INTERVAL 6 HOUR AS session_end, " +
+      "user_id, count(*) AS n_events, " + O.dsum("value") + " AS sum_value " +
+      "FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"
+
+  def qSessionsStream(s: SparkSession, dir: String): DataFrame = {
+    val work = s"${System.getProperty("java.io.tmpdir")}/graft_sessions_stream_" +
+      Integer.toHexString(dir.hashCode)
+    val out = graft.streaming.EventStreams.sessionizeEventsDirToParquet(
+      s, dir, work, gap = "6 hours")
+    s.read.parquet(out)
+      .filter(col("user_id") >= 0) // drop the watermark-flush sentinel user
+      .orderBy("user_id", "session_start")
+  }
+
   /** Batch HOPPING-window aggregation — `window(ts, 2h, 1h)`: each event
     * lands in duration/slide = 2 overlapping windows, the smoothing
     * window shape dashboards and rate-limiters use. Epoch-aligned 1-hour
@@ -1167,6 +1199,7 @@ object ExtQueries {
     "q_text_embed" -> (qTextEmbed _),
     "q_text_knn" -> (qTextKnn _),
     "q_sessions" -> (qSessions _),
+    "q_sessions_stream" -> (qSessionsStream _),
     "q_window_hop" -> (qWindowHop _),
     "q_tfidf" -> (qTfidf _),
     "q_window" -> (qWindow _),
@@ -2008,16 +2041,10 @@ object ExtQueries {
         "ORDER BY tfidf DESC, token) AS rnk FROM sc) " +
         "SELECT doc_id, token, tf, tfidf, rnk::INT AS rnk FROM r WHERE rnk <= 3 " +
         "ORDER BY doc_id, rnk"),
-    "q_sessions" ->
-      ("WITH e AS (SELECT ts::TIMESTAMP AS t, user_id, value FROM events), " +
-        "m AS (SELECT t, user_id, value, " +
-        "CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w >= INTERVAL 6 HOUR " +
-        "THEN 1 ELSE 0 END AS brk FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)), " +
-        "s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY t " +
-        "ROWS UNBOUNDED PRECEDING) AS sid FROM m) " +
-        "SELECT min(t) AS session_start, max(t) + INTERVAL 6 HOUR AS session_end, " +
-        "user_id, count(*) AS n_events, " + O.dsum("value") + " AS sum_value " +
-        "FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"),
+    "q_sessions" -> sessionsOracleSql,
+    // the streaming bridge must reproduce the BATCH sessions exactly —
+    // same oracle, different engine path
+    "q_sessions_stream" -> sessionsOracleSql,
     // epoch-aligned hop assignment: start = hour-floor(ts) − k·1h for
     // k ∈ {0,1} — the relational spelling of Spark's window expand
     "q_window_hop" ->

@@ -116,11 +116,27 @@ object StructuralQueries {
     * mass vs the null model; global Q = Σ dq).
     */
   def qModularity(s: SparkSession, dir: String): DataFrame = {
-    val edges = Graphs.coOccurrenceEdges(
-      Tables.table(s, dir, "lineitem"), "l_orderkey", "l_partkey")
-    Graphs.modularity(edges,
-      Graphs.labelPropagation(edges, rounds = 4)
-        .select(col("x"), col("community")))
+    // The co-purchase edge list is a lineitem SELF-JOIN, and the naive
+    // composition re-evaluates it once per downstream reference (the
+    // LPA rounds plus modularity's edge-count/degree/internal joins) —
+    // measured as ~7/8 of the gate's sf10 cost (SCALE.md §10f). One
+    // eager materialization feeds every reference; on exit the 2-row
+    // verdict is itself materialized and every block this gate pinned
+    // (edge generation + LPA's final label generation) is released —
+    // the Spark-side mirror of the oracle's AS MATERIALIZED fix.
+    val sc = s.sparkContext
+    val persistedBefore = sc.getPersistentRDDs.keySet
+    val eGen = graft.util.Lineage.checkpoint(
+      Graphs.coOccurrenceEdges(
+        Tables.table(s, dir, "lineitem"), "l_orderkey", "l_partkey"))
+    val labels = Graphs.labelPropagation(eGen.df, rounds = 4)
+      .select(col("x"), col("community"))
+    val out = graft.util.Lineage.checkpoint(
+      Graphs.modularity(eGen.df, labels))
+    val reg = sc.getPersistentRDDs
+    (reg.keySet -- persistedBefore -- out.ids)
+      .foreach(id => reg.get(id).foreach(_.unpersist(blocking = false)))
+    out.df
   }
 
   /** Personalized PageRank ([[Graphs.pageRankPersonalized]]) seeded at
@@ -134,16 +150,28 @@ object StructuralQueries {
       .select(col("x").as("vertex"), Det.r6(col("r") * lit(1000.0)).as("rank_k"))
       .orderBy("vertex")
 
-  /** Adamic–Adar link prediction ([[Graphs.adamicAdar]]) over the
-    * co-purchase graph: top-50 non-edge distance-2 pairs by shared-
-    * neighbor mass, hub centers (deg > 80) suppressed — the
-    * related-items candidate scorer.
+  /** Adamic–Adar link prediction ([[Graphs.adamicAdarAdaptive]]) over
+    * the co-purchase graph: top-50 non-edge distance-2 pairs by
+    * shared-neighbor mass, hub centers above the p99 degree quantile
+    * suppressed — the cap self-tunes to the corpus instead of carrying
+    * a constant across scales (VERDICT r9 item 5). Edge list
+    * checkpointed once (the qModularity discipline: the lineitem
+    * self-join otherwise replays for the cap scan + the wedge join),
+    * all gate-pinned blocks released on exit.
     */
-  def qAdamic(s: SparkSession, dir: String): DataFrame =
-    Graphs.adamicAdar(
+  def qAdamic(s: SparkSession, dir: String): DataFrame = {
+    val sc = s.sparkContext
+    val persistedBefore = sc.getPersistentRDDs.keySet
+    val eGen = graft.util.Lineage.checkpoint(
       Graphs.coOccurrenceEdges(
-        Tables.table(s, dir, "lineitem"), "l_orderkey", "l_partkey"),
-      maxNeighborDeg = 80, topK = 50)
+        Tables.table(s, dir, "lineitem"), "l_orderkey", "l_partkey"))
+    val out = graft.util.Lineage.checkpoint(
+      Graphs.adamicAdarAdaptive(eGen.df, capQuantile = 0.99, topK = 50))
+    val reg = sc.getPersistentRDDs
+    (reg.keySet -- persistedBefore -- out.ids)
+      .foreach(id => reg.get(id).foreach(_.unpersist(blocking = false)))
+    out.df
+  }
 
   /** ε-DP noisy count release ([[Privacy.noisyCounts]]) of the
     * per-event-type counts at ε = 1 — the governed-release twin of the
@@ -305,8 +333,8 @@ object StructuralQueries {
     "q_modularity" -> Graphs.modularityOracleSql(
       coPurchaseEdgesSql,
       Graphs.labelPropagationOracleSql(coPurchaseEdgesSql, rounds = 4)),
-    "q_adamic" -> Graphs.adamicAdarOracleSql(
-      coPurchaseEdgesSql, maxNeighborDeg = 80, topK = 50),
+    "q_adamic" -> Graphs.adamicAdarAdaptiveOracleSql(
+      coPurchaseEdgesSql, capQuantile = 0.99, topK = 50),
     "q_dp_counts" -> (Privacy.noisyCountsOracleSql(
       "events", "event_type", epsilon = 1.0) + " ORDER BY event_type"),
     "q_ppr" -> Graphs.pagerankPersonalizedOracleSql(

@@ -299,6 +299,121 @@ object EventStreams {
       }
   }
 
+  /** End-to-end streaming sessionization into a parquet RESULT table —
+    * the batch↔stream gate bridge (VERDICT r9 item 7): the events table
+    * is staged as a multi-file directory, consumed as a FILE STREAM one
+    * file per micro-batch, sessionized with the watermarked
+    * `session_window` aggregate in APPEND mode (the production path:
+    * sessions emit exactly once, when the watermark passes their
+    * close), and appended to `workDir/out` via foreachBatch. The
+    * DuckDB q_sessions oracle then hash-checks that parquet — proving
+    * the streaming plan end-to-end, not just suite-internal equality.
+    *
+    * End-of-stream flush: append mode only emits sessions the
+    * WATERMARK has closed, and a finite fixture's last sessions would
+    * otherwise sit in state forever. Two sentinel files (user −1, far
+    * past every real close, mtimes ordered after the data) extend the
+    * stream: the first advances the watermark past all real sessions
+    * when its batch commits, the second's batch performs the eviction
+    * under that watermark — no reliance on no-data micro-batches. The
+    * sentinel user's own session stays open at termination and is
+    * never emitted.
+    *
+    * Determinism: the aggregate is (count, decimal sum) — partial
+    * state merges exactly across micro-batches and session merges, so
+    * the emitted rows are bit-identical to the batch q_sessions gate.
+    * Scale shape: state is one open-session record per ACTIVE user
+    * (watermark-evicted); the sink append is per-batch sequential
+    * parquet — the same contract as any streaming lake sink.
+    *
+    * Returns the result directory (`workDir/out`). `workDir` is wiped
+    * first so repeated gate runs are idempotent.
+    */
+  def sessionizeEventsDirToParquet(
+      spark: SparkSession,
+      srcDir: String,
+      workDir: String,
+      gap: String = "6 hours"): String = {
+    import java.nio.file.{Files, Path}
+    import java.util.Comparator
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val root = Path.of(workDir)
+    if (Files.exists(root))
+      Files.walk(root).sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+    val stage = s"$workDir/stage"
+    val out = s"$workDir/out"
+    val ckpt = s"$workDir/ckpt"
+    val ev = graft.sources.Tables.events(spark, srcDir)
+      .select(col("ts"), col("user_id"), col("value"))
+    val bounds = ev.agg(min(col("ts")), max(col("ts"))).head()
+    val (minMs, maxMs) =
+      (bounds.getTimestamp(0).getTime, bounds.getTimestamp(1).getTime)
+    // Staging must replay in EVENT-TIME order across micro-batches: the
+    // watermark ratchets to each batch's max event time, so a file
+    // holding near-max timestamps early in the stream would mark every
+    // later file LATE and silently drop its sessions (the first cut of
+    // this bridge hash-failed exactly that way — 3780/5725 sessions).
+    // Each slice is one file, written sequentially: mtime (the file
+    // source's order key) and name both ascend with event time. Within
+    // a slice order is free — a slice is one batch, and lateness is
+    // only judged against the PREVIOUS batch's watermark.
+    val nSlices = 4
+    val span = maxMs - minMs + 1
+    var sliceIdx = 0
+    def writeSlice(df: DataFrame): Unit = {
+      Thread.sleep(1100) // distinct whole-second mtimes
+      df.coalesce(1).write.mode("append").parquet(stage)
+      // rename the new part file so lexicographic order matches event
+      // time too (POSIX move keeps mtime — both sort keys agree)
+      val dir = Path.of(stage)
+      Files.list(dir).filter(p =>
+          p.getFileName.toString.startsWith("part-"))
+        .forEach { p =>
+          Files.move(p, dir.resolve(f"slice_$sliceIdx%02d.parquet"))
+        }
+      sliceIdx += 1
+    }
+    for (k <- 0 until nSlices) {
+      val lo = minMs + span * k / nSlices
+      val hi = minMs + span * (k + 1) / nSlices
+      writeSlice(ev.filter(
+        unix_millis(col("ts")) >= lo && unix_millis(col("ts")) < hi))
+    }
+    // sentinels LAST: the first advances the watermark past every real
+    // session close (30 d ≫ gap), the second's batch evicts and emits
+    // under that watermark — no reliance on no-data micro-batches
+    val dayMs = 24L * 3600 * 1000
+    writeSlice(Seq((new Timestamp(maxMs + 30 * dayMs), -1L, 0.0))
+      .toDF("ts", "user_id", "value"))
+    writeSlice(Seq((new Timestamp(maxMs + 31 * dayMs), -1L, 0.0))
+      .toDF("ts", "user_id", "value"))
+    val sessions = spark.readStream
+      .schema("ts TIMESTAMP, user_id BIGINT, value DOUBLE")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stage)
+      .withWatermark("ts", "0 seconds")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        graft.queries.Det.dsum(col("value")).as("sum_value"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+    val q = sessions.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(out)
+      }
+      .start()
+    q.awaitTermination()
+    out
+  }
+
   /** Stream–static enrichment join: the batch lookup join (J1) applied
     * per micro-batch. The static side broadcasts once; no stream state,
     * no watermark needed — the shape for dimension enrichment at any

@@ -470,7 +470,13 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("adamic-adar: wedge join is an equi-join on the center, top-k is TakeOrdered") {
-    val p = plan(graft.queries.StructuralQueries.qAdamic(spark, Sf0001))
+    // the GATE returns an eagerly checkpointed frame (its plan is a
+    // block scan by design — exit hygiene), so the shape assertions
+    // run on the operator itself, adaptive cap included
+    val edges = graft.ops.Graphs.coOccurrenceEdges(
+      Tables.table(spark, Sf0001, "lineitem"), "l_orderkey", "l_partkey")
+    val p = plan(graft.ops.Graphs.adamicAdarAdaptive(
+      edges, capQuantile = 0.99, topK = 50))
     // the deg² hazard must stay an equi-join on w (shuffle or broadcast
     // hash), and the top-50 cut must plan as TakeOrdered, never a
     // global sort of all candidate pairs

@@ -25,8 +25,8 @@ class QueriesSmokeSpec extends SparkTestBase {
     * correctness report. Update the constant when adding queries.
     */
   test("registry size is pinned (no silent gate dropouts)") {
-    assert(SparkEntry.queries.size === 239,
-      s"registry has ${SparkEntry.queries.size} queries; expected 239 — " +
+    assert(SparkEntry.queries.size === 240,
+      s"registry has ${SparkEntry.queries.size} queries; expected 240 — " +
         "if you added/removed queries update this pin deliberately")
   }
 }
