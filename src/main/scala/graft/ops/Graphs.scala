@@ -545,11 +545,23 @@ object Graphs {
     * edge-keyed join + one (vertex, label) count aggregate + one
     * per-vertex argmax — all partial-aggregable / key-local; the
     * argmax is max(struct(count, −label)), never a window.
+    *
+    * `cacheEdges`: by default the symmetrized list is cached so an
+    * arbitrary caller plan (e.g. a co-occurrence self-join) evaluates
+    * once, not once per round. A caller that ALREADY materialized
+    * `edges` (checkpoint-backed, like qModularity's shared edge
+    * generation) must pass `false`: caching would store the edge list
+    * a second time at 2× width, and at 100× scale the duplicate is
+    * what pushes storage into eviction churn — re-reading the
+    * caller's blocks per round is strictly cheaper.
     */
-  def labelPropagation(edges: DataFrame, rounds: Int = 4): DataFrame = {
-    val sym = edges.select(col("u").as("src"), col("v").as("dst"))
+  def labelPropagation(
+      edges: DataFrame,
+      rounds: Int = 4,
+      cacheEdges: Boolean = true): DataFrame = {
+    val sym0 = edges.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
-      .cache()
+    val sym = if (cacheEdges) sym0.cache() else sym0
     var labels = sym.select(col("src").as("x")).distinct()
       .select(col("x"), col("x").as("lbl"))
     for (_ <- 1 to rounds) {

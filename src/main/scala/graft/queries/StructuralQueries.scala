@@ -129,7 +129,11 @@ object StructuralQueries {
     val eGen = graft.util.Lineage.checkpoint(
       Graphs.coOccurrenceEdges(
         Tables.table(s, dir, "lineitem"), "l_orderkey", "l_partkey"))
-    val labels = Graphs.labelPropagation(eGen.df, rounds = 4)
+    // cacheEdges = false: eGen is already checkpoint-backed, and LPA's
+    // internal cache would store the list AGAIN at 2× width — at sf10
+    // the duplicate pushed storage into eviction churn (277 s vs the
+    // 189.9 s pre-checkpoint composition; SCALE.md §10g)
+    val labels = Graphs.labelPropagation(eGen.df, rounds = 4, cacheEdges = false)
       .select(col("x"), col("community"))
     val out = graft.util.Lineage.checkpoint(
       Graphs.modularity(eGen.df, labels))

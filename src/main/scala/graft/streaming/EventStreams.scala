@@ -361,17 +361,26 @@ object EventStreams {
     // only judged against the PREVIOUS batch's watermark.
     val nSlices = 4
     val span = maxMs - minMs + 1
+    // mtime is the file source's order key (ties fall back to the
+    // filesystem's listing order, which the local FS does not define) —
+    // stamp each slice with a synthetic strictly-ascending whole-second
+    // mtime instead of sleeping a second between writes (whole seconds
+    // stay distinct even on 1 s-granularity filesystems)
+    val sliceMtimeBase = System.currentTimeMillis()
     var sliceIdx = 0
     def writeSlice(df: DataFrame): Unit = {
-      Thread.sleep(1100) // distinct whole-second mtimes
       df.coalesce(1).write.mode("append").parquet(stage)
       // rename the new part file so lexicographic order matches event
-      // time too (POSIX move keeps mtime — both sort keys agree)
+      // time too (POSIX move keeps the stamped mtime — both keys agree)
       val dir = Path.of(stage)
       Files.list(dir).filter(p =>
           p.getFileName.toString.startsWith("part-"))
         .forEach { p =>
-          Files.move(p, dir.resolve(f"slice_$sliceIdx%02d.parquet"))
+          val target = dir.resolve(f"slice_$sliceIdx%02d.parquet")
+          Files.move(p, target)
+          Files.setLastModifiedTime(target,
+            java.nio.file.attribute.FileTime
+              .fromMillis(sliceMtimeBase + sliceIdx * 1000L))
         }
       sliceIdx += 1
     }
