@@ -63,6 +63,18 @@ class Round10Spec extends SparkTestBase {
     assert(Graphs.degreeCapAtQuantile(star, 0.95) == 9L)
   }
 
+  test("labelPropagation(cacheEdges = false) matches the cached path") {
+    // the uncached path exists for callers whose edge frame is already
+    // checkpoint-backed (qModularity): same rounds, same argmax rule,
+    // bit-identical labels — only the storage behavior differs
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L),
+      (5L, 6L), (6L, 7L)).toDF("u", "v")
+    val cached = Graphs.labelPropagation(edges, rounds = 3)
+    val uncached = Graphs.labelPropagation(edges, rounds = 3, cacheEdges = false)
+    assert(cached.exceptAll(uncached).isEmpty &&
+      uncached.exceptAll(cached).isEmpty)
+  }
+
   test("adamicAdarAdaptive == adamicAdar at the derived cap") {
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L),
       (5L, 6L), (4L, 6L), (2L, 7L)).toDF("u", "v")
