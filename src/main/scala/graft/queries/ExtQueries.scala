@@ -1912,27 +1912,37 @@ object ExtQueries {
         O.r6("coalesce(p.value, 0.0)") + " AS prev_value " +
         "FROM e ASOF LEFT JOIN e p ON e.user_id = p.user_id AND e.t > p.t " +
         "ORDER BY e.event_id"),
-    // forward direction: DuckDB ASOF is backward-only, so the oracle is
-    // the manual keyed argmin — (min{'t','v'}).v == the engine's
-    // first-over-following-frame (min t, then min v on ties)
+    // forward direction: DuckDB ASOF is backward-only. The oracle's
+    // first spelling was the keyed pair join (e JOIN e ON p.t > e.t,
+    // then (min{'t','v'}).v) — per-user-quadratic, and at the sf1 sweep
+    // scale its ~7.7G-row intermediate OOM-killed the instrument. The
+    // equivalent linear spelling: collapse to one row per (user, t)
+    // carrying min(value) (the struct-min's tie rule at a given t),
+    // then lead() over the distinct-t series IS "value at the smallest
+    // t' > t" — any later t' is strictly farther, so the adjacent
+    // distinct t is the unique candidate. Same doubles, same rounding.
     "q_asof_fwd" ->
       ("WITH e AS (SELECT event_id, user_id, ts::TIMESTAMP AS t, value FROM events), " +
-        "n AS (SELECT e.event_id, (min({'t': p.t, 'v': p.value})).v AS nv " +
-        "FROM e JOIN e p ON e.user_id = p.user_id AND p.t > e.t " +
-        "GROUP BY e.event_id) " +
-        "SELECT e.event_id, e.user_id, " + O.r6("coalesce(n.nv, 0.0)") +
-        " AS next_value FROM e LEFT JOIN n USING (event_id) ORDER BY e.event_id"),
-    // backward + tolerance: restricting the join to the window equals
-    // the engine's nearest-match-then-null-out, because backward gaps
-    // grow monotonically — if the nearest is out of tolerance, all are
+        "s AS (SELECT user_id, t, min(value) AS vmin FROM e GROUP BY 1, 2), " +
+        "nx AS (SELECT user_id, t, lead(vmin) OVER " +
+        "(PARTITION BY user_id ORDER BY t) AS nv FROM s) " +
+        "SELECT e.event_id, e.user_id, " + O.r6("coalesce(nx.nv, 0.0)") +
+        " AS next_value FROM e JOIN nx USING (user_id, t) ORDER BY e.event_id"),
+    // backward + tolerance, same linearization: lag() over the
+    // distinct-t series gives the nearest earlier t (max(value) is the
+    // struct-max's tie rule at that t), and the tolerance null-out
+    // applies to the nearest only — backward gaps grow monotonically
+    // (floor(epoch) is monotone in t), so if the nearest is out of
+    // tolerance, all are.
     "q_asof_tol" ->
       ("WITH e AS (SELECT event_id, user_id, ts::TIMESTAMP AS t, value FROM events), " +
-        "n AS (SELECT e.event_id, (max({'t': p.t, 'v': p.value})).v AS pv " +
-        "FROM e JOIN e p ON e.user_id = p.user_id AND p.t < e.t " +
-        "AND floor(epoch(e.t)) - floor(epoch(p.t)) <= 3600 " +
-        "GROUP BY e.event_id) " +
-        "SELECT e.event_id, e.user_id, " + O.r6("coalesce(n.pv, 0.0)") +
-        " AS prev_value_1h FROM e LEFT JOIN n USING (event_id) ORDER BY e.event_id"),
+        "s AS (SELECT user_id, t, max(value) AS vmax FROM e GROUP BY 1, 2), " +
+        "pr AS (SELECT user_id, t, lag(t) OVER w AS pt, lag(vmax) OVER w AS pv " +
+        "FROM s WINDOW w AS (PARTITION BY user_id ORDER BY t)) " +
+        "SELECT e.event_id, e.user_id, " +
+        O.r6("coalesce(CASE WHEN floor(epoch(e.t)) - floor(epoch(pr.pt)) " +
+          "<= 3600 THEN pr.pv END, 0.0)") +
+        " AS prev_value_1h FROM e JOIN pr USING (user_id, t) ORDER BY e.event_id"),
     "q_asof_native" -> // same oracle as q_asof_big: both must agree with it
       ("WITH e AS (SELECT event_id, user_id, ts::TIMESTAMP AS t, value FROM events) " +
         "SELECT e.event_id, e.user_id, " +

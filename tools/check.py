@@ -32,6 +32,13 @@ def norm(v):
 
 def main(sfdir, outdir):
     con = duckdb.connect()
+    # Bound the oracle's memory and give it a spill path: at the sf1
+    # sweep scale an un-spillable operator otherwise grows until the
+    # kernel OOM-kills the WHOLE sweep (observed: 130 GB RSS, SIGKILL
+    # mid-run) — with a limit the offending query raises, is recorded
+    # as its own FAIL, and the remaining 200+ queries still run.
+    con.sql(f"SET memory_limit='{os.environ.get('GRAFT_CHECK_MEM', '80GB')}'")
+    con.sql("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         # driver snapshots are flat files; Spark-written replicas
         # (ScaleUp output, e.g. /tmp/sf1) are part-file directories
