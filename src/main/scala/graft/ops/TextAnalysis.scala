@@ -196,8 +196,19 @@ object TextAnalysis {
     * The candidate set (≤ capacity rows) broadcasts into a semi-join, so
     * the recount's group-by shuffles candidate tokens only — at 100 TB
     * that is k-ish keys instead of a billions-key vocabulary shuffle.
-    * Output = exact (token, freq) top-k, ordered freq desc / token asc —
-    * deterministic, hence DuckDB-hash-checkable against plain exact SQL.
+    * Output: (token, freq) top-k over the candidates, freqs exact,
+    * ordered freq desc / token asc.
+    *
+    * Exactness domain — the sketch's support bound, found the hard way
+    * at the 10× sweep (SCALE.md §10h): the top-k EQUALS the exact
+    * full-vocabulary top-k whenever the k-th true frequency clears
+    * N/(capacity+1) — Misra–Gries' retention guarantee. On Zipf-shaped
+    * corpora that holds at every scale with a constant capacity (the
+    * head grows with N); a corpus whose vocabulary grows while head
+    * frequencies stay flat (ScaleUp's disjoint-vocab replicas are the
+    * adversarial case) needs capacity ≥ N/f_k or the sketch may evict
+    * a true member below the bound — size the knob by that ratio. The
+    * always-exact full-aggregate twin is the q_top_tokens path.
     */
   def heavyHitters(
       df: DataFrame,

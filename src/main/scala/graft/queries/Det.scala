@@ -28,16 +28,28 @@ object Det {
     */
   def r6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
 
+  /** Canonical decimal→double conversion: through a STRING. Both
+    * engines' string→double parse is correctly rounded (Java
+    * `Double.parseDouble`, DuckDB fast_float), whereas the direct
+    * decimal→double casts diverge by one ulp once the decimal's scaled
+    * integer exceeds 2^53 (DuckDB converts int128 in two halves —
+    * double rounding; found at the sf1 sweep: 1.0×10¹¹-scale revenue
+    * sums differed in the 5th decimal, SCALE.md §10h). Below 2^53
+    * units both routes give the identical double, so this is a pure
+    * widening of the deterministic domain.
+    */
+  private def dec2dbl(c: Column): Column = c.cast("string").cast("double")
+
   /** Exactly-deterministic mean, rounded to 6 dp: decimal sum (exact,
     * order-independent) → one double division → [[r6]]. DuckDB oracle must
     * use [[Oracle.davg]] for the same expression.
     */
   def davg(c: Column): Column =
-    r6(sum(c.cast("decimal(25,6)")).cast("double") / count(lit(1)))
+    r6(dec2dbl(sum(c.cast("decimal(25,6)"))) / count(lit(1)))
 
   /** Exactly-deterministic sum of doubles, as a double rounded to 6 dp. */
   def dsum(c: Column): Column =
-    r6(sum(c.cast("decimal(25,6)")).cast("double"))
+    r6(dec2dbl(sum(c.cast("decimal(25,6)"))))
 }
 
 /** DuckDB-side spellings of the same deterministic expressions, for
@@ -45,8 +57,10 @@ object Det {
   */
 object Oracle {
   def r6(x: String): String = s"floor(($x)*1e6 + 0.5)/1e6"
+  // decimal→double through VARCHAR: see Det.dec2dbl — DuckDB's direct
+  // int128→double cast double-rounds past 2^53 scaled units
   def davg(x: String): String =
-    r6(s"CAST(sum(CAST($x AS DECIMAL(25,6))) AS DOUBLE) / count(*)")
+    r6(s"CAST(CAST(sum(CAST($x AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) / count(*)")
   def dsum(x: String): String =
-    r6(s"CAST(sum(CAST($x AS DECIMAL(25,6))) AS DOUBLE)")
+    r6(s"CAST(CAST(sum(CAST($x AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)")
 }

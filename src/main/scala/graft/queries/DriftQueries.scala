@@ -218,9 +218,14 @@ object DriftQueries {
       "SELECT event_id AS id, value AS x FROM events", b = 64),
     "q_mi" -> graft.ops.Stats.mutualInformationOracleSql(
       "SELECT event_type AS x, (dayofweek(ts) + 1)::INT AS y FROM events"),
-    "q_editsim" -> // brute force: proves the deletion-key join's recall
-      ("SELECT a.c_name AS w1, b.c_name AS w2 " +
-        "FROM customer a, customer b " +
+    "q_editsim" -> // brute force: proves the deletion-key join's recall.
+      // DISTINCT first — the operator's contract is pairs of distinct
+      // VALUES; the raw row×row spelling coincided with it only while
+      // every name was unique (on the 10× replica, 10 copies of each
+      // name made the row join emit each value-pair 100 times)
+      ("WITH w AS (SELECT DISTINCT c_name FROM customer " +
+        "WHERE c_name IS NOT NULL) " +
+        "SELECT a.c_name AS w1, b.c_name AS w2 FROM w a, w b " +
         "WHERE a.c_name < b.c_name AND levenshtein(a.c_name, b.c_name) <= 1 " +
         "ORDER BY w1, w2"),
     "q_bm25" ->

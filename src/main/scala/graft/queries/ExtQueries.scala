@@ -813,7 +813,12 @@ object ExtQueries {
     val li = Tables.table(s, dir, "lineitem")
     val x = col("l_quantity")
     val y = col("l_extendedprice")
-    def msum(c: Column) = sum(c.cast("decimal(25,6)")).cast("double")
+    // decimal→double through STRING (Det.dec2dbl rationale): the moment
+    // sums exceed 2^53 scaled units at the 10× replica (syy ~ 7.5e15),
+    // and a 1-ulp cast divergence survives the covariance's catastrophic
+    // cancellation into the 6th decimal (sf1 sweep, SCALE.md §10h)
+    def msum(c: Column) =
+      sum(c.cast("decimal(25,6)")).cast("string").cast("double")
     li.groupBy("l_returnflag")
       .agg(
         count(lit(1)).as("n"),
@@ -1669,11 +1674,11 @@ object ExtQueries {
       // moment sums in DECIMAL (exact, order-independent), final formula
       // spelled as the same double-op sequence as the Spark side
       ("WITH m AS (SELECT l_returnflag, count(*) AS n, " +
-        "CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sx, " +
-        "CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sy, " +
-        "CAST(sum(CAST(l_quantity*l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sxx, " +
-        "CAST(sum(CAST(l_extendedprice*l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS syy, " +
-        "CAST(sum(CAST(l_quantity*l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sxy " +
+        "CAST(CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS sx, " +
+        "CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS sy, " +
+        "CAST(CAST(sum(CAST(l_quantity*l_quantity AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS sxx, " +
+        "CAST(CAST(sum(CAST(l_extendedprice*l_extendedprice AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS syy, " +
+        "CAST(CAST(sum(CAST(l_quantity*l_extendedprice AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS sxy " +
         "FROM lineitem GROUP BY 1) " +
         "SELECT l_returnflag, n, " +
         O.r6("(sxy - sx*sy/n) / (n - 1)") + " AS covar_xy, " +

@@ -69,7 +69,12 @@ object RefQueries {
     t(s, dir, "lineitem")
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
         "l_returnflag", "l_linestatus")
-      .orderBy("l_orderkey", "l_linenumber")
+      // total order over the projection (q_filter's lesson): duplicate
+      // (l_orderkey, l_linenumber) pairs exist in the synthetic
+      // lineitem, and with a 2-key sort the LIMIT boundary admits
+      // whichever duplicate the engine happened to order first
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_returnflag", "l_linestatus")
       .limit(20)
 
   def qCount(s: SparkSession, dir: String): DataFrame =
@@ -104,7 +109,15 @@ object RefQueries {
       .filter(col("price_per_qty").between(0, 100000))
       .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
         "l_quantity", "l_extendedprice", "l_discount", "price_per_qty")
-      .orderBy("l_orderkey", "l_linenumber")
+      // total order over the WHOLE projection: the synthetic lineitem
+      // carries duplicate (l_orderkey, l_linenumber) pairs whose other
+      // columns differ, so the original 2-key sort left the dup's
+      // relative order to engine whim — it hash-matched at sf0.1 by
+      // coincidence and diverged on the sf1 replica. Sorting by every
+      // emitted column makes any remaining tie a full-row duplicate,
+      // which no positional compare can tell apart.
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount")
 
   def qJoin(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
@@ -244,7 +257,8 @@ object RefQueries {
     "q_scan" ->
       ("SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, " +
         "l_returnflag, l_linestatus FROM lineitem " +
-        "ORDER BY l_orderkey, l_linenumber LIMIT 20"),
+        "ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice, " +
+        "l_returnflag, l_linestatus LIMIT 20"),
     "q_count" -> "SELECT count(*) AS n_rows FROM lineitem",
     "q_derive" ->
       ("SELECT event_id, ts::DATE AS d, hour(ts)::INT AS hr, " +
@@ -262,7 +276,8 @@ object RefQueries {
         "AND l_partkey > 100 AND l_partkey < 1500 " +
         "AND l_suppkey > 5 AND l_suppkey < 95 " +
         "AND " + O.r6("l_extendedprice / l_quantity") + " BETWEEN 0 AND 100000 " +
-        "ORDER BY l_orderkey, l_linenumber"),
+        "ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, " +
+        "l_quantity, l_extendedprice, l_discount"),
     "q_join" ->
       ("SELECT o_orderpriority, o_orderkey, o_custkey, o_totalprice, " +
         s"prio_rank, prio_class FROM orders LEFT JOIN $prioLookupSql " +
