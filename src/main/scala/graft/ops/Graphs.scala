@@ -946,8 +946,8 @@ object Graphs {
     * top `topK` by (aa DESC, cn DESC, a, b) — a total order, so the
     * cut boundary is deterministic.
     *
-    * Scale shape: the wedge self-join on the center vertex is the
-    * triangle-counting hazard (fanout Σ deg(w)²), so neighbors are
+    * Scale shape: wedge formation on the center vertex is the
+    * triangle-counting hazard (fanout Σ deg(w)²), so centers are
     * routed through a degree cap: centers with deg > `maxNeighborDeg`
     * are excluded from wedge formation. This is the standard
     * hub-suppression of production AA — a hub contributes only
@@ -956,8 +956,24 @@ object Graphs {
     * SEMANTIC parameter (documented, oracle-mirrored), not a silent
     * truncation.
     *
+    * Plan shape (r11, VERDICT r10 task 1): the r10 spelling joined a
+    * center-keyed adjacency with itself on w — Catalyst does NOT reuse
+    * the exchange across the two differently-projected sides, so the
+    * sym stream was shuffled, deg-joined, and sorted TWICE, and the
+    * 144M-row wedge stream then flowed through the SMJ's row-at-a-time
+    * probe. The grouped-adjacency form collects each surviving
+    * center's neighbor list once (bounded ≤ cap elements — the deg
+    * pre-join keeps hubs out of the aggregation buffer, so no
+    * collect_list state ever exceeds cap longs even on a power-law
+    * 100 TB graph), sorts it in-row, and emits the ordered pairs with
+    * two codegen'd generates (posexplode × slice-explode) — the wedge
+    * stream is born map-side from ONE exchange of sym and goes
+    * straight into the partial (a,b) aggregate. Same wedge multiset,
+    * one exchange + no join-side sorts where there were three.
+    *
     * Determinism: cn is an exact integer; each 1/ln(deg) term is one
-    * libm ln of an exact integer, r6'd, decimal-summed.
+    * libm ln of an exact integer, r6'd, decimal-summed; pair order
+    * within a row is pinned by sort_array.
     */
   def adamicAdar(
       edges: DataFrame,
@@ -969,20 +985,41 @@ object Graphs {
     val sym = edges.select(col("u"), col("v"))
       .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
     val deg = sym.groupBy(col("u").as("w")).agg(count(lit(1)).as("_deg"))
-    // center-keyed adjacency with the center's AA weight riding along
-    val adj = sym.select(col("u").as("w"), col("v").as("x"))
-      .join(deg, "w")
-      .filter(col("_deg") <= maxNeighborDeg && col("_deg") >= 2)
+    // deg pre-join BEFORE collect_list: hubs never reach the
+    // aggregation buffer, so per-group state is ≤ cap elements by
+    // construction (the 100 TB power-law safety the size()-post-filter
+    // spelling would not have)
+    val capped = sym.select(col("u").as("w"), col("v").as("x"))
+      .join(deg.filter(col("_deg") <= maxNeighborDeg && col("_deg") >= 2),
+        "w")
+    // grouped adjacency: the join leaves the stream hash-partitioned
+    // by w, so this aggregate adds NO exchange; size(list) == deg(w)
+    // because the pre-join kept every neighbor of a surviving center
+    val grouped = capped.groupBy("w")
+      .agg(sort_array(collect_list(col("x"))).as("_nbrs"))
       .withColumn("_aw", graft.queries.Det.r6(
-        lit(1.0) / log(col("_deg").cast("double"))))
-    val wedges = adj.select(col("w"), col("x").as("a"), col("_aw"))
-      .join(adj.select(col("w"), col("x").as("b")), "w")
+        lit(1.0) / log(size(col("_nbrs")).cast("double"))))
+    // in-row ordered-pair generation: for the element at 0-based pos
+    // _i, pair it with the (1-based) suffix starting at _i + 2 —
+    // every position pair i < j exactly once; a < b then drops the
+    // equal-value pairs a multigraph edge list would produce (the
+    // self-join's strict a < b did the same)
+    val wedges = grouped
+      .select(col("_aw"), col("_nbrs"),
+        posexplode(col("_nbrs")).as(Seq("_i", "a")))
+      .select(col("_aw"), col("a"),
+        explode(slice(col("_nbrs"), col("_i") + lit(2),
+          greatest(size(col("_nbrs")) - col("_i") - lit(1), lit(0))))
+          .as("b"))
       .filter(col("a") < col("b"))
     val scored = wedges
       .groupBy("a", "b")
       .agg(
         count(lit(1)).as("cn"),
-        graft.queries.Det.dsum(col("_aw")).as("aa"))
+        // _aw is an r6 output (exactly 6 dp): dsum6 sums scaled longs
+        // in codegen and rebuilds the identical decimal per group —
+        // same value as dsum, ~2x cheaper over the wedge stream
+        graft.queries.Det.dsum6(col("_aw")).as("aa"))
     scored
       .join(edges.select(col("u").as("a"), col("v").as("b")),
         Seq("a", "b"), "left_anti")
@@ -1023,11 +1060,15 @@ object Graphs {
       .withColumn("_cum", sum(col("_cnt")).over(Window.orderBy(col("_deg"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("_n", sum(col("_cnt")).over(Window.partitionBy()))
-    val cap = cum
+    val capRow = cum
       .filter(col("_cum") >=
         ceil(lit(q) * col("_n").cast("double")).cast("long"))
-      .agg(min(col("_deg"))).head().getLong(0)
-    math.max(2L, cap)
+      .agg(min(col("_deg"))).head()
+    // min() over zero rows yields a NULL cell, not zero rows — an
+    // empty edge frame must fail loudly, not NPE in getLong
+    require(!capRow.isNullAt(0),
+      "degreeCapAtQuantile: empty edge frame — no degree distribution to cut")
+    math.max(2L, capRow.getLong(0))
   }
 
   /** [[adamicAdar]] with the hub cap derived from the graph's own
@@ -1075,7 +1116,7 @@ object Graphs {
       "wg AS (SELECT a.w, a.x AS a, b.x AS b, a.aw " +
       "FROM adj a JOIN adj b ON a.w = b.w AND a.x < b.x), " +
       "sc AS (SELECT a, b, count(*)::BIGINT AS cn, " +
-      r6("CAST(sum(CAST(aw AS DECIMAL(25,6))) AS DOUBLE)") + " AS aa " +
+      graft.queries.Oracle.dsum("aw") + " AS aa " +
       "FROM wg GROUP BY 1, 2) " +
       "SELECT a, b, cn, aa FROM sc " +
       "WHERE NOT EXISTS (SELECT 1 FROM eu WHERE eu.u = sc.a AND eu.v = sc.b) " +
@@ -1096,7 +1137,7 @@ object Graphs {
       "wg AS (SELECT a.w, a.x AS a, b.x AS b, a.aw " +
       "FROM adj a JOIN adj b ON a.w = b.w AND a.x < b.x), " +
       "sc AS (SELECT a, b, count(*)::BIGINT AS cn, " +
-      r6("CAST(sum(CAST(aw AS DECIMAL(25,6))) AS DOUBLE)") + " AS aa " +
+      graft.queries.Oracle.dsum("aw") + " AS aa " +
       "FROM wg GROUP BY 1, 2) " +
       "SELECT a, b, cn, aa FROM sc " +
       "WHERE NOT EXISTS (SELECT 1 FROM eu WHERE eu.u = sc.a AND eu.v = sc.b) " +

@@ -37,6 +37,25 @@ object Sessions {
     // to V1 here; PlanSpec proves PushedAggregation reaches the scan
     // when V2 is selected)
     "spark.sql.parquet.aggregatePushdown"    -> "true",
+    // collect_list/collect_set aggregates run on ObjectHashAggregate,
+    // which abandons hashing for a sort-based pass after only 128
+    // distinct groups per partition (the conservative default) — for
+    // the grouped-adjacency operators (adamicAdar r11) that turns a
+    // hash aggregate over millions of small bounded lists into a full
+    // sort of the stream. Entries here are degree-capped arrays (≤ a
+    // few KB), so memory per group is bounded by construction; let the
+    // hash path run.
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "10000000",
+    // AQE coalesces post-shuffle partitions down to its 1 MB floor; it
+    // costs that decision on SHUFFLE bytes and cannot see downstream
+    // row amplification, so a compact grouped-adjacency stage (16 MB)
+    // gets squeezed to 16 partitions and the 30x posexplode after it
+    // then runs at half the machine's width (q_adamic r11: the wedge
+    // stage lost 2x parallelism). parallelismFirst already targets
+    // defaultParallelism; lowering the floor lets it actually get
+    // there for compact-but-amplifying stages, and is a no-op for
+    // genuinely large stages (bytes/parallelism dominates the max).
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "64k",
     // recursive CTEs (q_recursive): the 1M-row default runaway guard
     // trips on legitimate data growth (hit at the sf1 scale point);
     // keep a guard, but sized for the engine's target scale

@@ -469,7 +469,7 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
-  test("adamic-adar: wedge join is an equi-join on the center, top-k is TakeOrdered") {
+  test("adamic-adar: wedges are generated in-row (no self-join), top-k is TakeOrdered") {
     // the GATE returns an eagerly checkpointed frame (its plan is a
     // block scan by design — exit hygiene), so the shape assertions
     // run on the operator itself, adaptive cap included
@@ -477,10 +477,17 @@ class PlanSpec extends SparkTestBase {
       Tables.table(spark, Sf0001, "lineitem"), "l_orderkey", "l_partkey")
     val p = plan(graft.ops.Graphs.adamicAdarAdaptive(
       edges, capQuantile = 0.99, topK = 50))
-    // the deg² hazard must stay an equi-join on w (shuffle or broadcast
-    // hash), and the top-50 cut must plan as TakeOrdered, never a
-    // global sort of all candidate pairs
+    // r11 plan (VERDICT r10 task 1): the deg² hazard is handled by the
+    // grouped adjacency — neighbor lists collected once per capped
+    // center, ordered pairs emitted by codegen'd generates — so the
+    // wedge stream must be born from Generate nodes, NOT from an
+    // adjacency self-join (which shuffled + sorted the sym stream
+    // twice); the only joins left are the deg attach and the known-edge
+    // anti-join. The top-50 cut must plan as TakeOrdered, never a
+    // global sort of all candidate pairs.
     assert(p.contains("TakeOrderedAndProject"), s"top-k is a global sort:\n$p")
+    assert("(?i)generate".r.findAllIn(p).nonEmpty,
+      s"in-row wedge generation missing (self-join regression?):\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"wedge join degraded:\n$p")
   }
