@@ -340,14 +340,31 @@ object EventStreams {
     import spark.implicits._
     val root = Path.of(workDir)
     if (Files.exists(root))
-      Files.walk(root).sorted(Comparator.reverseOrder[Path]())
-        .forEach(p => Files.deleteIfExists(p))
+      scala.util.Using.resource(Files.walk(root))(
+        _.sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p)))
     val stage = s"$workDir/stage"
     val out = s"$workDir/out"
     val ckpt = s"$workDir/ckpt"
     val ev = graft.sources.Tables.events(spark, srcDir)
       .select(col("ts"), col("user_id"), col("value"))
-    val bounds = ev.agg(min(col("ts")), max(col("ts"))).head()
+    // one probe for the replay bounds AND the sentinel-domain guard:
+    // the watermark-flush sentinel is user_id = -1, so a source that
+    // legitimately carries negative user ids would have its sessions
+    // silently dropped by the consumer's `user_id >= 0` filter — fail
+    // loudly instead. count(*) > 0 also guards the min/max NPE an
+    // empty events table would otherwise hit below.
+    val bounds = ev
+      .agg(min(col("ts")), max(col("ts")), min(col("user_id")),
+        count(lit(1)))
+      .head()
+    require(bounds.getLong(3) > 0,
+      s"sessionizeEventsDirToParquet: events table at $srcDir is empty" +
+        " — nothing to replay")
+    require(bounds.getLong(2) >= 0,
+      "sessionizeEventsDirToParquet: events table carries negative" +
+        s" user_id (min ${bounds.getLong(2)}) — the in-band watermark" +
+        " sentinel (user_id = -1) would collide; remap ids first")
     val (minMs, maxMs) =
       (bounds.getTimestamp(0).getTime, bounds.getTimestamp(1).getTime)
     // Staging must replay in EVENT-TIME order across micro-batches: the
@@ -373,15 +390,15 @@ object EventStreams {
       // rename the new part file so lexicographic order matches event
       // time too (POSIX move keeps the stamped mtime — both keys agree)
       val dir = Path.of(stage)
-      Files.list(dir).filter(p =>
-          p.getFileName.toString.startsWith("part-"))
-        .forEach { p =>
-          val target = dir.resolve(f"slice_$sliceIdx%02d.parquet")
-          Files.move(p, target)
-          Files.setLastModifiedTime(target,
-            java.nio.file.attribute.FileTime
-              .fromMillis(sliceMtimeBase + sliceIdx * 1000L))
-        }
+      scala.util.Using.resource(Files.list(dir))(
+        _.filter(p => p.getFileName.toString.startsWith("part-"))
+          .forEach { p =>
+            val target = dir.resolve(f"slice_$sliceIdx%02d.parquet")
+            Files.move(p, target)
+            Files.setLastModifiedTime(target,
+              java.nio.file.attribute.FileTime
+                .fromMillis(sliceMtimeBase + sliceIdx * 1000L))
+          })
       sliceIdx += 1
     }
     for (k <- 0 until nSlices) {
