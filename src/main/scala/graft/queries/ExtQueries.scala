@@ -2103,10 +2103,16 @@ object ExtQueries {
         "v AS (SELECT count(DISTINCT token) AS vocab_size FROM t) " +
         "SELECT token, count(*) AS freq, vocab_size FROM t CROSS JOIN v " +
         "GROUP BY token, vocab_size ORDER BY freq DESC, token LIMIT 20"),
+    // support_guaranteed pins the Misra–Gries retention bound
+    // (freq·(capacity+1) ≥ N, capacity = 256) as part of the hash —
+    // the §10h exactness domain as a machine-checked contract
     "q_heavy" ->
-      ("SELECT token, count(*) AS freq " +
-        "FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) " +
-        "GROUP BY token ORDER BY freq DESC, token LIMIT 20"),
+      ("WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents), " +
+        "n AS (SELECT count(*) AS n_tokens FROM t) " +
+        "SELECT token, count(*) AS freq, " +
+        "(count(*) * 257 >= n_tokens) AS support_guaranteed " +
+        "FROM t CROSS JOIN n GROUP BY token, n_tokens " +
+        "ORDER BY freq DESC, token LIMIT 20"),
     // feature hashing: bucket/sign from md5, exact integer sums, one
     // sqrt + one division per component — bit-exact cross-engine; the
     // gate emits the vector as a comma-joined ×1e6 scaled-int string

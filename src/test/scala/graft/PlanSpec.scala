@@ -275,6 +275,7 @@ class PlanSpec extends SparkTestBase {
       "q_twostage", "q_benford", "q_sample", "q_split", "q_calibration",
       "q_rrf", "q_hits", "q_textrank", "q_km", "q_range_plan",
       "q_modularity", "q_decompose", "q_ips", "q_mi",
+      "q_heavy", // 1-row (sketch, N) scalar broadcast for support_guaranteed
       // q_ap: the 1-row (P, N) totals broadcast against the
       // distinct-score grid — the q_auc scalar shape
       // q_bootstrap: the 1-row CI verdict broadcast against the 1-row

@@ -536,6 +536,14 @@ class OpsSpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(hh == exact)
     assert(hh.head == ("h1", 6000L))
+    // the retention-bound contract column: freq·(capacity+1) ≥ N,
+    // recomputed here from the exact corpus size — every head token
+    // clears the bound in this fixture, and the column must say so
+    val n = rows.size.toLong
+    val flags = TextAnalysis.heavyHitters(df, "text", k = 5, capacity = 16)
+      .collect().map(r => (r.getLong(1), r.getBoolean(2))).toSeq
+    assert(flags.forall { case (freq, g) => g == (freq * 17 >= n) })
+    assert(flags.forall(_._2), "fixture head tokens must all clear the bound")
   }
 
   test("kmeans: deterministic under repartitioning, monotone in iterations") {
