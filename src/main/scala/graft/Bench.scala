@@ -218,13 +218,46 @@ object Bench {
     }
 
     val gbtStages = mutable.LinkedHashMap[String, Double]()
-    val gbt = timed("train_gbt") {
+    val gbtBoth = timed("train_gbt") {
       val taxi = graft.ml.SyntheticTaxi.frame(spark, 300000).coalesce(8)
-      val (_, m) = graft.ml.Trainer.trainFareModel(taxi, "",
+      graft.ml.Trainer.trainFareModel(taxi, "",
         graft.ml.Trainer.TrainConfig(sampleFraction = 1.0, maxRows = 0),
         (k, v) => gbtStages(s"gbt_$k") = v)
-      m
     }
+    val gbt = gbtBoth.map(_._2)
+
+    // Serving latency (r11, VERDICT r10 task 6): the reference's stated
+    // purpose is near-real-time scoring, yet neither it nor this bench
+    // recorded a latency number. Time warm single-row Scoring.predict
+    // round trips — 1-row local relation → pipeline transform → head,
+    // i.e. the WHOLE in-process serving path including per-request plan
+    // analysis (each request is a fresh 1-row plan; nothing is
+    // amortized but JIT/codegen, which the warm-up pays). Requests vary
+    // across the input domain so no single plan/value is special-cased.
+    // Reported in ms as p50/p99/max, kept OUT of `times` — latency is
+    // not throughput. BASELINE.md: the reference published no
+    // comparable figure.
+    def fmt3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val serveJson = gbtBoth.map { case (model, _) =>
+      import graft.serve.Scoring
+      def req(i: Int) = Scoring.ScoringRequest(
+        0.5 + (i % 40) * 0.25, 5.0 + (i % 30), 1 + i % 4, i % 24, 1 + i % 2)
+      (0 until 20).foreach(i => Scoring.predict(spark, model, req(i)))
+      val n = 200
+      val lat = Array.ofDim[Double](n)
+      var i = 0
+      while (i < n) {
+        val t0 = System.nanoTime()
+        Scoring.predict(spark, model, req(i))
+        lat(i) = (System.nanoTime() - t0) / 1e6
+        i += 1
+      }
+      java.util.Arrays.sort(lat)
+      def pct(p: Double) = lat(math.min(n - 1, math.ceil(p * n).toInt - 1))
+      s""""serve_ms":{"n":$n,"p50":${fmt3(pct(0.50))},""" +
+        s""""p99":${fmt3(pct(0.99))},"max":${fmt3(lat(n - 1))}},"""
+    }.getOrElse("")
 
     // full escaping via Json.quote: a bare replace would pass raw
     // control chars (ANSI escapes in exception messages) into the one
@@ -256,7 +289,7 @@ object Bench {
         .mkString(""""gbt_stages":{""", ",", "},")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""errors":${jmap(errors)},"slice_rows":$sliceRows,$readRunsJson$gbtStagesJson$gbtStats"sf":"$sfDir"}"""
+        s""""errors":${jmap(errors)},"slice_rows":$sliceRows,$readRunsJson$gbtStagesJson$serveJson$gbtStats"sf":"$sfDir"}"""
     // every stage/query at full precision → BENCH_full.json (the
     // cross-round comparison artifact; SPARK_GRAFT_BENCH_OUT overrides;
     // empty disables)
@@ -282,7 +315,7 @@ object Bench {
       .sortBy(-_._2).map { case (k, v) => s""""$k":${d3(v)}""" }
     val prefix = s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":"""
     def suffixStr(omitted: Int) =
-      s""","errors":${jmap(errors)},"slice_rows":$sliceRows,$gbtStats""" +
+      s""","errors":${jmap(errors)},"slice_rows":$sliceRows,$serveJson$gbtStats""" +
         s""""queries_omitted":$omitted,"full":"BENCH_full.json","sf":"$sfDir"}"""
     val budget = 1900 - prefix.length - suffixStr(9999).length - 2 // {}
     val picked = scala.collection.mutable.ArrayBuffer(stageEntries: _*)

@@ -299,9 +299,19 @@ object AnalyticsQueries {
         "FROM d JOIN v ON d.user_id = v.user_id WHERE v.var > 0) " +
         "SELECT user_id, day, cnt, " + Oracle.r6("zscore") + " AS zscore " +
         "FROM z WHERE abs(zscore) > 2 ORDER BY user_id, day"),
-    // degree-ordered wedge join, row-value comparisons mirror Spark's
-    // struct ordering; each triangle has exactly one apex (its
-    // order-minimal vertex), so no de-dup division is needed
+    // degree-oriented adjacency-list intersection (r11, VERDICT r10
+    // task 3). The previous spelling enumerated the wedge join and
+    // closed it against the edge table — semantically identical, but
+    // DuckDB's planner, misestimating the wedge cardinality, built a
+    // hash table ON the wedge stream and spilled past 78 GB at sf1
+    // (reproduced this round before rewriting). This form bounds every
+    // intermediate structurally: orientation (low (deg,id) → high)
+    // caps out-degree at ~√(2m), adjacency lists group ONCE over the
+    // 1×|dir| stream, and each triangle x→y,x→z,y→z is found exactly
+    // once at its base edge (x,y) as z ∈ adj[x] ∩ adj[y] — the only
+    // big stream (unnested triangles) flows straight into the final
+    // aggregate with no join or build after it. Same per-vertex
+    // multiset as the engine's wedge formulation.
     "q_triangles" ->
       ("WITH e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v " +
         "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey " +
@@ -311,12 +321,13 @@ object AnalyticsQueries {
         "dir AS (SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS s, " +
         "CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS t " +
         "FROM e JOIN deg du ON du.x = e.u JOIN deg dv ON dv.x = e.v), " +
-        "w AS (SELECT d1.s, d1.t AS b, d2.t AS c FROM dir d1 " +
-        "JOIN dir d2 ON d1.s = d2.s AND d1.t < d2.t), " +
-        "tri AS (SELECT w.s AS a, w.b, w.c FROM w JOIN e ON e.u = w.b AND e.v = w.c) " +
+        "adj AS (SELECT s, list(t) AS nb FROM dir GROUP BY s), " +
+        "tri AS (SELECT d.s AS a, d.t AS b, " +
+        "unnest(list_intersect(na.nb, nb.nb)) AS c " +
+        "FROM dir d JOIN adj na ON na.s = d.s JOIN adj nb ON nb.s = d.t) " +
         "SELECT vertex, count(*)::BIGINT AS n_triangles FROM " +
-        "(SELECT a AS vertex FROM tri UNION ALL SELECT b FROM tri " +
-        "UNION ALL SELECT c FROM tri) GROUP BY vertex ORDER BY vertex"),
+        "(SELECT unnest([a, b, c]) AS vertex FROM tri) " +
+        "GROUP BY vertex ORDER BY vertex"),
     "q_pagerank" -> Graphs.pageRankOracleSql(
       coPurchaseEdgesSql, damping = 0.85, iters = 3,
       finalSelect = "SELECT x AS vertex, " + Oracle.r6("r * 1000.0") +
