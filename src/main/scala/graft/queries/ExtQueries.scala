@@ -1069,24 +1069,52 @@ object ExtQueries {
       "user_id, count(*) AS n_events, " + O.dsum("value") + " AS sum_value " +
       "FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"
 
-  def qSessionsStream(s: SparkSession, dir: String): DataFrame = {
-    // workDir key: collision-resistant digest of the ABSOLUTE source
-    // path (String.hashCode collides trivially) plus a per-process
-    // token — sessionizeEventsDirToParquet recursively wipes workDir
-    // on entry, so two JVMs (a gate run racing a bench run) sharing a
-    // key would wipe each other's in-flight stream state mid-run.
-    // Same-JVM reuse across warm-up + timed runs keeps the wipe
-    // idempotent; the registry is driver-single-threaded.
+  /** Scratch directory for a streaming bridge gate. Key: collision-
+    * resistant digest of the ABSOLUTE source path (String.hashCode
+    * collides trivially) plus a per-process token — the replay harness
+    * recursively wipes workDir on entry, so two JVMs (a gate run
+    * racing a bench run) sharing a key would wipe each other's
+    * in-flight stream state mid-run. Same-JVM reuse across warm-up +
+    * timed runs keeps the wipe idempotent; the registry is
+    * driver-single-threaded.
+    */
+  private def streamWorkDir(prefix: String, dir: String): String = {
     val pathKey = java.security.MessageDigest.getInstance("MD5")
       .digest(java.nio.file.Path.of(dir).toAbsolutePath.normalize.toString
         .getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
-    val work = s"${System.getProperty("java.io.tmpdir")}/graft_sessions_stream_" +
+    s"${System.getProperty("java.io.tmpdir")}/${prefix}_" +
       pathKey + "_" + ProcessHandle.current().pid()
+  }
+
+  def qSessionsStream(s: SparkSession, dir: String): DataFrame = {
     val out = graft.streaming.EventStreams.sessionizeEventsDirToParquet(
-      s, dir, work, gap = "6 hours")
+      s, dir, streamWorkDir("graft_sessions_stream", dir), gap = "6 hours")
     s.read.parquet(out)
       .filter(col("user_id") >= 0) // drop the watermark-flush sentinel user
       .orderBy("user_id", "session_start")
+  }
+
+  /** STREAMING windowed count-min sketch hash-gated against a batch
+    * DuckDB oracle — the SECOND batch↔stream bridge (r11, VERDICT r10
+    * task 5), via [[graft.streaming.EventStreams
+    * .windowedCmsEventsDirToParquet]]. The windowed CMS is exactly
+    * order-free (each (window, row, bucket) cell is a plain count), so
+    * the file-stream replay's appended parquet must hash-match the
+    * oracle computing the same md5 buckets over epoch-aligned
+    * `date_trunc('hour')` windows — proving watermarked tumbling-window
+    * state eviction end-to-end, complementing q_sessions_stream's
+    * session-window state merge. The sentinel's own far-future windows
+    * are cut at the real max event time.
+    */
+  def qCmsStream(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.streaming.EventStreams.windowedCmsEventsDirToParquet(
+      s, dir, streamWorkDir("graft_cms_stream", dir), d = 4, w = 64)
+    val maxTs = Tables.events(s, dir).agg(max(col("ts"))).head().getTimestamp(0)
+    s.read.parquet(out)
+      .filter(col("window_start") <= lit(maxTs))
+      .select(col("window_start"), col("r").cast("long").as("r"),
+        col("b"), col("cnt"))
+      .orderBy("window_start", "r", "b")
   }
 
   /** Batch HOPPING-window aggregation — `window(ts, 2h, 1h)`: each event
@@ -1234,6 +1262,7 @@ object ExtQueries {
     "q_text_knn" -> (qTextKnn _),
     "q_sessions" -> (qSessions _),
     "q_sessions_stream" -> (qSessionsStream _),
+    "q_cms_stream" -> (qCmsStream _),
     "q_window_hop" -> (qWindowHop _),
     "q_tfidf" -> (qTfidf _),
     "q_window" -> (qWindow _),
@@ -2089,6 +2118,17 @@ object ExtQueries {
     // the streaming bridge must reproduce the BATCH sessions exactly —
     // same oracle, different engine path
     "q_sessions_stream" -> sessionsOracleSql,
+    // windowed-CMS bridge: same md5 bucket recipe as q_cms (w = 64),
+    // epoch-aligned hourly windows = date_trunc('hour')
+    "q_cms_stream" ->
+      ("WITH e AS (SELECT date_trunc('hour', ts::TIMESTAMP) AS window_start, " +
+        "event_type FROM events), " +
+        "sk AS (SELECT window_start, r, " +
+        "('0x' || substr(md5('cms' || '|' || r::VARCHAR || '|' || event_type), " +
+        "1, 8))::BIGINT % 64 AS b, count(*)::BIGINT AS cnt " +
+        "FROM e CROSS JOIN range(4) t(r) GROUP BY 1, 2, 3) " +
+        "SELECT window_start, r, b, cnt FROM sk " +
+        "ORDER BY window_start, r, b"),
     // epoch-aligned hop assignment: start = hour-floor(ts) − k·1h for
     // k ∈ {0,1} — the relational spelling of Spark's window expand
     "q_window_hop" ->

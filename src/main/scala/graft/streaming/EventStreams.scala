@@ -299,41 +299,43 @@ object EventStreams {
       }
   }
 
-  /** End-to-end streaming sessionization into a parquet RESULT table —
-    * the batch↔stream gate bridge (VERDICT r9 item 7): the events table
-    * is staged as a multi-file directory, consumed as a FILE STREAM one
-    * file per micro-batch, sessionized with the watermarked
-    * `session_window` aggregate in APPEND mode (the production path:
-    * sessions emit exactly once, when the watermark passes their
-    * close), and appended to `workDir/out` via foreachBatch. The
-    * DuckDB q_sessions oracle then hash-checks that parquet — proving
-    * the streaming plan end-to-end, not just suite-internal equality.
+  /** Shared batch↔stream bridge harness: stage the events table as a
+    * multi-file directory replayed in EVENT-TIME order, run an
+    * arbitrary watermarked streaming aggregation over it as a FILE
+    * STREAM (one file per micro-batch, append mode — the production
+    * contract: results emit exactly once, when the watermark closes
+    * them), and append each batch to `workDir/out` as parquet for a
+    * DuckDB batch oracle to hash-check. Factored out of the r10
+    * sessionization bridge so every bridge gate (sessions, windowed
+    * CMS, …) reuses one staging discipline.
     *
-    * End-of-stream flush: append mode only emits sessions the
-    * WATERMARK has closed, and a finite fixture's last sessions would
-    * otherwise sit in state forever. Two sentinel files (user −1, far
-    * past every real close, mtimes ordered after the data) extend the
-    * stream: the first advances the watermark past all real sessions
-    * when its batch commits, the second's batch performs the eviction
-    * under that watermark — no reliance on no-data micro-batches. The
-    * sentinel user's own session stays open at termination and is
-    * never emitted.
+    * Staging must replay in event-time order ACROSS micro-batches: the
+    * watermark ratchets to each batch's max event time, so a file
+    * holding near-max timestamps early in the stream would mark every
+    * later file LATE and silently drop its results (the first cut of
+    * the sessions bridge hash-failed exactly that way — 3780/5725
+    * sessions). Each event-time slice is one file with a synthetic
+    * strictly-ascending whole-second mtime (the file source's order
+    * key; no sleeping) and a matching lexicographic name.
     *
-    * Determinism: the aggregate is (count, decimal sum) — partial
-    * state merges exactly across micro-batches and session merges, so
-    * the emitted rows are bit-identical to the batch q_sessions gate.
-    * Scale shape: state is one open-session record per ACTIVE user
-    * (watermark-evicted); the sink append is per-batch sequential
-    * parquet — the same contract as any streaming lake sink.
+    * End-of-stream flush: append mode only emits what the WATERMARK
+    * has closed, and a finite fixture's tail would otherwise sit in
+    * state forever. Two sentinel files (user −1, 30/31 days past the
+    * real max, mtimes after the data) extend the stream: the first
+    * advances the watermark past every real close when its batch
+    * commits, the second's batch performs the eviction under that
+    * watermark — no reliance on no-data micro-batches. Consumers drop
+    * sentinel-derived rows (user filter or event-time cut at the real
+    * max — the sentinels sit ≥30 days past it).
     *
     * Returns the result directory (`workDir/out`). `workDir` is wiped
     * first so repeated gate runs are idempotent.
     */
-  def sessionizeEventsDirToParquet(
+  def replayEventsDirToParquet(
       spark: SparkSession,
       srcDir: String,
       workDir: String,
-      gap: String = "6 hours"): String = {
+      buildQuery: DataFrame => DataFrame): String = {
     import java.nio.file.{Files, Path}
     import java.util.Comparator
     import org.apache.spark.sql.streaming.Trigger
@@ -347,11 +349,11 @@ object EventStreams {
     val out = s"$workDir/out"
     val ckpt = s"$workDir/ckpt"
     val ev = graft.sources.Tables.events(spark, srcDir)
-      .select(col("ts"), col("user_id"), col("value"))
+      .select(col("ts"), col("user_id"), col("event_type"), col("value"))
     // one probe for the replay bounds AND the sentinel-domain guard:
     // the watermark-flush sentinel is user_id = -1, so a source that
-    // legitimately carries negative user ids would have its sessions
-    // silently dropped by the consumer's `user_id >= 0` filter — fail
+    // legitimately carries negative user ids would have its rows
+    // confused with sentinel rows by consumers' filters — fail
     // loudly instead. count(*) > 0 also guards the min/max NPE an
     // empty events table would otherwise hit below.
     val bounds = ev
@@ -359,23 +361,14 @@ object EventStreams {
         count(lit(1)))
       .head()
     require(bounds.getLong(3) > 0,
-      s"sessionizeEventsDirToParquet: events table at $srcDir is empty" +
+      s"replayEventsDirToParquet: events table at $srcDir is empty" +
         " — nothing to replay")
     require(bounds.getLong(2) >= 0,
-      "sessionizeEventsDirToParquet: events table carries negative" +
+      "replayEventsDirToParquet: events table carries negative" +
         s" user_id (min ${bounds.getLong(2)}) — the in-band watermark" +
         " sentinel (user_id = -1) would collide; remap ids first")
     val (minMs, maxMs) =
       (bounds.getTimestamp(0).getTime, bounds.getTimestamp(1).getTime)
-    // Staging must replay in EVENT-TIME order across micro-batches: the
-    // watermark ratchets to each batch's max event time, so a file
-    // holding near-max timestamps early in the stream would mark every
-    // later file LATE and silently drop its sessions (the first cut of
-    // this bridge hash-failed exactly that way — 3780/5725 sessions).
-    // Each slice is one file, written sequentially: mtime (the file
-    // source's order key) and name both ascend with event time. Within
-    // a slice order is free — a slice is one batch, and lateness is
-    // only judged against the PREVIOUS batch's watermark.
     val nSlices = 4
     val span = maxMs - minMs + 1
     // mtime is the file source's order key (ties fall back to the
@@ -408,27 +401,18 @@ object EventStreams {
         unix_millis(col("ts")) >= lo && unix_millis(col("ts")) < hi))
     }
     // sentinels LAST: the first advances the watermark past every real
-    // session close (30 d ≫ gap), the second's batch evicts and emits
-    // under that watermark — no reliance on no-data micro-batches
+    // result close (30 d ≫ any gap/window), the second's batch evicts
+    // and emits under that watermark
     val dayMs = 24L * 3600 * 1000
-    writeSlice(Seq((new Timestamp(maxMs + 30 * dayMs), -1L, 0.0))
-      .toDF("ts", "user_id", "value"))
-    writeSlice(Seq((new Timestamp(maxMs + 31 * dayMs), -1L, 0.0))
-      .toDF("ts", "user_id", "value"))
-    val sessions = spark.readStream
-      .schema("ts TIMESTAMP, user_id BIGINT, value DOUBLE")
+    writeSlice(Seq((new Timestamp(maxMs + 30 * dayMs), -1L, "_sentinel", 0.0))
+      .toDF("ts", "user_id", "event_type", "value"))
+    writeSlice(Seq((new Timestamp(maxMs + 31 * dayMs), -1L, "_sentinel", 0.0))
+      .toDF("ts", "user_id", "event_type", "value"))
+    val stream = spark.readStream
+      .schema("ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE")
       .option("maxFilesPerTrigger", 1)
       .parquet(stage)
-      .withWatermark("ts", "0 seconds")
-      .groupBy(session_window(col("ts"), gap), col("user_id"))
-      .agg(
-        count(lit(1)).as("n_events"),
-        graft.queries.Det.dsum(col("value")).as("sum_value"))
-      .select(
-        col("session_window.start").as("session_start"),
-        col("session_window.end").as("session_end"),
-        col("user_id"), col("n_events"), col("sum_value"))
-    val q = sessions.writeStream
+    val q = buildQuery(stream).writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
@@ -439,6 +423,59 @@ object EventStreams {
     q.awaitTermination()
     out
   }
+
+  /** End-to-end streaming sessionization into a parquet RESULT table —
+    * the batch↔stream gate bridge (VERDICT r9 item 7) over
+    * [[replayEventsDirToParquet]]: watermarked `session_window`
+    * aggregate in append mode; the DuckDB q_sessions oracle
+    * hash-checks the parquet — proving the streaming plan end-to-end,
+    * not just suite-internal equality.
+    *
+    * Determinism: the aggregate is (count, decimal sum) — partial
+    * state merges exactly across micro-batches and session merges, so
+    * the emitted rows are bit-identical to the batch q_sessions gate.
+    * Scale shape: state is one open-session record per ACTIVE user
+    * (watermark-evicted); the sink append is per-batch sequential
+    * parquet — the same contract as any streaming lake sink.
+    */
+  def sessionizeEventsDirToParquet(
+      spark: SparkSession,
+      srcDir: String,
+      workDir: String,
+      gap: String = "6 hours"): String =
+    replayEventsDirToParquet(spark, srcDir, workDir, stream =>
+      stream
+        .select(col("ts"), col("user_id"), col("value"))
+        .withWatermark("ts", "0 seconds")
+        .groupBy(session_window(col("ts"), gap), col("user_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          graft.queries.Det.dsum(col("value")).as("sum_value"))
+        .select(
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("user_id"), col("n_events"), col("sum_value")))
+
+  /** Windowed CMS bridge — the SECOND batch↔stream gate (r11, VERDICT
+    * r10 task 5), over [[replayEventsDirToParquet]]: the
+    * [[windowedCms]] aggregation replayed as a file stream. Unlike the
+    * Misra–Gries stream (whose summary is merge-order dependent), the
+    * windowed CMS is EXACTLY order-free — each (window, row, bucket)
+    * count is a plain sum — so the streamed result hash-matches a
+    * batch DuckDB oracle computing the same md5 buckets over
+    * `date_trunc('hour', ts)` windows. Consumers cut at the real max
+    * event time to drop the sentinel's own (far-future) windows.
+    */
+  def windowedCmsEventsDirToParquet(
+      spark: SparkSession,
+      srcDir: String,
+      workDir: String,
+      d: Int = 4,
+      w: Int = 64): String =
+    replayEventsDirToParquet(spark, srcDir, workDir, stream =>
+      windowedCms(stream.select(col("ts"), col("event_type")),
+        "event_type", watermark = "0 seconds", windowLen = "1 hour",
+        d = d, w = w))
 
   /** Stream–static enrichment join: the batch lookup join (J1) applied
     * per micro-batch. The static side broadcasts once; no stream state,
