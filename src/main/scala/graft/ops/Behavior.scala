@@ -268,8 +268,8 @@ object Behavior {
       "SELECT t AS touch_type, count(*)::BIGINT AS n_touches, " +
       "CAST(sum(CASE WHEN ra = 1 THEN 1 ELSE 0 END) AS BIGINT) AS first_credit, " +
       "CAST(sum(CASE WHEN rd = 1 THEN 1 ELSE 0 END) AS BIGINT) AS last_credit, " +
-      r6("CAST(sum(CAST(" + r6("1.0 / n") +
-        " AS DECIMAL(25,6))) AS DOUBLE)") + " AS linear_credit " +
+      r6("CAST(CAST(sum(CAST(" + r6("1.0 / n") +
+        " AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)") + " AS linear_credit " +
       "FROM rk GROUP BY 1 ORDER BY touch_type"
   }
 }

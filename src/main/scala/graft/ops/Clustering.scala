@@ -121,7 +121,7 @@ object Clustering {
         s"FROM vecs, $cent GROUP BY vec_id))"
     def updateCte(name: String, asg: String): String =
       s"$name AS (SELECT cluster, list(m ORDER BY pos) AS c FROM (" +
-        "SELECT cluster, pos, CAST(sum(CAST(x AS DECIMAL(38,20))) AS DOUBLE) / count(*) AS m " +
+        "SELECT cluster, pos, CAST(CAST(sum(CAST(x AS DECIMAL(38,20))) AS VARCHAR) AS DOUBLE) / count(*) AS m " +
         s"FROM (SELECT $asg.cluster, u.i AS pos, v[CAST(u.i AS INT)] AS x " +
         s"FROM $asg JOIN vecs USING (vec_id), unnest(range(1, len(v) + 1)) AS u(i)) " +
         "GROUP BY cluster, pos) GROUP BY cluster)"

@@ -202,7 +202,7 @@ object Graphs {
     val steps = (1 to iters).map { i =>
       s"c$i AS (SELECT e.v AS x, r${i - 1}.r / deg.od AS cr " +
         s"FROM r${i - 1} JOIN e ON e.u = r${i - 1}.x JOIN deg ON deg.u = r${i - 1}.x), " +
-        s"s$i AS (SELECT x, CAST(sum(CAST(cr AS DECIMAL(38,20))) AS DOUBLE) AS m " +
+        s"s$i AS (SELECT x, CAST(CAST(sum(CAST(cr AS DECIMAL(38,20))) AS VARCHAR) AS DOUBLE) AS m " +
         s"FROM c$i GROUP BY x), " +
         s"r$i AS (SELECT verts.x, ${1 - damping} / nn.n + " +
         s"$damping * coalesce(s$i.m, 0.0) AS r " +
@@ -515,7 +515,7 @@ object Graphs {
       s"c$i AS (SELECT e.v AS x, r${i - 1}.r * e.w / wdeg.wd AS cr " +
         s"FROM r${i - 1} JOIN e ON e.u = r${i - 1}.x " +
         s"JOIN wdeg ON wdeg.u = r${i - 1}.x), " +
-        s"s$i AS (SELECT x, CAST(sum(CAST(cr AS DECIMAL(38,20))) AS DOUBLE) AS m " +
+        s"s$i AS (SELECT x, CAST(CAST(sum(CAST(cr AS DECIMAL(38,20))) AS VARCHAR) AS DOUBLE) AS m " +
         s"FROM c$i GROUP BY x), " +
         s"r$i AS (SELECT verts.x, ${1 - damping} / nn.n + " +
         s"$damping * coalesce(s$i.m, 0.0) AS r " +
@@ -665,7 +665,7 @@ object Graphs {
     val steps = (1 to iters).map { i =>
       s"c$i AS (SELECT e.v AS x, r${i - 1}.r / deg.od AS cr " +
         s"FROM r${i - 1} JOIN e ON e.u = r${i - 1}.x JOIN deg ON deg.u = r${i - 1}.x), " +
-        s"s$i AS (SELECT x, CAST(sum(CAST(cr AS DECIMAL(38,20))) AS DOUBLE) AS m " +
+        s"s$i AS (SELECT x, CAST(CAST(sum(CAST(cr AS DECIMAL(38,20))) AS VARCHAR) AS DOUBLE) AS m " +
         s"FROM c$i GROUP BY x), " +
         s"r$i AS (SELECT verts.x, ${1 - damping}::DOUBLE * $tele + " +
         s"$damping::DOUBLE * coalesce(s$i.m, 0.0) AS r " +
@@ -762,7 +762,7 @@ object Graphs {
     * (side, vertex, score) result.
     */
   def hitsOracleSql(edgesSql: String, iters: Int): String = {
-    def ds(x: String) = s"CAST(sum(CAST($x AS DECIMAL(25,6))) AS DOUBLE)"
+    def ds(x: String) = s"CAST(CAST(sum(CAST($x AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)"
     val r6 = graft.queries.Oracle.r6 _
     val steps = (1 to iters).map { i =>
       s"ar$i AS MATERIALIZED (SELECT e.dst AS x, ${ds(s"h${i - 1}.h")} AS raw " +

@@ -268,7 +268,7 @@ object ModelEval {
       " ELSE 0.0 END AS term, P, N FROM c CROSS JOIN t) " +
       "SELECT max(P) AS n_pos, max(N) AS n, " +
       "CASE WHEN max(P) > 0 THEN " +
-      r6("CAST(sum(CAST(term AS DECIMAL(25,6))) AS DOUBLE)") +
+      r6("CAST(CAST(sum(CAST(term AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)") +
       " END AS ap FROM tm"
   }
 
@@ -337,15 +337,15 @@ object ModelEval {
       "FROM b JOIN sh USING (a) CROSS JOIN t) " +
       "SELECT max(n)::BIGINT AS n, " +
       "CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_matched, " +
-      r6("CAST(sum(CAST(CASE WHEN m THEN " + r6("w * r") +
-        " ELSE 0.0 END AS DECIMAL(25,6))) AS DOUBLE) / max(n)") + " AS ips, " +
+      r6("CAST(CAST(sum(CAST(CASE WHEN m THEN " + r6("w * r") +
+        " ELSE 0.0 END AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) / max(n)") + " AS ips, " +
       "CASE WHEN sum(CAST(CASE WHEN m THEN w ELSE 0.0 END " +
       "AS DECIMAL(25,6))) > 0 THEN " +
-      r6("CAST(sum(CAST(CASE WHEN m THEN " + r6("w * r") +
-        " ELSE 0.0 END AS DECIMAL(25,6))) AS DOUBLE) / " +
-        "CAST(sum(CAST(CASE WHEN m THEN w ELSE 0.0 END " +
-        "AS DECIMAL(25,6))) AS DOUBLE)") + " END AS snips, " +
-      r6("CAST(sum(CAST(CASE WHEN m THEN w ELSE 0.0 END " +
-        "AS DECIMAL(25,6))) AS DOUBLE)") + " AS matched_mass FROM w"
+      r6("CAST(CAST(sum(CAST(CASE WHEN m THEN " + r6("w * r") +
+        " ELSE 0.0 END AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) / " +
+        "CAST(CAST(sum(CAST(CASE WHEN m THEN w ELSE 0.0 END " +
+        "AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)") + " END AS snips, " +
+      r6("CAST(CAST(sum(CAST(CASE WHEN m THEN w ELSE 0.0 END " +
+        "AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)") + " AS matched_mass FROM w"
   }
 }

@@ -167,7 +167,7 @@ object ProductQuantization {
     def updateCte(name: String, asg: String): String =
       s"$name AS (SELECT subspace, cluster, list(mc ORDER BY pos) AS c FROM (" +
         "SELECT subspace, cluster, pos, " +
-        "CAST(sum(CAST(x AS DECIMAL(38,20))) AS DOUBLE) / count(*) AS mc " +
+        "CAST(CAST(sum(CAST(x AS DECIMAL(38,20))) AS VARCHAR) AS DOUBLE) / count(*) AS mc " +
         s"FROM (SELECT $asg.subspace, $asg.cluster, u.i AS pos, " +
         s"sv[CAST(u.i AS INT)] AS x FROM $asg " +
         "JOIN subs USING (vec_id, subspace), " +
@@ -206,8 +206,8 @@ object ProductQuantization {
   def pqOracleSql(
       m: Int, k: Int, iters: Int, nq: Int, topK: Int, finalSelect: String): String = {
     val tail =
-      "ad AS (SELECT qid, vec_id, CAST(sum(CAST(pd2 AS DECIMAL(38,20))) " +
-        "AS DOUBLE) AS ad2 FROM codes JOIN lut USING (subspace, code) " +
+      "ad AS (SELECT qid, vec_id, CAST(CAST(sum(CAST(pd2 AS DECIMAL(38,20))) " +
+        "AS VARCHAR) AS DOUBLE) AS ad2 FROM codes JOIN lut USING (subspace, code) " +
         "GROUP BY 1, 2), " +
         "r AS (SELECT qid, vec_id AS cid, ad2, row_number() OVER (" +
         "PARTITION BY qid ORDER BY ad2, vec_id) AS rank FROM ad)"
@@ -236,7 +236,7 @@ object ProductQuantization {
         s"WHERE rn <= $nProbe), " +
         "cand AS (SELECT qid, vec_id FROM ccell JOIN qcell USING (cell_id)), " +
         "ad AS (SELECT cand.qid, cand.vec_id, " +
-        "CAST(sum(CAST(pd2 AS DECIMAL(38,20))) AS DOUBLE) AS ad2 " +
+        "CAST(CAST(sum(CAST(pd2 AS DECIMAL(38,20))) AS VARCHAR) AS DOUBLE) AS ad2 " +
         "FROM cand JOIN codes USING (vec_id) " +
         "JOIN lut ON lut.qid = cand.qid AND lut.subspace = codes.subspace " +
         "AND lut.code = codes.code GROUP BY 1, 2), " +

@@ -131,8 +131,8 @@ object Ranking {
       "FROM t), " +
       "a AS (SELECT qid, count(*)::BIGINT AS n_ranked, " +
       "CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel, " +
-      "CAST(sum(CAST(t AS DECIMAL(25,6))) AS DOUBLE) AS dcg0, " +
-      "CAST(sum(CAST(it AS DECIMAL(25,6))) AS DOUBLE) AS idcg0, " +
+      "CAST(CAST(sum(CAST(t AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS dcg0, " +
+      "CAST(CAST(sum(CAST(it AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS idcg0, " +
       "min(CASE WHEN rel > 0 THEN rank END) AS fr FROM g GROUP BY qid) " +
       "SELECT qid, n_ranked, n_rel, " + r6("dcg0") + " AS dcg, " +
       "CASE WHEN idcg0 > 0 THEN " + r6("dcg0 / idcg0") +

@@ -193,6 +193,13 @@ object Spatial {
       maxAbsLatDeg: Double,
       maxCellOccupancy: Int = 64): DataFrame = {
     val sc = points.sparkSession.sparkContext
+    // exit-hygiene sweep contract (see the release at the end): the
+    // registry diff attributes every RDD persisted DURING this call to
+    // this op. That holds only single-driver-threaded, and only when
+    // the caller does not lazily materialize ITS OWN cached frames
+    // inside this op's actions (a caller-owned Dataset cache whose
+    // first materialization happens here would be swept with the
+    // op-internal blocks — re-cache or materialize it before calling).
     val persistedBefore = sc.getPersistentRDDs.keySet
     val floorC = minCellDeg(radiusM, maxAbsLatDeg) * 1.02
     val cellUsed =

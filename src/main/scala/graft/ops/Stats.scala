@@ -559,7 +559,7 @@ object Stats {
       s"wt AS (SELECT b, x, CASE $ladder ELSE ${PoissonCum.size} END " +
       "AS w FROM rep), " +
       "reps AS (SELECT b, " +
-      r6s("CAST(sum(CAST(w * x AS DECIMAL(25,6))) AS DOUBLE) / sum(w)") +
+      r6s("CAST(CAST(sum(CAST(w * x AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) / sum(w)") +
       " AS m FROM wt GROUP BY b HAVING sum(w) > 0), " +
       "rk AS (SELECT m, b, row_number() OVER (ORDER BY m, b) AS r, " +
       "count(*) OVER () AS nb FROM reps), " +
@@ -588,7 +588,7 @@ object Stats {
         "ln((n_xy::DOUBLE * n::DOUBLE) / (nx::DOUBLE * ny::DOUBLE))") +
       " AS term FROM c JOIN mx USING (x) JOIN my USING (y) CROSS JOIN t), " +
       "mi AS (SELECT " +
-      r6s("CAST(sum(CAST(term AS DECIMAL(25,6))) AS DOUBLE)") +
+      r6s("CAST(CAST(sum(CAST(term AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)") +
       " AS mi FROM tm) " +
       "SELECT x, y, n_xy, term, mi FROM tm CROSS JOIN mi ORDER BY x, y"
   }

@@ -292,7 +292,7 @@ object TimeSeries {
       s"(PARTITION BY $keyCol ORDER BY ts DESC, id DESC) AS _k FROM src) " +
       s"SELECT $keyCol, count(*)::BIGINT AS n_used, " +
       graft.queries.Oracle.r6(
-        s"CAST(sum(CAST(value AS DECIMAL(25,6)) * ((1::BIGINT << ($m - _k)))) AS DOUBLE) " +
+        s"CAST(CAST(sum(CAST(value AS DECIMAL(25,6)) * ((1::BIGINT << ($m - _k)))) AS VARCHAR) AS DOUBLE) " +
           s"/ CAST(sum(1::BIGINT << ($m - _k)) AS DOUBLE)") +
       s" AS ewma FROM w WHERE _k <= $m GROUP BY $keyCol"
 
@@ -564,16 +564,16 @@ object TimeSeries {
       dsum(valCol) + s" AS y FROM $table GROUP BY 1), " +
       "tr AS (SELECT d, y, (dayofweek(d) + 1)::INT AS dow, " +
       "count(*) OVER w AS n, " +
-      "CAST(sum(CAST(y AS DECIMAL(25,6))) OVER w AS DOUBLE) AS s " +
+      "CAST(CAST(sum(CAST(y AS DECIMAL(25,6))) OVER w AS VARCHAR) AS DOUBLE) AS s " +
       "FROM daily WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING " +
       "AND 3 FOLLOWING)), " +
       "tt AS (SELECT d, y, dow, CASE WHEN n = 7 THEN " +
       r6("s / 7.0") + " END AS trend FROM tr), " +
       "sr AS (SELECT dow, " +
-      r6("CAST(sum(CAST(y - trend AS DECIMAL(25,6))) AS DOUBLE) / count(*)") +
+      r6("CAST(CAST(sum(CAST(y - trend AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) / count(*)") +
       " AS sraw FROM tt WHERE trend IS NOT NULL GROUP BY 1), " +
       "sm AS (SELECT " +
-      r6("CAST(sum(CAST(sraw AS DECIMAL(25,6))) AS DOUBLE) / count(*)") +
+      r6("CAST(CAST(sum(CAST(sraw AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) / count(*)") +
       " AS smean FROM sr), " +
       "se AS (SELECT dow, " + r6("sraw - smean") +
       " AS seasonal FROM sr CROSS JOIN sm) " +

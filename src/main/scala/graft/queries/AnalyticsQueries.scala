@@ -168,11 +168,11 @@ object AnalyticsQueries {
         "CAST(count(*) AS BIGINT) AS gn FROM events) " +
         "SELECT event_id, event_type, value, " +
         "CASE WHEN cn > 1 THEN " +
-        Oracle.r6("CAST(csum - CAST(value AS DECIMAL(25,6)) AS DOUBLE) " +
-          "/ (cn - 1)") +
+        Oracle.r6("CAST(CAST(csum - CAST(value AS DECIMAL(25,6)) " +
+          "AS VARCHAR) AS DOUBLE) / (cn - 1)") +
         " ELSE " +
-        Oracle.r6("CAST(gsum - CAST(value AS DECIMAL(25,6)) AS DOUBLE) " +
-          "/ (gn - 1)") +
+        Oracle.r6("CAST(CAST(gsum - CAST(value AS DECIMAL(25,6)) " +
+          "AS VARCHAR) AS DOUBLE) / (gn - 1)") +
         " END AS event_type_enc " +
         "FROM events JOIN c USING (event_type), g ORDER BY event_id"),
     // percentile_disc spelled as its SQL-standard cume_dist definition
@@ -193,9 +193,9 @@ object AnalyticsQueries {
         "CAST(sum(CASE WHEN value > cut_hi THEN 1 ELSE 0 END) AS BIGINT) " +
         "AS n_clip_hi, " +
         "max(cut_lo) AS cut_lo, max(cut_hi) AS cut_hi, " +
-        Oracle.r6("CAST(sum(CAST(CASE WHEN value < cut_lo THEN cut_lo " +
+        Oracle.r6("CAST(CAST(sum(CAST(CASE WHEN value < cut_lo THEN cut_lo " +
           "WHEN value > cut_hi THEN cut_hi ELSE value END " +
-          "AS DECIMAL(25,6))) AS DOUBLE)") + " AS sum_winsorized " +
+          "AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)") + " AS sum_winsorized " +
         "FROM j GROUP BY 1 ORDER BY event_type"),
     "q_decay" ->
       ("WITH m AS (SELECT date_trunc('day', max(ts)) AS max_day FROM events), " +

@@ -123,7 +123,7 @@ object DriftQueries {
   private val ln2 = "0.6931471805599453"
 
   private def dsumT(x: String): String =
-    s"CAST(sum(CAST($x AS DECIMAL(25,6))) AS DOUBLE)"
+    s"CAST(CAST(sum(CAST($x AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)"
 
   val oracleSql: Map[String, String] = Map(
     "q_kl_drift" ->

@@ -187,7 +187,7 @@ object EvalQueries {
   }
 
   private def dsumT(x: String): String =
-    s"CAST(sum(CAST($x AS DECIMAL(25,6))) AS DOUBLE)"
+    s"CAST(CAST(sum(CAST($x AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)"
 
   val oracleSql: Map[String, String] = Map(
     // pair-counting AUC over the distinct-score grid; the oracle's

@@ -1434,7 +1434,7 @@ object ExtQueries {
         "FROM pr ORDER BY vec_id, dim"),
     "q_agg_salted" ->
       ("SELECT l_returnflag, l_linestatus, count(*) AS n, " +
-        O.r6("CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / count(*)") +
+        O.r6("CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) / count(*)") +
         " AS avg_price FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"),
     // both compute the plain join — the salt/bucket transforms must be
     // invisible in the result

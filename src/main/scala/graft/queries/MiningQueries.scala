@@ -565,9 +565,9 @@ object MiningQueries {
         "sum(CAST(i AS DECIMAL(12,0)) * CAST(s AS DECIMAL(24,6))) AS ws " +
         "FROM r GROUP BY 1), " +
         "h AS (SELECT r.event_type, " +
-        O.r6("CAST(sum(CAST(" +
+        O.r6("CAST(CAST(sum(CAST(" +
           O.r6("(s::DOUBLE / tot::DOUBLE) * (s::DOUBLE / tot::DOUBLE)") +
-          " AS DECIMAL(25,6))) AS DOUBLE)") + " AS hhi " +
+          " AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)") + " AS hhi " +
         "FROM r JOIN t USING (event_type) GROUP BY 1) " +
         "SELECT event_type, n_units, hhi, " +
         O.r6("(2.0 * ws::DOUBLE - (n_units + 1)::DOUBLE * tot::DOUBLE) / " +

@@ -264,10 +264,10 @@ object PrepQueries {
         "p AS (SELECT grp, " + O.r6("ln(rank::DOUBLE)") + " AS x, " +
         O.r6("ln(c::DOUBLE)") + " AS y FROM r WHERE rank <= 40), " +
         "m AS (SELECT grp, count(*) AS k, " +
-        "CAST(sum(CAST(x AS DECIMAL(25,6))) AS DOUBLE) AS sx, " +
-        "CAST(sum(CAST(y AS DECIMAL(25,6))) AS DOUBLE) AS sy, " +
-        "CAST(sum(CAST(" + O.r6("x*y") + " AS DECIMAL(25,6))) AS DOUBLE) AS sxy, " +
-        "CAST(sum(CAST(" + O.r6("x*x") + " AS DECIMAL(25,6))) AS DOUBLE) AS sxx " +
+        "CAST(CAST(sum(CAST(x AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS sx, " +
+        "CAST(CAST(sum(CAST(y AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS sy, " +
+        "CAST(CAST(sum(CAST(" + O.r6("x*y") + " AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS sxy, " +
+        "CAST(CAST(sum(CAST(" + O.r6("x*x") + " AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS sxx " +
         "FROM p GROUP BY grp) " +
         "SELECT grp AS source, k, " +
         O.r6("(k*sxy - sx*sy) / (k*sxx - sx*sx)") + " AS slope, " +
@@ -339,7 +339,7 @@ object PrepQueries {
       "sc AS (SELECT w1, w2, " + O.r6("-ln((c12 + 1.0) / (c1 + v))") + " AS nlp " +
       "FROM bc JOIN uc USING (w1) CROSS JOIN v) " +
       "SELECT doc_id, count(*) AS n_bigrams, " +
-      O.r6("CAST(sum(CAST(nlp AS DECIMAL(25,6))) AS DOUBLE) / count(*)") +
+      O.r6("CAST(CAST(sum(CAST(nlp AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) / count(*)") +
       " AS mean_surprisal " +
       "FROM p JOIN sc USING (w1, w2) GROUP BY doc_id"
 

@@ -297,9 +297,9 @@ object ScaleQueries {
         "FROM l ORDER BY doc_id"),
     "q_agg_inc" ->
       ("SELECT event_type, count(value) AS n, " +
-        "CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_v, " +
+        "CAST(CAST(sum(CAST(value AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS sum_v, " +
         "min(value) AS min_v, max(value) AS max_v, " +
-        O.r6("CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / count(value)") +
+        O.r6("CAST(CAST(sum(CAST(value AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) / count(value)") +
         " AS avg_v FROM events GROUP BY 1 ORDER BY 1"),
     "q_checksum_parts" ->
       ("WITH h AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, " +

@@ -71,7 +71,7 @@ object SelectionQueries {
         "lam AS (SELECT b, " + O.r6("ln((ct + 1.0) / (nt + 4096.0))") + " - " +
         O.r6("ln((cr + 1.0) / (nr + 4096.0))") + " AS lam FROM m CROSS JOIN t), " +
         "sc AS (SELECT doc_id, sum(n)::BIGINT AS n_tokens, " +
-        O.r6("CAST(sum(CAST(lam AS DECIMAL(25,6)) * n) AS DOUBLE)") + " AS score " +
+        O.r6("CAST(CAST(sum(CAST(lam AS DECIMAL(25,6)) * n) AS VARCHAR) AS DOUBLE)") + " AS score " +
         "FROM db JOIN lam USING (b) WHERE NOT tgt GROUP BY doc_id) " +
         "SELECT doc_id, n_tokens, score FROM " +
         "(SELECT * FROM sc ORDER BY score DESC, doc_id LIMIT 50) ORDER BY doc_id"),
@@ -95,7 +95,7 @@ object SelectionQueries {
       ("WITH st AS (SELECT source, count(*) AS n, sum(n_chars)::BIGINT AS mass " +
         "FROM documents GROUP BY 1), " +
         "w AS (SELECT *, " + O.r6("sqrt(mass::DOUBLE)") + " AS w FROM st), " +
-        "ws AS (SELECT CAST(sum(CAST(w AS DECIMAL(25,6))) AS DOUBLE) AS wsum FROM w), " +
+        "ws AS (SELECT CAST(CAST(sum(CAST(w AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS wsum FROM w), " +
         "r AS (SELECT source, n, mass, " +
         O.r6("least(1.0, 150.0 * " + O.r6("w / wsum") + " / n)") + " AS rate " +
         "FROM w CROSS JOIN ws), " +

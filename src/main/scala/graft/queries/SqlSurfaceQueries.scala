@@ -754,11 +754,11 @@ object SqlSurfaceQueries {
         "GROUP BY 1 ORDER BY 1"),
     "q_tpch_q8" ->
       ("SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, " +
-        O.r6("CAST(sum(CAST(CASE WHEN n2.n_name = 'NATION_5' " +
+        O.r6("CAST(CAST(sum(CAST(CASE WHEN n2.n_name = 'NATION_5' " +
           "THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END " +
-          "AS DECIMAL(25,6))) AS DOUBLE) / " +
-          "CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) " +
-          "AS DECIMAL(25,6))) AS DOUBLE)") + " AS mkt_share " +
+          "AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) / " +
+          "CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) " +
+          "AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)") + " AS mkt_share " +
         "FROM lineitem, part, orders, customer, nation n1, region, " +
         "supplier, nation n2 " +
         "WHERE l_partkey = p_partkey AND p_type = 'PROMO' " +
@@ -771,8 +771,8 @@ object SqlSurfaceQueries {
         "GROUP BY 1 ORDER BY 1"),
     "q_tpch_q17" ->
       ("SELECT " +
-        O.r6("CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) " +
-          "AS DOUBLE) / 7.0") + " AS avg_yearly " +
+        O.r6("CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) " +
+          "AS VARCHAR) AS DOUBLE) / 7.0") + " AS avg_yearly " +
         "FROM lineitem, part WHERE p_partkey = l_partkey " +
         "AND p_brand = 'Brand#23' " +
         "AND l_quantity < 0.2 * (SELECT avg(l_quantity) FROM lineitem l2 " +
@@ -809,11 +809,11 @@ object SqlSurfaceQueries {
         "ORDER BY custdist DESC, c_count DESC"),
     "q_tpch_q14" ->
       ("SELECT " +
-        O.r6("100.0 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO' " +
+        O.r6("100.0 * CAST(CAST(sum(CAST(CASE WHEN p_type = 'PROMO' " +
           "THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END " +
-          "AS DECIMAL(25,6))) AS DOUBLE) / " +
-          "CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) " +
-          "AS DECIMAL(25,6))) AS DOUBLE)") + " AS promo_revenue " +
+          "AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) / " +
+          "CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) " +
+          "AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)") + " AS promo_revenue " +
         "FROM lineitem, part WHERE l_partkey = p_partkey " +
         "AND l_shipdate >= TIMESTAMP '1997-09-01' " +
         "AND l_shipdate < TIMESTAMP '1997-10-01'"),
@@ -871,7 +871,7 @@ object SqlSurfaceQueries {
         "FROM events ORDER BY v DESC NULLS FIRST, event_id LIMIT 50"),
     "q_window_range" ->
       ("SELECT event_id, user_id, count(*) OVER w AS n_last_hour, " +
-        O.r6("CAST(sum(CAST(value AS DECIMAL(25,6))) OVER w AS DOUBLE)") +
+        O.r6("CAST(CAST(sum(CAST(value AS DECIMAL(25,6))) OVER w AS VARCHAR) AS DOUBLE)") +
         " AS sum_last_hour FROM events " +
         "WINDOW w AS (PARTITION BY user_id ORDER BY floor(epoch(ts))::BIGINT " +
         "RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) ORDER BY event_id"),
@@ -889,7 +889,7 @@ object SqlSurfaceQueries {
         "first_value(value) OVER wf AS first_v, " +
         "last_value(value) OVER wf AS last_v, " +
         "nth_value(value, 2) OVER wf AS second_v, " +
-        O.r6("CAST(sum(CAST(value AS DECIMAL(25,6))) OVER ws AS DOUBLE)") +
+        O.r6("CAST(CAST(sum(CAST(value AS DECIMAL(25,6))) OVER ws AS VARCHAR) AS DOUBLE)") +
         " AS sliding_sum_3 " +
         "FROM events WINDOW " +
         "wt AS (PARTITION BY user_id ORDER BY ts, event_id), " +

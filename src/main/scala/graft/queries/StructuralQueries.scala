@@ -125,6 +125,10 @@ object StructuralQueries {
     // (edge generation + LPA's final label generation) is released —
     // the Spark-side mirror of the oracle's AS MATERIALIZED fix.
     val sc = s.sparkContext
+    // registry-diff sweep: attributes all RDDs persisted during the
+    // call to this gate — valid single-driver-threaded with no
+    // lazily-cached caller frames materializing inside (the
+    // Lineage.checkpoint id-attribution caveat, same contract)
     val persistedBefore = sc.getPersistentRDDs.keySet
     val eGen = graft.util.Lineage.checkpoint(
       Graphs.coOccurrenceEdges(
@@ -165,6 +169,10 @@ object StructuralQueries {
     */
   def qAdamic(s: SparkSession, dir: String): DataFrame = {
     val sc = s.sparkContext
+    // registry-diff sweep: attributes all RDDs persisted during the
+    // call to this gate — valid single-driver-threaded with no
+    // lazily-cached caller frames materializing inside (the
+    // Lineage.checkpoint id-attribution caveat, same contract)
     val persistedBefore = sc.getPersistentRDDs.keySet
     val eGen = graft.util.Lineage.checkpoint(
       Graphs.coOccurrenceEdges(

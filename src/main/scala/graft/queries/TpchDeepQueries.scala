@@ -345,9 +345,9 @@ object TpchDeepQueries {
         "WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey " +
         "AND n_name = 'NATION_19') " +
         s"SELECT ps_partkey, ${O.r6("sumv")} AS value FROM " +
-        "(SELECT ps_partkey, CAST(sum(CAST(v AS DECIMAL(25,6))) AS DOUBLE) " +
+        "(SELECT ps_partkey, CAST(CAST(sum(CAST(v AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) " +
         "AS sumv FROM np GROUP BY 1) " +
-        "WHERE sumv > (SELECT CAST(sum(CAST(v AS DECIMAL(25,6))) AS DOUBLE) " +
+        "WHERE sumv > (SELECT CAST(CAST(sum(CAST(v AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) " +
         "* 0.001 FROM np) ORDER BY value DESC, ps_partkey"),
     "q_tpch_q12" ->
       ("SELECT CASE WHEN date_diff('day', o_orderdate::DATE, l_shipdate::DATE) " +
