@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{ProductQuantization, Similarity}
+import graft.queries.Det
+
+/** Production-knob retune measurement (SCALE.md §10k, VERDICT r10
+  * task 4).
+  *
+  * Registry gates PIN their knobs so the DuckDB oracle replays the
+  * identical computation at every scale — which means a knob that a
+  * production deployment would scale with the corpus (IVF's cell count
+  * `nlist`) is frozen at its sf0.1 value inside the gate, and the
+  * gate's decade ratio then measures the frozen knob, not the
+  * operator. This main measures the RETUNED operator: IVFPQ with
+  * `nlist ∝ √N` (the standard IVF sizing — cell-assignment cost N·nlist
+  * and per-query candidate count nProbe·N/nlist balance at √N), with
+  * recall@10 against the exact brute-force top-k reported alongside the
+  * wall time, so a ratio drop that merely traded away recall is visible
+  * in the same JSON line.
+  *
+  * `nlist` is implemented as the deterministic stride sampler
+  * (`vec_id % stride == 0`, Similarity.ivfCentroids), so `nlist = N /
+  * stride` and √N sizing means `stride ∝ √N` — pass the stride for the
+  * scale under test (gate baseline: 64 at sf0.1/N=2000 → 202 at
+  * sf1/N=20k → 640 at sf10/N=200k holds nlist/√N constant).
+  *
+  * Usage: runMain graft.ScaleTune ivfpq <sfDir> <stride>
+  *        runMain graft.ScaleTune dbscan <sfDir> <latSites> <lonSites> <maxAbsLat>
+  * Prints one JSON line: {"dir":…,"n":…,"stride":…,"nlist":…,
+  * "ivfpq_secs":…,"recall_mean":…,"recall_min":…}
+  */
+object ScaleTune {
+  def main(args: Array[String]): Unit = args(0) match {
+    case "ivfpq"  => ivfpq(args(1), args(2).toInt)
+    case "dbscan" => dbscan(args(1), args(2).toInt, args(3).toInt,
+      args(4).toDouble)
+    case other => sys.error(s"unknown ScaleTune mode: $other")
+  }
+
+  /** Constant-density dbscan decade point (VERDICT r10 task 8): the
+    * gate fixture's point lattice has a FIXED ~1M-site area
+    * ((user_id % 997, event_id % 1013) at 0.0008°), so a 100× replica
+    * raises per-site occupancy 100× — a density stress, not a size
+    * measurement, which is why the sf10 dbscan point was excluded from
+    * §10g. This mode re-derives the points with the lattice AREA scaled
+    * to the replica (sites ∝ N keeps density constant, e.g. 997×1013 at
+    * sf0.1 → 9970×10130 at sf10) and times the identical dbscan
+    * (300 m, minPts 5, cell 0.0065°) — measuring the grid join's row
+    * scaling at the fixture's own density. maxAbsLat must cover the
+    * grown lattice's top edge (the lon-meter bound the grid uses).
+    */
+  def dbscan(dir: String, latSites: Int, lonSites: Int,
+      maxAbsLat: Double): Unit = {
+    val spark = graft.util.Sessions.get("graft-scaletune", "local[32]", 32)
+    val pts = graft.sources.Tables.events(spark, dir).select(
+      col("event_id"),
+      (lit(40.2) + (col("user_id") % latSites) * lit(0.0008)).as("lat"),
+      (lit(-74.6) + (col("event_id") % lonSites) * lit(0.0008)).as("lon"))
+    val n = pts.count()
+    val t0 = System.nanoTime()
+    val out = graft.ops.Spatial.dbscan(pts, "event_id", "lat", "lon",
+      radiusM = 300.0, minPts = 5, cellDeg = 0.0065,
+      maxAbsLatDeg = maxAbsLat)
+    val rows = out.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"""{"dir":"$dir","n":$n,"lat_sites":$latSites,""" +
+      f""""lon_sites":$lonSites,"dbscan_secs":$secs%.3f,"rows":$rows}""")
+    spark.stop()
+  }
+
+  def ivfpq(dir: String, stride: Int): Unit = {
+    val spark = graft.util.Sessions.get("graft-scaletune", "local[32]", 32)
+    val emb = graft.sources.Tables.table(spark, dir, "embeddings")
+    val n = emb.count()
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+
+    // timed section mirrors the q_sim_ivfpq gate end-to-end (train +
+    // encode + search), with only the coarse-quantizer stride swapped
+    val t0 = System.nanoTime()
+    val cb = ProductQuantization.train(emb, "vec_id", "embedding",
+      m = 8, k = 16, iters = 2)
+    val codes = ProductQuantization.encode(emb, "vec_id", "embedding", cb, m = 8)
+    val approx = ProductQuantization.ivfPqTopK(emb, "vec_id", "embedding",
+      codes, cb, queries, m = 8, topK = 10, stride = stride, nProbe = 2)
+      .withColumn("ad2", Det.r6(col("ad2")))
+    approx.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+
+    // recall instruments, exact brute-force cosine top-10 as ground
+    // truth (embeddings are L2-normalized, so cosine and L2 rank
+    // identically on EXACT vectors):
+    //  - ivf_recall: the q_ann_recall_ivf instrument with THIS stride —
+    //    exact scoring within the probed cells, so it isolates what
+    //    nlist/nProbe actually control (coarse-cell pruning);
+    //  - adc_recall: the end-to-end IVFPQ list vs exact (self-pairs
+    //    dropped from the approx side to match the ground truth's
+    //    qid ≠ cid contract) — includes the PQ quantization reorder
+    //    on top, which nlist does NOT control (m/k do).
+    val qd = queries.select(col("qid"), col("qv").as("qe"))
+    val cd = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val exact = Similarity.cosineTopK(qd, cd, k = 10, scoreRounding = Det.r6)
+    val ivfRec = Similarity.recallAtK(
+      Similarity.ivfTopK(qd, cd, k = 10, stride = stride, nProbe = 2,
+        scoreRounding = Det.r6), exact)
+      .agg(avg(col("recall")).as("mean"), min(col("recall")).as("min"))
+      .head()
+    val adcRec = Similarity.recallAtK(
+      approx.filter(col("qid") =!= col("cid")), exact)
+      .agg(avg(col("recall")).as("mean"), min(col("recall")).as("min"))
+      .head()
+    println(f"""{"dir":"$dir","n":$n,"stride":$stride,""" +
+      f""""nlist":${n / stride},"ivfpq_secs":$secs%.3f,""" +
+      f""""ivf_recall_mean":${ivfRec.getDouble(0)}%.4f,""" +
+      f""""ivf_recall_min":${ivfRec.getDouble(1)}%.4f,""" +
+      f""""adc_recall_mean":${adcRec.getDouble(0)}%.4f,""" +
+      f""""adc_recall_min":${adcRec.getDouble(1)}%.4f}""")
+    spark.stop()
+  }
+}
