@@ -377,28 +377,56 @@ object EventStreams {
     // mtime instead of sleeping a second between writes (whole seconds
     // stay distinct even on 1 s-granularity filesystems)
     val sliceMtimeBase = System.currentTimeMillis()
-    var sliceIdx = 0
+    def stamp(target: Path, idx: Int): Unit =
+      Files.setLastModifiedTime(target,
+        java.nio.file.attribute.FileTime
+          .fromMillis(sliceMtimeBase + idx * 1000L))
+    // ALL slices in ONE pass over the events table (r11; the per-slice
+    // filter loop scanned the table nSlices times): a slice column +
+    // partitionBy write lands each event-time slice in its own
+    // directory — repartition by the slice value first, so every
+    // directory holds exactly one file — then the files move to the
+    // flat slice_NN layout the stream reads, mtimes stamped ascending.
+    val sliced = ev.withColumn("_slice",
+      least(lit(nSlices - 1),
+        ((unix_millis(col("ts")) - lit(minMs)) * nSlices / lit(span))
+          .cast("int")))
+    sliced.repartition(nSlices, col("_slice"))
+      .write.partitionBy("_slice").parquet(stage)
+    val stageDir = Path.of(stage)
+    for (k <- 0 until nSlices) {
+      val part = stageDir.resolve(s"_slice=$k")
+      if (Files.isDirectory(part)) {
+        scala.util.Using.resource(Files.list(part))(
+          _.filter(p => p.getFileName.toString.startsWith("part-"))
+            .forEach { p =>
+              val target = stageDir.resolve(f"slice_$k%02d.parquet")
+              Files.move(p, target)
+              stamp(target, k)
+            })
+        scala.util.Using.resource(Files.walk(part))(
+          _.sorted(Comparator.reverseOrder[Path]())
+            .forEach(q => Files.deleteIfExists(q)))
+      }
+    }
+    // _SUCCESS / .crc markers from the batch write would be listed by
+    // the file source; clear everything that is not a slice file
+    scala.util.Using.resource(Files.list(stageDir))(
+      _.filter(p => !p.getFileName.toString.startsWith("slice_"))
+        .forEach(p => Files.deleteIfExists(p)))
+    var sliceIdx = nSlices
     def writeSlice(df: DataFrame): Unit = {
       df.coalesce(1).write.mode("append").parquet(stage)
       // rename the new part file so lexicographic order matches event
       // time too (POSIX move keeps the stamped mtime — both keys agree)
-      val dir = Path.of(stage)
-      scala.util.Using.resource(Files.list(dir))(
+      scala.util.Using.resource(Files.list(stageDir))(
         _.filter(p => p.getFileName.toString.startsWith("part-"))
           .forEach { p =>
-            val target = dir.resolve(f"slice_$sliceIdx%02d.parquet")
+            val target = stageDir.resolve(f"slice_$sliceIdx%02d.parquet")
             Files.move(p, target)
-            Files.setLastModifiedTime(target,
-              java.nio.file.attribute.FileTime
-                .fromMillis(sliceMtimeBase + sliceIdx * 1000L))
+            stamp(target, sliceIdx)
           })
       sliceIdx += 1
-    }
-    for (k <- 0 until nSlices) {
-      val lo = minMs + span * k / nSlices
-      val hi = minMs + span * (k + 1) / nSlices
-      writeSlice(ev.filter(
-        unix_millis(col("ts")) >= lo && unix_millis(col("ts")) < hi))
     }
     // sentinels LAST: the first advances the watermark past every real
     // result close (30 d ≫ any gap/window), the second's batch evicts

@@ -39,6 +39,13 @@ def main(sfdir, outdir):
     # as its own FAIL, and the remaining 200+ queries still run.
     con.sql(f"SET memory_limit='{os.environ.get('GRAFT_CHECK_MEM', '80GB')}'")
     con.sql("SET temp_directory='/tmp/duckdb_spill'")
+    # cap the spill too: an unbounded spill FILLS THE DISK before the
+    # memory limit ever trips (observed r11: the old q_triangles oracle
+    # wrote 78 GB of temp and took / to 100% — which breaks every other
+    # process on the box, not just the sweep). With a cap the offending
+    # query raises its own error and the sweep continues.
+    con.sql(f"SET max_temp_directory_size="
+            f"'{os.environ.get('GRAFT_CHECK_SPILL', '40GB')}'")
     for t in TABLES:
         # driver snapshots are flat files; Spark-written replicas
         # (ScaleUp output, e.g. /tmp/sf1) are part-file directories
