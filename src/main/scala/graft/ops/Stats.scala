@@ -481,8 +481,16 @@ object Stats {
     * Scale shape: one explode by the replicate count (N·b rows, the
     * documented cost knob — production subsamples first), one
     * (replicate)-keyed aggregate to b rows, windows only over the
-    * b-row frame. Determinism: integer weights, decimal sums, one
-    * division per replicate, exact order statistics over b values.
+    * b-row frame. Determinism (r11): each term rounds to the 6-dp grid
+    * as the SAME IEEE expression in both engines — `floor(w·x·1e6+0.5)`
+    * — and accumulates as a LONG (the per-wedge-BigDecimal lesson from
+    * q_adamic: a 64M-row accumulate should be a long add, not a heap
+    * decimal add); the long→double conversion is correctly rounded on
+    * both sides (Spark cast; DuckDB via VARCHAR, since its HUGEINT sum
+    * would double-round past 2^53), then one identical double division
+    * chain per replicate and exact order statistics over b values.
+    * Long-sum domain: |Σ w·x·1e6| < 2^63 per replicate — ~9.2e12 units
+    * of weighted magnitude, far past any explode this op permits.
     */
   def bootstrapMeanCI(
       df: DataFrame,
@@ -517,10 +525,12 @@ object Stats {
       .groupBy("_b")
       .agg(
         sum(col("_w")).as("_n"),
-        sum((col("_w") * col("_x")).cast("decimal(25,6)")).as("_s"))
+        sum(floor(col("_w") * col("_x") * lit(1e6) + lit(0.5))
+          .cast("long")).as("_s"))
       .filter(col("_n") > 0)
       .select(col("_b"),
-        r6(col("_s").cast("double") / col("_n").cast("double")).as("_m"))
+        r6(col("_s").cast("double") / lit(1e6) / col("_n").cast("double"))
+          .as("_m"))
     val ranked = reps.withColumn("_r",
       row_number().over(Window.orderBy(col("_m"), col("_b"))))
       .withColumn("_nb", count(lit(1)).over(Window.partitionBy()))
@@ -559,7 +569,11 @@ object Stats {
       s"wt AS (SELECT b, x, CASE $ladder ELSE ${PoissonCum.size} END " +
       "AS w FROM rep), " +
       "reps AS (SELECT b, " +
-      r6s("CAST(CAST(sum(CAST(w * x AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) / sum(w)") +
+      // the engine's floor-scaled LONG sum, replayed term-for-term:
+      // same IEEE product/round, VARCHAR-routed int->double (DuckDB's
+      // HUGEINT sum would double-round past 2^53), same division chain
+      r6s("CAST(CAST(sum(CAST(floor(w * x * 1e6 + 0.5) AS BIGINT)) " +
+        "AS VARCHAR) AS DOUBLE) / 1e6 / sum(w)") +
       " AS m FROM wt GROUP BY b HAVING sum(w) > 0), " +
       "rk AS (SELECT m, b, row_number() OVER (ORDER BY m, b) AS r, " +
       "count(*) OVER () AS nb FROM reps), " +
