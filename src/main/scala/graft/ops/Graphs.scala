@@ -19,16 +19,40 @@ import org.apache.spark.sql.functions._
 object Graphs {
 
   /** Distinct undirected co-occurrence edges (u < v): items sharing a
-    * group. One self-equi-join on the group key; the strict inequality
-    * canonicalizes and drops loops before `distinct` dedups multiplicity.
+    * group.
+    *
+    * Plan (r11, the adamicAdar grouped-adjacency discipline): collect
+    * each group's DISTINCT item set once (`collect_set`, sorted
+    * in-row), emit every ordered pair with two codegen'd generates,
+    * then dedup across groups. One exchange of the input instead of
+    * the self-join's two differently-projected shuffles, and the pair
+    * stream is born map-side straight into the distinct's partial
+    * aggregate. Sortedness makes u < v structural (a set ascends
+    * strictly), so no filter re-scans the pairs.
+    *
+    * Memory bound: per-group state is the group's distinct item set —
+    * NOT a new constraint, because a group of g items emits g(−1)/2·g
+    * pairs downstream either way: any group too large to collect was
+    * already too large to pair (the self-join spelling exploded
+    * quadratically on it instead of failing loudly). Production graphs
+    * cap group fanout upstream (the q_skew_audit instrument exists to
+    * find the groups that need it).
     */
   def coOccurrenceEdges(
       df: DataFrame,
       groupCol: String,
       itemCol: String): DataFrame = {
-    val a = df.select(col(groupCol).as("_g"), col(itemCol).as("u"))
-    val b = df.select(col(groupCol).as("_g"), col(itemCol).as("v"))
-    a.join(b, "_g").filter(col("u") < col("v")).select("u", "v").distinct()
+    val grouped = df
+      .select(col(groupCol).as("_g"), col(itemCol).as("_it"))
+      .groupBy("_g")
+      .agg(sort_array(collect_set(col("_it"))).as("_is"))
+    grouped
+      .select(col("_is"), posexplode(col("_is")).as(Seq("_i", "u")))
+      .select(col("u"),
+        explode(slice(col("_is"), col("_i") + lit(2),
+          greatest(size(col("_is")) - col("_i") - lit(1), lit(0))))
+          .as("v"))
+      .distinct()
   }
 
   /** Per-vertex triangle counts over a canonical (u < v, distinct) edge
@@ -988,12 +1012,35 @@ object Graphs {
     // deg pre-join BEFORE collect_list: hubs never reach the
     // aggregation buffer, so per-group state is ≤ cap elements by
     // construction (the 100 TB power-law safety the size()-post-filter
-    // spelling would not have)
+    // spelling would not have).
+    // The explicit repartition PINS hash(w) co-location ahead of the
+    // join AND the grouped aggregate, whichever join strategy the
+    // planner picks: when deg broadcasts (small-stats inputs), the
+    // join alone would leave sym unpartitioned and collect_list would
+    // plan partial-then-shuffle — millions of per-partition list
+    // FRAGMENTS serialized across the exchange and merged per key
+    // (measured +7 s on this gate); with the pin the aggregate is one
+    // complete pass over co-located rows. When deg does NOT broadcast,
+    // the shuffle join's own requirement is satisfied by this same
+    // exchange, so the pin costs nothing. Either way: exactly ONE
+    // exchange of the sym stream.
+    // shuffle_hash, never broadcast: deg is vertex-sized and the stats
+    // estimate often clears the auto-broadcast threshold, but a
+    // broadcast here is a LOSS twice over — the driver collects a
+    // graph-scale frame (forbidden shape at 100 TB), and the join
+    // output loses the hash(w) co-partitioning the grouped aggregate
+    // needs, so collect_list re-plans partial-then-shuffle (array
+    // fragments across the wire; measured +7 s on the sf0.1 gate).
+    // With the pin + hint both sides meet on hash(w) — sym's exchange
+    // is the repartition above, deg's is vertex-sized — and the
+    // aggregate runs exchange-free on co-located rows.
     val capped = sym.select(col("u").as("w"), col("v").as("x"))
-      .join(deg.filter(col("_deg") <= maxNeighborDeg && col("_deg") >= 2),
+      .repartition(col("w"))
+      .join(deg.filter(col("_deg") <= maxNeighborDeg && col("_deg") >= 2)
+        .hint("shuffle_hash"),
         "w")
-    // grouped adjacency: the join leaves the stream hash-partitioned
-    // by w, so this aggregate adds NO exchange; size(list) == deg(w)
+    // grouped adjacency: the stream is hash-partitioned by w (pinned
+    // above), so this aggregate adds NO exchange; size(list) == deg(w)
     // because the pre-join kept every neighbor of a surviving center
     val grouped = capped.groupBy("w")
       .agg(sort_array(collect_list(col("x"))).as("_nbrs"))
@@ -1021,7 +1068,12 @@ object Graphs {
         // same value as dsum, ~2x cheaper over the wedge stream
         graft.queries.Det.dsum6(col("_aw")).as("aa"))
     scored
-      .join(edges.select(col("u").as("a"), col("v").as("b")),
+      // shuffle_hash for the known-edge anti-join too: edges are
+      // graph-sized (never broadcast at scale), and scored is already
+      // hash-partitioned by (a,b) from its aggregate — the anti-join
+      // reuses that exchange and only the edge side shuffles
+      .join(edges.select(col("u").as("a"), col("v").as("b"))
+        .hint("shuffle_hash"),
         Seq("a", "b"), "left_anti")
       .orderBy(col("aa").desc, col("cn").desc, col("a"), col("b"))
       .limit(topK)
