@@ -1117,6 +1117,51 @@ object ExtQueries {
       .orderBy("window_start", "r", "b")
   }
 
+  /** STREAM–STREAM interval join hash-gated against a batch DuckDB
+    * interval join — the THIRD batch↔stream bridge (r11), via
+    * [[graft.streaming.EventStreams.attributionJoinEventsDirToParquet]]:
+    * each purchase matched with the same user's clicks from the
+    * preceding 2 h, both sides watermarked file streams carved from one
+    * replay of the events table. The pair set is exactly the batch
+    * join's (inner interval joins emit once per match, order-free), so
+    * the oracle is the verbatim relational spelling. Sort is total:
+    * (user_id, click_ts, purchase_ts) is unique — verified at staging
+    * scale — and the value columns ride along untouched (no arithmetic,
+    * no rounding discipline needed).
+    */
+  def qAttrStream(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.streaming.EventStreams.attributionJoinEventsDirToParquet(
+      s, dir, streamWorkDir("graft_attr_stream", dir), within = "2 hours")
+    s.read.parquet(out)
+      .filter(col("user_id") >= 0) // drop watermark-sentinel rows
+      .select(col("user_id"), col("click_ts"), col("purchase_ts"),
+        col("click_value"), col("purchase_value"))
+      .orderBy("user_id", "click_ts", "purchase_ts",
+        "click_value", "purchase_value")
+  }
+
+  /** LEFT OUTER stream–stream join hash-gated against a batch DuckDB
+    * LEFT interval join — the FOURTH batch↔stream bridge (r11), via
+    * [[graft.streaming.EventStreams.attributionOuterEventsDirToParquet]].
+    * The mechanism under test differs from q_attr_stream's: unmatched
+    * clicks emit null-purchase rows only when the WATERMARK closes
+    * their match window (watermark-gated state eviction — the
+    * "did this click convert?" stream where non-conversion is data).
+    * Null purchase timestamps sort FIRST on both engines (Spark's
+    * asc default; DuckDB pinned with NULLS FIRST) so the total order
+    * survives the null side.
+    */
+  def qAttrStreamOuter(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.streaming.EventStreams.attributionOuterEventsDirToParquet(
+      s, dir, streamWorkDir("graft_attr_stream_outer", dir), within = "2 hours")
+    s.read.parquet(out)
+      .filter(col("user_id") >= 0) // drop watermark-sentinel rows
+      .select(col("user_id"), col("click_ts"), col("purchase_ts"),
+        col("click_value"), col("purchase_value"))
+      .orderBy("user_id", "click_ts", "purchase_ts",
+        "click_value", "purchase_value")
+  }
+
   /** Batch HOPPING-window aggregation — `window(ts, 2h, 1h)`: each event
     * lands in duration/slide = 2 overlapping windows, the smoothing
     * window shape dashboards and rate-limiters use. Epoch-aligned 1-hour
@@ -1263,6 +1308,8 @@ object ExtQueries {
     "q_sessions" -> (qSessions _),
     "q_sessions_stream" -> (qSessionsStream _),
     "q_cms_stream" -> (qCmsStream _),
+    "q_attr_stream" -> (qAttrStream _),
+    "q_attr_stream_outer" -> (qAttrStreamOuter _),
     "q_window_hop" -> (qWindowHop _),
     "q_tfidf" -> (qTfidf _),
     "q_window" -> (qWindow _),
@@ -2129,6 +2176,37 @@ object ExtQueries {
         "FROM e CROSS JOIN range(4) t(r) GROUP BY 1, 2, 3) " +
         "SELECT window_start, r, b, cnt FROM sk " +
         "ORDER BY window_start, r, b"),
+    // stream-stream interval-join bridge: the relational spelling of
+    // the watermarked click→purchase join — the pair set is order-free
+    // and the (user_id, click_ts, purchase_ts) key unique, so the
+    // streamed parquet hash-matches this verbatim
+    "q_attr_stream" ->
+      ("WITH e AS (SELECT ts::TIMESTAMP AS ts, user_id, event_type, value " +
+        "FROM events), " +
+        "c AS (SELECT user_id, ts AS click_ts, value AS click_value " +
+        "FROM e WHERE event_type = 'click'), " +
+        "p AS (SELECT user_id, ts AS purchase_ts, value AS purchase_value " +
+        "FROM e WHERE event_type = 'purchase') " +
+        "SELECT user_id, click_ts, purchase_ts, click_value, purchase_value " +
+        "FROM c JOIN p USING (user_id) " +
+        "WHERE click_ts <= purchase_ts " +
+        "AND click_ts >= purchase_ts - INTERVAL 2 HOUR " +
+        "ORDER BY user_id, click_ts, purchase_ts, click_value, purchase_value"),
+    // LEFT OUTER bridge: unmatched clicks carry NULL purchase columns;
+    // NULLS FIRST pins DuckDB's sort to Spark's asc-nulls-first default
+    "q_attr_stream_outer" ->
+      ("WITH e AS (SELECT ts::TIMESTAMP AS ts, user_id, event_type, value " +
+        "FROM events), " +
+        "c AS (SELECT user_id, ts AS click_ts, value AS click_value " +
+        "FROM e WHERE event_type = 'click'), " +
+        "p AS (SELECT user_id, ts AS purchase_ts, value AS purchase_value " +
+        "FROM e WHERE event_type = 'purchase') " +
+        "SELECT c.user_id, click_ts, purchase_ts, click_value, purchase_value " +
+        "FROM c LEFT JOIN p ON c.user_id = p.user_id " +
+        "AND click_ts <= purchase_ts " +
+        "AND click_ts >= purchase_ts - INTERVAL 2 HOUR " +
+        "ORDER BY c.user_id, click_ts, purchase_ts NULLS FIRST, " +
+        "click_value, purchase_value NULLS FIRST"),
     // epoch-aligned hop assignment: start = hour-floor(ts) − k·1h for
     // k ∈ {0,1} — the relational spelling of Spark's window expand
     "q_window_hop" ->

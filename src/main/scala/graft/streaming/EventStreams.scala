@@ -335,7 +335,8 @@ object EventStreams {
       spark: SparkSession,
       srcDir: String,
       workDir: String,
-      buildQuery: DataFrame => DataFrame): String = {
+      buildQuery: DataFrame => DataFrame,
+      statePartitions: Int = 8): String = {
     import java.nio.file.{Files, Path}
     import java.util.Comparator
     import org.apache.spark.sql.streaming.Trigger
@@ -440,15 +441,32 @@ object EventStreams {
       .schema("ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE")
       .option("maxFilesPerTrigger", 1)
       .parquet(stage)
-    val q = buildQuery(stream).writeStream
-      .outputMode(OutputMode.Append())
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(out)
-      }
-      .start()
-    q.awaitTermination()
+    // State-store partitioning is pinned at query start from
+    // spark.sql.shuffle.partitions and every micro-batch COMMITS every
+    // state partition (per stateful operator — a stream-stream join
+    // carries two) whether or not it holds keys. At the batch default
+    // (32 here) the per-partition commit overhead dominates these
+    // bounded-state queries: the r11 join bridge measured 15.1 s at 32
+    // state partitions vs ~5 s at 8, identical results. Size state
+    // partitions to STATE volume, not batch shuffle width — on a real
+    // cluster this is the same knob, just pointed at executor count ×
+    // state skew instead of a constant. Scoped set/restore: the
+    // streaming query captures the value at start(); gates run on a
+    // single driver thread (the documented registry assumption).
+    val shufKey = "spark.sql.shuffle.partitions"
+    val prevShuf = spark.conf.get(shufKey)
+    spark.conf.set(shufKey, statePartitions.toString)
+    try {
+      val q = buildQuery(stream).writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(out)
+        }
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set(shufKey, prevShuf)
     out
   }
 
@@ -503,7 +521,81 @@ object EventStreams {
     replayEventsDirToParquet(spark, srcDir, workDir, stream =>
       windowedCms(stream.select(col("ts"), col("event_type")),
         "event_type", watermark = "0 seconds", windowLen = "1 hour",
-        d = d, w = w))
+        d = d, w = w),
+      // COMPUTE-bound, not state-bound: the d× row explode + hash
+      // aggregate dominates each micro-batch, so this bridge keeps the
+      // batch shuffle width (8 state partitions measured 13.2 s vs
+      // 6.4 s at 32 — the inverse of the join/session bridges)
+      statePartitions = 32)
+
+  /** Stream–stream interval-join bridge — the THIRD batch↔stream gate
+    * (r11), over [[replayEventsDirToParquet]]: the
+    * [[clickPurchaseAttribution]] join replayed as a file stream. Both
+    * sides of the join are carved from the SAME replayed stream by
+    * event-type filter (a streaming self-join — each side keeps its own
+    * keyed state store), so one staging pass feeds both. An INNER
+    * interval join emits each matched pair exactly once, when the match
+    * arrives — no watermark-gated flush is needed for output, only for
+    * state eviction — and the pair set is order-free, so the streamed
+    * result hash-matches a batch DuckDB interval join verbatim. The
+    * sentinel rows never join (event_type `_sentinel` fails both side
+    * filters); their only role here is driving the final state
+    * eviction before shutdown.
+    *
+    * Scale shape: per-side state is bounded by watermark + `within`
+    * (the eviction horizon Spark derives from the time-bound join
+    * condition) — never by stream length. That bound is the entire
+    * difference between this plan and an unbounded stream-stream join
+    * Spark would reject in append mode.
+    */
+  /** Carve one join side out of the replayed stream. The sentinel rows
+    * (user_id < 0) MUST pass the side filter: each side's watermark
+    * node sits downstream of it ([[clickPurchaseAttribution]] applies
+    * `withWatermark` on the filtered frame), so a plain event-type
+    * filter would hide the sentinels from the watermark entirely — the
+    * watermark then stalls at (real max − delay) and every row still
+    * inside the join interval at end of stream sits in state forever
+    * (observed: the outer bridge's last-2 h clicks never emitted their
+    * null rows). Sentinels never join REAL rows (they sit 30/31 days
+    * past the data, ≫ any join interval) but each does match ITSELF —
+    * the same row enters both sides with click_ts == purchase_ts — so
+    * consumers must drop user_id < 0 from the result (the gates do).
+    */
+  private def joinSide(stream: DataFrame, eventType: String): DataFrame =
+    stream
+      .filter(col("event_type") === eventType || col("user_id") < 0)
+      .select(col("ts"), col("user_id"), col("value"))
+
+  def attributionJoinEventsDirToParquet(
+      spark: SparkSession,
+      srcDir: String,
+      workDir: String,
+      within: String = "2 hours"): String =
+    replayEventsDirToParquet(spark, srcDir, workDir, stream =>
+      clickPurchaseAttribution(
+        joinSide(stream, "click"), joinSide(stream, "purchase"), within))
+
+  /** LEFT OUTER stream–stream bridge — the FOURTH batch↔stream gate
+    * (r11), over [[replayEventsDirToParquet]]: the
+    * [[clickPurchaseAttributionOuter]] join replayed end-to-end. Where
+    * the inner bridge ([[attributionJoinEventsDirToParquet]]) needs no
+    * watermark for OUTPUT, this one gates its null side on it: an
+    * unmatched click may only emit (with null purchase columns) once
+    * the watermark proves no in-window purchase can still arrive —
+    * exactly the state-eviction semantics the sentinel files exist to
+    * drive at end of stream. The emitted row set still equals the
+    * batch LEFT JOIN verbatim (matches emit once on arrival; each
+    * never-matched click emits exactly one null row at eviction), so
+    * the DuckDB oracle is the relational left interval join.
+    */
+  def attributionOuterEventsDirToParquet(
+      spark: SparkSession,
+      srcDir: String,
+      workDir: String,
+      within: String = "2 hours"): String =
+    replayEventsDirToParquet(spark, srcDir, workDir, stream =>
+      clickPurchaseAttributionOuter(
+        joinSide(stream, "click"), joinSide(stream, "purchase"), within))
 
   /** Stream–static enrichment join: the batch lookup join (J1) applied
     * per micro-batch. The static side broadcasts once; no stream state,

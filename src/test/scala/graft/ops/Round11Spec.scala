@@ -72,6 +72,81 @@ class Round11Spec extends SparkTestBase {
     assert(e.getMessage.contains("negative user_id"))
   }
 
+  test("stream-stream interval-join bridge equals the batch join at sf0.001") {
+    // the third batch↔stream bridge end-to-end on the real fixture: a
+    // watermarked click→purchase self-join over the replayed file
+    // stream must emit EXACTLY the batch interval join's pair set —
+    // inner joins emit once per match, so no flush subtleties hide here
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_attr_bridge").toString
+    val out = graft.streaming.EventStreams
+      .attributionJoinEventsDirToParquet(spark, Sf0001, work, "2 hours")
+    val streamed = spark.read.parquet(out)
+      // each sentinel row enters BOTH sides and matches itself
+      // (click_ts == purchase_ts) — dropped like the gate does
+      .filter(col("user_id") >= 0)
+      .orderBy("user_id", "click_ts", "purchase_ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getDouble(3), r.getDouble(4)))
+    val ev = graft.sources.Tables.events(spark, Sf0001)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("value").as("click_value"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+    val batch = c.join(p,
+      col("user_id") === col("p_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 2 HOURS"))
+      .select(col("user_id"), col("click_ts"), col("purchase_ts"),
+        col("click_value"), col("purchase_value"))
+      .orderBy("user_id", "click_ts", "purchase_ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
+  }
+
+  test("outer stream-stream bridge equals the batch LEFT join at sf0.001") {
+    // the watermark-gated null side: every never-converted click must
+    // emit exactly one null-purchase row once the sentinels advance the
+    // watermark past its 2 h window — equality with the batch LEFT
+    // join checks both the match set AND the eviction-time emission
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_attr_outer_bridge").toString
+    val out = graft.streaming.EventStreams
+      .attributionOuterEventsDirToParquet(spark, Sf0001, work, "2 hours")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getTimestamp(1), Option(r.getTimestamp(2)),
+        r.getDouble(3), Option(r.get(4)).map(_.asInstanceOf[Double]))
+    val streamed = spark.read.parquet(out)
+      .filter(col("user_id") >= 0) // the sentinel clicks' own null rows
+      .select("user_id", "click_ts", "purchase_ts",
+        "click_value", "purchase_value")
+      .collect().map(key).sortBy(t => (t._1, t._2.getTime,
+        t._3.map(_.getTime).getOrElse(Long.MinValue)))
+    val ev = graft.sources.Tables.events(spark, Sf0001)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("value").as("click_value"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+    val batch = c.join(p,
+      col("user_id") === col("p_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 2 HOURS"),
+      "left_outer")
+      .select(col("user_id"), col("click_ts"), col("purchase_ts"),
+        col("click_value"), col("purchase_value"))
+      .collect().map(key).sortBy(t => (t._1, t._2.getTime,
+        t._3.map(_.getTime).getOrElse(Long.MinValue)))
+    assert(streamed.exists(_._3.isEmpty),
+      "expected at least one watermark-evicted unmatched click")
+    assert(streamed.exists(_._3.nonEmpty), "expected matched pairs too")
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("heavy hitters: support_guaranteed is false below the retention bound") {
     // a:16 clears 16·3 ≥ 46; b:10 (30 < 46) is below the bound — if the
     // sketch keeps it, the flag must say so. Only a's presence is
