@@ -328,9 +328,22 @@ object EventStreams {
     * sentinel-derived rows (user filter or event-time cut at the real
     * max — the sentinels sit ≥30 days past it).
     *
-    * Returns the result directory (`workDir/out`). `workDir` is wiped
-    * first so repeated gate runs are idempotent.
+    * Returns the result directory (`workDir/out`). `workDir` (out +
+    * checkpoint) is wiped first so repeated gate runs are idempotent.
+    *
+    * Staging is memoized — ONE staged replay per SOURCE per JVM:
+    * every bridge reads the same event-time slices + sentinels, so
+    * staging once and fanning out N streaming queries is both the
+    * cheaper bench shape and the production one (land the stream
+    * once, attach consumers). Keyed by the normalized absolute source
+    * path; assumes the source is immutable for the JVM's lifetime
+    * (the fixture contract — a mutated source needs a fresh JVM or a
+    * new path). A staging failure (e.g. the negative-user_id guard)
+    * caches nothing.
     */
+  private val stagedEventsFor =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   def replayEventsDirToParquet(
       spark: SparkSession,
       srcDir: String,
@@ -340,15 +353,60 @@ object EventStreams {
     import java.nio.file.{Files, Path}
     import java.util.Comparator
     import org.apache.spark.sql.streaming.Trigger
-    import spark.implicits._
     val root = Path.of(workDir)
     if (Files.exists(root))
       scala.util.Using.resource(Files.walk(root))(
         _.sorted(Comparator.reverseOrder[Path]())
           .forEach(p => Files.deleteIfExists(p)))
-    val stage = s"$workDir/stage"
     val out = s"$workDir/out"
     val ckpt = s"$workDir/ckpt"
+    val stage = stagedEventsFor.computeIfAbsent(
+      Path.of(srcDir).toAbsolutePath.normalize.toString,
+      _ => stageEventSlices(spark, srcDir))
+    val stream = spark.readStream
+      .schema("ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stage)
+    // State-store partitioning is pinned at query start from
+    // spark.sql.shuffle.partitions and every micro-batch COMMITS every
+    // state partition (per stateful operator — a stream-stream join
+    // carries two) whether or not it holds keys. At the batch default
+    // (32 here) the per-partition commit overhead dominates these
+    // bounded-state queries: the r11 join bridge measured 15.1 s at 32
+    // state partitions vs ~6 s at 8, identical results. Size state
+    // partitions to STATE volume, not batch shuffle width — on a real
+    // cluster this is the same knob, just pointed at executor count ×
+    // state skew instead of a constant. Scoped set/restore: the
+    // streaming query captures the value at start(); gates run on a
+    // single driver thread (the documented registry assumption).
+    val shufKey = "spark.sql.shuffle.partitions"
+    val prevShuf = spark.conf.get(shufKey)
+    spark.conf.set(shufKey, statePartitions.toString)
+    try {
+      val q = buildQuery(stream).writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(out)
+        }
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set(shufKey, prevShuf)
+    out
+  }
+
+  /** Stage the events table as mtime-ordered event-time slices plus
+    * the two watermark sentinels (see [[replayEventsDirToParquet]]'s
+    * doc for the ordering/flush rationale). Returns the staging dir.
+    */
+  private def stageEventSlices(spark: SparkSession, srcDir: String): String = {
+    import java.nio.file.{Files, Path}
+    import java.util.Comparator
+    import spark.implicits._
+    // subpath of the fresh temp dir: the parquet writer creates it
+    val stage =
+      s"${Files.createTempDirectory("graft_replay_stage")}/slices"
     val ev = graft.sources.Tables.events(spark, srcDir)
       .select(col("ts"), col("user_id"), col("event_type"), col("value"))
     // one probe for the replay bounds AND the sentinel-domain guard:
@@ -437,37 +495,7 @@ object EventStreams {
       .toDF("ts", "user_id", "event_type", "value"))
     writeSlice(Seq((new Timestamp(maxMs + 31 * dayMs), -1L, "_sentinel", 0.0))
       .toDF("ts", "user_id", "event_type", "value"))
-    val stream = spark.readStream
-      .schema("ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE")
-      .option("maxFilesPerTrigger", 1)
-      .parquet(stage)
-    // State-store partitioning is pinned at query start from
-    // spark.sql.shuffle.partitions and every micro-batch COMMITS every
-    // state partition (per stateful operator — a stream-stream join
-    // carries two) whether or not it holds keys. At the batch default
-    // (32 here) the per-partition commit overhead dominates these
-    // bounded-state queries: the r11 join bridge measured 15.1 s at 32
-    // state partitions vs ~5 s at 8, identical results. Size state
-    // partitions to STATE volume, not batch shuffle width — on a real
-    // cluster this is the same knob, just pointed at executor count ×
-    // state skew instead of a constant. Scoped set/restore: the
-    // streaming query captures the value at start(); gates run on a
-    // single driver thread (the documented registry assumption).
-    val shufKey = "spark.sql.shuffle.partitions"
-    val prevShuf = spark.conf.get(shufKey)
-    spark.conf.set(shufKey, statePartitions.toString)
-    try {
-      val q = buildQuery(stream).writeStream
-        .outputMode(OutputMode.Append())
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.write.mode("append").parquet(out)
-        }
-        .start()
-      q.awaitTermination()
-    } finally spark.conf.set(shufKey, prevShuf)
-    out
+    stage
   }
 
   /** End-to-end streaming sessionization into a parquet RESULT table —
