@@ -313,6 +313,48 @@ class EventStreamsSpec extends SparkTestBase {
     assert(out.filter(col("event_type") === "unknown_type" && col("event_desc").isNotNull).count() == 0)
   }
 
+  test("stream-stream join runs on the RocksDB state store (two-store path)") {
+    // The join buffers BOTH sides in state (one store per side per
+    // partition, a different state format than aggregation's) — the
+    // piece of the RocksDB story the aggregation test can't cover.
+    // At 100 TB/day the join buffer (events within the interval +
+    // delay) is exactly the state that outgrows executor heap first.
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val clicks = MemoryStream[Event]
+      val purchases = MemoryStream[Event]
+      clicks.addData(
+        Event(ts(0, 30), 1, "click", 1.0),
+        Event(ts(2, 30), 1, "click", 2.0),
+        Event(ts(0, 50), 2, "click", 3.0))
+      purchases.addData(
+        Event(ts(1, 0), 1, "purchase", 100.0),
+        Event(ts(3, 0), 2, "purchase", 200.0))
+      val q = EventStreams.runToMemoryQuery(
+        EventStreams.clickPurchaseAttribution(clicks.toDF(), purchases.toDF()),
+        "attribution_rocks", OutputMode.Append())
+      try {
+        q.processAllAvailable()
+        val progress = q.lastProgress
+        assert(progress.stateOperators.exists(
+          _.customMetrics.keySet.toArray.exists(_.toString.contains("rocksdb"))),
+          s"no rocksdb metrics in progress: ${progress.json}")
+      } finally q.stop()
+      val got = spark.table("attribution_rocks")
+        .select("user_id", "click_value", "purchase_value").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      assert(got.toSeq == Seq((1L, 1.0, 100.0)))
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("stream-stream interval join: purchases attribute to in-window clicks only") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
