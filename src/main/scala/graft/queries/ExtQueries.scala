@@ -1091,6 +1091,8 @@ object ExtQueries {
       s, dir, streamWorkDir("graft_sessions_stream", dir), gap = "6 hours")
     s.read.parquet(out)
       .filter(col("user_id") >= 0) // drop the watermark-flush sentinel user
+      .select(col("session_start"), col("session_end"), col("user_id"),
+        col("n_events"), col("sum_value")) // shed the batch_id provenance
       .orderBy("user_id", "session_start")
   }
 

@@ -304,8 +304,9 @@ object EventStreams {
     * arbitrary watermarked streaming aggregation over it as a FILE
     * STREAM (one file per micro-batch, append mode — the production
     * contract: results emit exactly once, when the watermark closes
-    * them), and append each batch to `workDir/out` as parquet for a
-    * DuckDB batch oracle to hash-check. Factored out of the r10
+    * them), and land each batch in `workDir/out/batch_id=N` as parquet
+    * (idempotent per batchId — restart-safe) for a DuckDB batch oracle
+    * to hash-check. Factored out of the r10
     * sessionization bridge so every bridge gate (sessions, windowed
     * CMS, …) reuses one staging discipline.
     *
@@ -349,12 +350,18 @@ object EventStreams {
       srcDir: String,
       workDir: String,
       buildQuery: DataFrame => DataFrame,
-      statePartitions: Int = 8): String = {
+      statePartitions: Int = 8,
+      resume: Boolean = false,
+      interruptAfterBatches: Option[Int] = None): String = {
     import java.nio.file.{Files, Path}
     import java.util.Comparator
     import org.apache.spark.sql.streaming.Trigger
     val root = Path.of(workDir)
-    if (Files.exists(root))
+    // `resume = true` continues an interrupted run from its checkpoint
+    // (exactly-once restart: committed batches are skipped, the
+    // in-flight one replays into its own overwritten partition);
+    // a fresh run wipes the previous out + checkpoint first
+    if (!resume && Files.exists(root))
       scala.util.Using.resource(Files.walk(root))(
         _.sorted(Comparator.reverseOrder[Path]())
           .forEach(p => Files.deleteIfExists(p)))
@@ -382,17 +389,41 @@ object EventStreams {
     val shufKey = "spark.sql.shuffle.partitions"
     val prevShuf = spark.conf.get(shufKey)
     spark.conf.set(shufKey, statePartitions.toString)
+    // test-only failure injection: stop() the query after N committed
+    // batches, simulating a mid-stream crash for the restart proof
+    val interruptListener = interruptAfterBatches.map { n =>
+      val seen = new java.util.concurrent.atomic.AtomicInteger(0)
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+          if (seen.incrementAndGet() == n)
+            spark.streams.get(e.progress.id).stop()
+      }
+    }
+    interruptListener.foreach(spark.streams.addListener)
     try {
       val q = buildQuery(stream).writeStream
         .outputMode(OutputMode.Append())
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.write.mode("append").parquet(out)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          // idempotent per batchId: a batch replayed after a crash +
+          // restart OVERWRITES its own partition instead of appending
+          // a duplicate — the exactly-once contract foreachBatch
+          // leaves to its handler. Readers see batch_id as a
+          // provenance partition column.
+          batch.write.mode("overwrite").parquet(s"$out/batch_id=$id")
         }
         .start()
       q.awaitTermination()
-    } finally spark.conf.set(shufKey, prevShuf)
+    } finally {
+      interruptListener.foreach(spark.streams.removeListener)
+      spark.conf.set(shufKey, prevShuf)
+    }
     out
   }
 

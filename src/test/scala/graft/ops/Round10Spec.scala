@@ -115,6 +115,8 @@ class Round10Spec extends SparkTestBase {
     val out = graft.streaming.EventStreams.sessionizeEventsDirToParquet(
       spark, src, tmpDir("sessions_stream_work"), gap = "6 hours")
     val streamed = spark.read.parquet(out).filter(col("user_id") >= 0)
+      .select("session_start", "session_end", "user_id",
+        "n_events", "sum_value") // shed the batch_id provenance column
     val batch = graft.sources.Tables.events(spark, src)
       .groupBy(session_window(col("ts"), "6 hours"), col("user_id"))
       .agg(count(lit(1)).as("n_events"),

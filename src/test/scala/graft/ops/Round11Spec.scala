@@ -147,6 +147,46 @@ class Round11Spec extends SparkTestBase {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("bridge restart is exactly-once: kill mid-stream, resume, identical result") {
+    // the production failure drill: stop() after 2 of the 6 replay
+    // batches (failure injection), restart from the same checkpoint,
+    // and require the final output to equal an uninterrupted run's —
+    // committed batches skip, the in-flight batch replays into its own
+    // OVERWRITTEN batch_id partition (the idempotent-sink contract)
+    def sessionQuery(stream: org.apache.spark.sql.DataFrame) =
+      stream
+        .select(col("ts"), col("user_id"), col("value"))
+        .withWatermark("ts", "0 seconds")
+        .groupBy(session_window(col("ts"), "6 hours"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          Det.dsum(col("value")).as("sum_value"))
+        .select(col("session_window.start").as("session_start"),
+          col("user_id"), col("n_events"), col("sum_value"))
+    def run(work: String, resume: Boolean, interrupt: Option[Int]) =
+      graft.streaming.EventStreams.replayEventsDirToParquet(
+        spark, Sf0001, work, sessionQuery,
+        resume = resume, interruptAfterBatches = interrupt)
+    def readBack(out: String) = spark.read.parquet(out)
+      .filter(col("user_id") >= 0)
+      .select("session_start", "user_id", "n_events", "sum_value")
+      .orderBy("user_id", "session_start").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    val workA = java.nio.file.Files
+      .createTempDirectory("graft_restart_a").toString
+    val outInterrupted = run(workA, resume = false, interrupt = Some(2))
+    val partial = readBack(outInterrupted)
+    val outResumed = run(workA, resume = true, interrupt = None)
+    val resumed = readBack(outResumed)
+    val workB = java.nio.file.Files
+      .createTempDirectory("graft_restart_b").toString
+    val clean = readBack(run(workB, resume = false, interrupt = None))
+    assert(partial.length < clean.length,
+      "the interrupt must actually cut the run short")
+    assert(resumed.nonEmpty && resumed.toSeq == clean.toSeq,
+      "resumed run diverged from the uninterrupted run")
+  }
+
   test("heavy hitters: support_guaranteed is false below the retention bound") {
     // a:16 clears 16·3 ≥ 46; b:10 (30 < 46) is below the bound — if the
     // sketch keeps it, the flag must say so. Only a's presence is
