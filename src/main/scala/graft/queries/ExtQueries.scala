@@ -84,6 +84,24 @@ object ExtQueries {
       .orderBy("batch_id", "corpus_id")
   }
 
+  /** STREAM-STATIC join hash-gated against the batch q_dedup_incremental
+    * DuckDB oracle — the FIFTH batch↔stream bridge (r11), via
+    * [[graft.streaming.DocStreams.incrementalDedupDirToParquet]]: the
+    * `doc_id % 5 == 0` new docs replayed as a file stream, band-joined
+    * in the streaming plan against the corpus index landed as a parquet
+    * table, exact-verified per micro-batch. Stateless (zero streaming
+    * state — the property that distinguishes this join taxonomy slot
+    * from the watermarked stream-stream gates).
+    */
+  def qDedupIncStream(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.streaming.DocStreams.incrementalDedupDirToParquet(
+      s, dir, streamWorkDir("graft_dedup_inc_stream", dir), threshold = 0.8)
+    s.read.parquet(out)
+      .withColumn("jac", r6(col("jac")))
+      .select(col("batch_id"), col("corpus_id"), col("jac"))
+      .orderBy("batch_id", "corpus_id")
+  }
+
   def qDedupNgram(s: SparkSession, dir: String): DataFrame = {
     val tk = docs(s, dir)
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
@@ -1277,6 +1295,7 @@ object ExtQueries {
     "q_dedup_near" -> (qDedupNear _),
     "q_dedup_ngram" -> (qDedupNgram _),
     "q_dedup_incremental" -> (qDedupIncremental _),
+    "q_dedup_inc_stream" -> (qDedupIncStream _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_simhash_pairs" -> (qDedupSimhashPairs _),
     "q_dedup_embed" -> (qDedupEmbed _),
@@ -1409,6 +1428,24 @@ object ExtQueries {
     "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a " +
       "JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash " +
       "AND a.doc_id < b.doc_id GROUP BY 1, 2)"
+
+  /** One oracle, two engine paths: the batch q_dedup_incremental gate
+    * and its streaming twin q_dedup_inc_stream (the stream-static
+    * bridge) must both reproduce this pair set exactly.
+    */
+  private lazy val dedupIncrementalOracleSql: String =
+    s"WITH $wCte, $shCte, $sigCte, $bandsCte, " +
+      "cand AS (SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS corpus_id " +
+      "FROM bands a JOIN bands b ON a.band_idx = b.band_idx " +
+      "AND a.band_hash = b.band_hash " +
+      "WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0), " +
+      "tk AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS td FROM documents) " +
+      "SELECT batch_id, corpus_id, " +
+      O.r6("len(list_intersect(tb.td, tc.td)) / len(list_distinct(list_concat(tb.td, tc.td)))") +
+      " AS jac FROM cand " +
+      "JOIN tk tb ON tb.doc_id = cand.batch_id JOIN tk tc ON tc.doc_id = cand.corpus_id " +
+      "WHERE len(list_intersect(tb.td, tc.td)) / len(list_distinct(list_concat(tb.td, tc.td))) >= 0.8 " +
+      "ORDER BY batch_id, corpus_id"
 
   private val stopList =
     "['the', 'and', 'of', 'to', 'a', 'in', 'is', 'it', 'for', 'on']"
@@ -1547,19 +1584,10 @@ object ExtQueries {
         "ORDER BY doc_a, doc_b"),
     // signatures are subset-independent (per-doc min over own shingles),
     // so one bands CTE serves both sides; the join is batch×corpus only
-    "q_dedup_incremental" ->
-      (s"WITH $wCte, $shCte, $sigCte, $bandsCte, " +
-        "cand AS (SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS corpus_id " +
-        "FROM bands a JOIN bands b ON a.band_idx = b.band_idx " +
-        "AND a.band_hash = b.band_hash " +
-        "WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0), " +
-        "tk AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS td FROM documents) " +
-        "SELECT batch_id, corpus_id, " +
-        O.r6("len(list_intersect(tb.td, tc.td)) / len(list_distinct(list_concat(tb.td, tc.td)))") +
-        " AS jac FROM cand " +
-        "JOIN tk tb ON tb.doc_id = cand.batch_id JOIN tk tc ON tc.doc_id = cand.corpus_id " +
-        "WHERE len(list_intersect(tb.td, tc.td)) / len(list_distinct(list_concat(tb.td, tc.td))) >= 0.8 " +
-        "ORDER BY batch_id, corpus_id"),
+    "q_dedup_incremental" -> dedupIncrementalOracleSql,
+    // the stream-static bridge must reproduce the BATCH incremental
+    // pair set exactly — same oracle, different engine path
+    "q_dedup_inc_stream" -> dedupIncrementalOracleSql,
     "q_dedup_clusters" ->
       (s"WITH RECURSIVE $wCte, $shCte, $sigCte, $bandsCte, $pairsCte, " +
         "vp AS (SELECT doc_a, doc_b FROM p, " +

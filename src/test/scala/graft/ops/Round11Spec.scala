@@ -187,6 +187,25 @@ class Round11Spec extends SparkTestBase {
       "resumed run diverged from the uninterrupted run")
   }
 
+  test("stream-static dedup bridge equals the batch incremental pairs at sf0.001") {
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_inc_bridge").toString
+    val out = graft.streaming.DocStreams
+      .incrementalDedupDirToParquet(spark, Sf0001, work, threshold = 0.8)
+    val streamed = spark.read.parquet(out)
+      .select("batch_id", "corpus_id", "jac")
+      .orderBy("batch_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val d = graft.sources.Tables.table(spark, Sf0001, "documents")
+    val batch = graft.ops.Dedup.incrementalNearDupPairs(
+      d.filter(col("doc_id") % 5 =!= 0),
+      d.filter(col("doc_id") % 5 === 0),
+      "doc_id", "text", threshold = 0.8)
+      .orderBy("batch_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
+  }
+
   test("heavy hitters: support_guaranteed is false below the retention bound") {
     // a:16 clears 16·3 ≥ 46; b:10 (30 < 46) is below the bound — if the
     // sketch keeps it, the flag must say so. Only a's presence is
