@@ -39,6 +39,18 @@ import graft.util.Sessions
   * for the first dedup-family query), which a long-running cluster pays
   * once per executor lifetime, not per query.
   *
+  * Noise robustness (round 12): this host's hypervisor steals CPU in
+  * bursts (SCALE.md §10m/§10p — adjacent same-jar runs differed 10–25%
+  * with different queries spiking each time), so queries whose first
+  * timed run exceeds SPARK_GRAFT_BENCH_REPEAT_SEC (default 2 s) are
+  * re-run twice and their OFFICIAL number (the `queries` map and
+  * `total`) is the min of the three — round-over-round comparisons
+  * cite t_min. `query_stats` carries per-repeated-query
+  * t_min/t_med/spread/steal_pct and the top level carries the
+  * whole-run `steal_pct`, so a contended host is machine-visible in
+  * the artifact itself. NOTE: totals from rounds ≤11 summed single
+  * runs — compare those to r12+ per-query t_min, not to `value`.
+  *
   * A failing stage or query records its wall-clock AND an entry in the
   * JSON's `errors` map — a regression can't hide inside a plausible
   * timing. `train_gbt` times the reference-config fare-model fit at the
@@ -51,12 +63,33 @@ import graft.util.Sessions
   * pollute query timings.
   */
 object Bench {
+
+  /** One /proc/stat cpu-line snapshot: (steal jiffies, total jiffies).
+    * Steal is the hypervisor-contention counter — jiffies this guest's
+    * runnable vCPUs spent waiting for physical CPU. None off-Linux.
+    */
+  private def cpuStat(): Option[(Long, Long)] =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val f = src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+        Some((if (f.length > 7) f(7) else 0L, f.sum))
+      } finally src.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Steal percentage between two snapshots (None when unmeasurable). */
+  private def stealPct(
+      a: Option[(Long, Long)], b: Option[(Long, Long)]): Option[Double] =
+    for ((s0, t0) <- a; (s1, t1) <- b if t1 > t0)
+      yield 100.0 * (s1 - s0) / (t1 - t0)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.get("graft-bench", s"local[$cpus]", cpus.toInt)
     val times = mutable.LinkedHashMap[String, Double]()
     val errors = mutable.LinkedHashMap[String, String]()
+    val benchStat0 = cpuStat()
     def timed[A](name: String)(f: => A): Option[A] = {
       val t0 = System.nanoTime()
       val res =
@@ -202,6 +235,24 @@ object Bench {
     // q_agg 0.39 s clean vs 4.1 s when timed against dirty pages)
     new ProcessBuilder("sync").inheritIO().start().waitFor()
 
+    // Noise-robust per-query protocol (r12, VERDICT r11 task 1): this
+    // host shows hypervisor CPU-steal bursts — adjacent same-jar runs
+    // differed 10–25% total with DIFFERENT queries spiking each run
+    // (SCALE.md §10m/§10p), which made every round-over-round perf
+    // comparison a prose adjudication. Queries whose first timed run
+    // exceeds the repeat threshold (default 2 s — below it, spread is
+    // JVM jitter, not worth 2× wall-clock) run twice more; the OFFICIAL
+    // number (`queries` map, `total`) is t_min — the run least polluted
+    // by external contention, the one SCALE.md comparisons cite — and
+    // t_med / spread (t_max − t_min) / the steal% measured across the
+    // repeats land in `query_stats`, so a future noise episode is
+    // machine-visible (high spread + high steal on unchanged code)
+    // instead of a judgment call.
+    val repeatThreshold =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT_SEC", "2.0").toDouble
+    val queryStats = mutable.LinkedHashMap[String, String]()
+    def fmtS(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (name != "q_e2e") {
         try fn(spark, sfDir).count() // untimed codegen/JIT warm-up pass
@@ -212,8 +263,29 @@ object Bench {
         // is for JIT/codegen state, not cache warmth — op-internal
         // caches rebuilt by the timed run are part of its honest cost)
         clearCaches()
+        val st0 = cpuStat()
         timed(name)(fn(spark, sfDir).count())
         clearCaches()
+        if (!errors.contains(name) && times(name) > repeatThreshold) {
+          val runs = mutable.ArrayBuffer(times(name))
+          for (_ <- 1 to 2) {
+            val t0 = System.nanoTime()
+            try {
+              fn(spark, sfDir).count()
+              runs += (System.nanoTime() - t0) / 1e9
+            } catch { case scala.util.control.NonFatal(_) => () }
+            clearCaches()
+          }
+          val steal = stealPct(st0, cpuStat())
+          val sorted = runs.sorted
+          times(name) = sorted.head
+          queryStats(name) =
+            s"""{"t_min":${fmtS(sorted.head)},""" +
+              s""""t_med":${fmtS(sorted(sorted.size / 2))},""" +
+              s""""spread":${fmtS(sorted.last - sorted.head)}""" +
+              steal.map(s => s""","steal_pct":${fmtS(s)}""").getOrElse("") +
+              "}"
+        }
       }
     }
 
@@ -239,24 +311,35 @@ object Bench {
     // comparable figure.
     def fmt3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // MIN-OF-3 (r12, VERDICT r11 task 7): three independent 200-request
+    // sweeps; the official p50/p99/max are the per-statistic minima
+    // across sweeps (the convention BASELINE.md names — latency floors,
+    // the least contention-polluted view of the serving path), with
+    // every sweep's p50 kept in `p50_runs` so the spread stays visible.
     val serveJson = gbtBoth.map { case (model, _) =>
       import graft.serve.Scoring
       def req(i: Int) = Scoring.ScoringRequest(
         0.5 + (i % 40) * 0.25, 5.0 + (i % 30), 1 + i % 4, i % 24, 1 + i % 2)
       (0 until 20).foreach(i => Scoring.predict(spark, model, req(i)))
       val n = 200
-      val lat = Array.ofDim[Double](n)
-      var i = 0
-      while (i < n) {
-        val t0 = System.nanoTime()
-        Scoring.predict(spark, model, req(i))
-        lat(i) = (System.nanoTime() - t0) / 1e6
-        i += 1
+      val sweeps = (0 until 3).map { _ =>
+        val lat = Array.ofDim[Double](n)
+        var i = 0
+        while (i < n) {
+          val t0 = System.nanoTime()
+          Scoring.predict(spark, model, req(i))
+          lat(i) = (System.nanoTime() - t0) / 1e6
+          i += 1
+        }
+        java.util.Arrays.sort(lat)
+        def pct(p: Double) = lat(math.min(n - 1, math.ceil(p * n).toInt - 1))
+        (pct(0.50), pct(0.99), lat(n - 1))
       }
-      java.util.Arrays.sort(lat)
-      def pct(p: Double) = lat(math.min(n - 1, math.ceil(p * n).toInt - 1))
-      s""""serve_ms":{"n":$n,"p50":${fmt3(pct(0.50))},""" +
-        s""""p99":${fmt3(pct(0.99))},"max":${fmt3(lat(n - 1))}},"""
+      s""""serve_ms":{"n":$n,"sweeps":3,""" +
+        s""""p50":${fmt3(sweeps.map(_._1).min)},""" +
+        s""""p99":${fmt3(sweeps.map(_._2).min)},""" +
+        s""""max":${fmt3(sweeps.map(_._3).min)},""" +
+        sweeps.map(s => fmt3(s._1)).mkString(""""p50_runs":[""", ",", "]},")
     }.getOrElse("")
 
     // full escaping via Json.quote: a bare replace would pass raw
@@ -280,6 +363,16 @@ object Bench {
     val readRunsJson =
       if (readRuns.isEmpty) ""
       else readRuns.mkString(""""read_runs":[""", ",", "],")
+    // whole-run hypervisor-steal figure: the single number that says
+    // whether THIS run's host was quiet (≈0%) or contended — read next
+    // to per-query spread before calling any delta a regression
+    val runStealJson = stealPct(benchStat0, cpuStat())
+      .map(s => s""""steal_pct":${fmt3(s)},""").getOrElse("")
+    val queryStatsJson =
+      if (queryStats.isEmpty) ""
+      else queryStats
+        .map { case (k, v) => s""""$k":$v""" }
+        .mkString(""""query_stats":{""", ",", "},")
     // fit/evaluate breakdown of train_gbt (round-6 verdict item 8) —
     // kept OUT of `times` so `total` doesn't double-count the stage
     val gbtStagesJson =
@@ -289,7 +382,7 @@ object Bench {
         .mkString(""""gbt_stages":{""", ",", "},")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""errors":${jmap(errors)},"slice_rows":$sliceRows,$readRunsJson$gbtStagesJson$serveJson$gbtStats"sf":"$sfDir"}"""
+        s""""errors":${jmap(errors)},"slice_rows":$sliceRows,$runStealJson$queryStatsJson$readRunsJson$gbtStagesJson$serveJson$gbtStats"sf":"$sfDir"}"""
     // every stage/query at full precision → BENCH_full.json (the
     // cross-round comparison artifact; SPARK_GRAFT_BENCH_OUT overrides;
     // empty disables)
@@ -314,8 +407,26 @@ object Bench {
     val restEntries = ok.toSeq.filterNot(e => stageKeys.contains(e._1))
       .sortBy(-_._2).map { case (k, v) => s""""$k":${d3(v)}""" }
     val prefix = s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":"""
+    // the compact line carries min/med/spread/steal for the SLOWEST
+    // repeated queries (capped — the full map is in BENCH_full.json):
+    // those are exactly the entries a round-over-round comparison
+    // audits, so the driver's BENCH_r{N}.json stdout tail is enough to
+    // distinguish host noise from a plan regression
+    val compactStats = {
+      val entries = queryStats.toSeq
+        .sortBy { case (k, _) => -ok.getOrElse(k, 0.0) }
+        .map { case (k, v) => s""""$k":$v""" }
+      val cap = 700
+      val picked = mutable.ArrayBuffer.empty[String]
+      var used = 0
+      entries.foreach { e =>
+        if (used + e.length + 1 <= cap) { picked += e; used += e.length + 1 }
+      }
+      if (picked.isEmpty) ""
+      else picked.mkString(""""query_stats":{""", ",", "},")
+    }
     def suffixStr(omitted: Int) =
-      s""","errors":${jmap(errors)},"slice_rows":$sliceRows,$serveJson$gbtStats""" +
+      s""","errors":${jmap(errors)},"slice_rows":$sliceRows,$runStealJson$compactStats$serveJson$gbtStats""" +
         s""""queries_omitted":$omitted,"full":"BENCH_full.json","sf":"$sfDir"}"""
     val budget = 1900 - prefix.length - suffixStr(9999).length - 2 // {}
     val picked = scala.collection.mutable.ArrayBuffer(stageEntries: _*)

@@ -36,7 +36,56 @@ object ScaleTune {
     case "ivfpq"  => ivfpq(args(1), args(2).toInt)
     case "dbscan" => dbscan(args(1), args(2).toInt, args(3).toInt,
       args(4).toDouble)
+    case "pq"     => pqSweep(args(1), args(2).toInt)
     case other => sys.error(s"unknown ScaleTune mode: $other")
+  }
+
+  /** PQ-resolution sweep (r12, VERDICT r11 task 5): §10k measured the
+    * COARSE knob (nlist ∝ √N) and left the PQ codebook resolution
+    * flagged — ADC recall ≈ 0.1 at m=8/k=16 is priced per byte, not
+    * per cell. This mode sweeps m ∈ {8,16,32} × k ∈ {16,256} at one
+    * scale and reports, per combination: end-to-end wall (train +
+    * encode + IVFPQ search, the gate's pipeline with only the codebook
+    * shape swapped), code size (m·log₂k bits/vector — the memory the
+    * sketch actually costs at 100 TB, where raw d=64 float vectors are
+    * 256 bytes), and ADC recall@10 vs exact brute-force cosine. The
+    * gate itself stays at m=8/k=16 — hash determinism pins it — this
+    * is the production-sizing evidence beside it.
+    *
+    * Usage: runMain graft.ScaleTune pq <sfDir> <stride>
+    */
+  def pqSweep(dir: String, stride: Int): Unit = {
+    val spark = graft.util.Sessions.get("graft-scaletune", "local[32]", 32)
+    val emb = graft.sources.Tables.table(spark, dir, "embeddings")
+    val n = emb.count()
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val qd = queries.select(col("qid"), col("qv").as("qe"))
+    val cd = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val exact = Similarity.cosineTopK(qd, cd, k = 10, scoreRounding = Det.r6)
+      .cache()
+    exact.count()
+    for (m <- Seq(8, 16, 32); k <- Seq(16, 256)) {
+      val t0 = System.nanoTime()
+      val cb = ProductQuantization.train(emb, "vec_id", "embedding",
+        m = m, k = k, iters = 2)
+      val codes = ProductQuantization.encode(emb, "vec_id", "embedding", cb, m = m)
+      val approx = ProductQuantization.ivfPqTopK(emb, "vec_id", "embedding",
+        codes, cb, queries, m = m, topK = 10, stride = stride, nProbe = 2)
+      approx.count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val adcRec = Similarity.recallAtK(
+        approx.filter(col("qid") =!= col("cid")), exact)
+        .agg(avg(col("recall")).as("mean"), min(col("recall")).as("min"))
+        .head()
+      val bits = m * (math.log(k) / math.log(2)).round
+      println(f"""{"dir":"$dir","n":$n,"stride":$stride,"m":$m,"k":$k,""" +
+        f""""bits_per_vec":$bits,"bytes_per_vec":${bits / 8.0}%.1f,""" +
+        f""""pq_secs":$secs%.3f,""" +
+        f""""adc_recall_mean":${adcRec.getDouble(0)}%.4f,""" +
+        f""""adc_recall_min":${adcRec.getDouble(1)}%.4f}""")
+    }
+    spark.stop()
   }
 
   /** Constant-density dbscan decade point (VERDICT r10 task 8): the

@@ -244,18 +244,29 @@ object DriftQueries {
         "FROM tf JOIN dfq USING (t) JOIN dl USING (doc_id), stats) " +
         "SELECT doc_id, " + O.r6(dsumT("s")) + " AS score FROM terms " +
         "GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20"),
-    "q_containment" -> // brute force over all ordered pairs
+    // inverted-index respelling (r12, VERDICT r11 task 2; §10n
+    // precedent): the former `s a, s b` row×row spelling spilled
+    // unbounded at sf1. Any pair with containment ≥ 0.8 > 0 shares a
+    // shingle, so unnest → equi-join on the shingle → group-count IS
+    // |a ∩ b| (shingle lists are list_distinct), and the candidate set
+    // is bounded by Σ df² — the engine's own index shape — instead of
+    // n². Ordered pairs (<>) and cont = inter / |a| are unchanged.
+    "q_containment" ->
       ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS w " +
         "FROM documents), " +
         "s AS (SELECT doc_id, list_distinct(list_transform(" +
         "range(greatest(len(w) - 2, 0)), " +
         "j -> w[j+1] || ' ' || w[j+2] || ' ' || w[j+3])) AS sh " +
-        "FROM w WHERE len(w) >= 3) " +
-        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
-        O.r6("CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh)") +
-        " AS cont FROM s a, s b " +
-        "WHERE a.doc_id <> b.doc_id AND len(a.sh) > 0 " +
-        "AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) " +
-        ">= 0.8 ORDER BY id_a, id_b"),
+        "FROM w WHERE len(w) >= 3), " +
+        "sz AS (SELECT doc_id, len(sh) AS n FROM s WHERE len(sh) > 0), " +
+        "tok AS (SELECT doc_id, unnest(sh) AS t FROM s), " +
+        "pc AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "count(*) AS inter FROM tok a JOIN tok b ON a.t = b.t " +
+        "AND a.doc_id <> b.doc_id GROUP BY 1, 2) " +
+        "SELECT id_a, id_b, " +
+        O.r6("CAST(inter AS DOUBLE) / na.n") + " AS cont " +
+        "FROM pc JOIN sz na ON id_a = na.doc_id " +
+        "WHERE CAST(inter AS DOUBLE) / na.n >= 0.8 " +
+        "ORDER BY id_a, id_b"),
   )
 }

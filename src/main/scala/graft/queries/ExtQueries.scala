@@ -1096,13 +1096,19 @@ object ExtQueries {
     * timed runs keeps the wipe idempotent; the registry is
     * driver-single-threaded.
     */
-  private def streamWorkDir(prefix: String, dir: String): String = {
-    val pathKey = java.security.MessageDigest.getInstance("MD5")
+  private def streamWorkDir(prefix: String, dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/${prefix}_" +
+      pathDigest(dir) + "_" + ProcessHandle.current().pid()
+
+  /** Collision-resistant key for a dataset directory (String.hashCode
+    * collides trivially; two dirs sharing a key would silently serve
+    * one dir's artifacts — temp tables, scratch dirs — to the other's
+    * gate). MD5 of the normalized absolute path, 16 hex chars.
+    */
+  private def pathDigest(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
       .digest(java.nio.file.Path.of(dir).toAbsolutePath.normalize.toString
         .getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
-    s"${System.getProperty("java.io.tmpdir")}/${prefix}_" +
-      pathKey + "_" + ProcessHandle.current().pid()
-  }
 
   def qSessionsStream(s: SparkSession, dir: String): DataFrame = {
     val out = graft.streaming.EventStreams.sessionizeEventsDirToParquet(
@@ -1112,6 +1118,47 @@ object ExtQueries {
       .select(col("session_start"), col("session_end"), col("user_id"),
         col("n_events"), col("sum_value")) // shed the batch_id provenance
       .orderBy("user_id", "session_start")
+  }
+
+  /** CUSTOM-STATE streaming sessionization hash-gated against the SAME
+    * DuckDB islands oracle as q_sessions_stream — the SIXTH
+    * batch↔stream bridge (r12, VERDICT r11 task 4), via
+    * [[graft.streaming.EventStreams.sessionizeFmgsEventsDirToParquet]]:
+    * the flatMapGroupsWithState sessionizer (event-time timers,
+    * emit-on-close) rather than the declarative `session_window`
+    * aggregate. Passing both gates against one oracle proves the two
+    * mechanisms — watermark-committed window state vs timer-evicted
+    * custom state — produce the identical session relation. The
+    * Double-accumulated sum is rounded at 6 dp here (per-user fold
+    * order is total under replay; see the bridge's scaladoc), where
+    * the oracle's decimal sum of 2-dp terms is exactly representable.
+    */
+  def qSessionsFmgs(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.streaming.EventStreams.sessionizeFmgsEventsDirToParquet(
+      s, dir, streamWorkDir("graft_sessions_fmgs", dir))
+    s.read.parquet(out)
+      .filter(col("user_id") >= 0) // drop the watermark-flush sentinel user
+      .select(col("session_start"), col("session_end"), col("user_id"),
+        col("n_events"), r6(col("sum_value")).as("sum_value"))
+      .orderBy("user_id", "session_start")
+  }
+
+  /** WATERMARKED streaming dedup hash-gated against a batch DISTINCT
+    * oracle — the SEVENTH batch↔stream bridge (r12, VERDICT r11 task
+    * 4), via [[graft.streaming.EventStreams.dedupStreamEventsDirToParquet]]:
+    * `dropDuplicatesWithinWatermark` on (user_id, event_type, day)
+    * with a delay wider than the fixture span, so the streamed result
+    * must equal the global batch distinct. Key columns only — the
+    * surviving row's payload is batch-order dependent and outside the
+    * operator's contract.
+    */
+  def qDedupStreamWm(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.streaming.EventStreams.dedupStreamEventsDirToParquet(
+      s, dir, streamWorkDir("graft_dedup_stream_wm", dir))
+    s.read.parquet(out)
+      .filter(col("user_id") >= 0) // drop the watermark-flush sentinel user
+      .select(col("user_id"), col("event_type"), col("day"))
+      .orderBy("user_id", "event_type", "day")
   }
 
   /** STREAMING windowed count-min sketch hash-gated against a batch
@@ -1251,7 +1298,7 @@ object ExtQueries {
 
   def qBucketJoin(s: SparkSession, dir: String): DataFrame = {
     val (liTable, ordTable) = bucketTablesFor.computeIfAbsent(dir, { _ =>
-      val suffix = (dir.hashCode.toLong & 0xFFFFFFFFL).toString
+      val suffix = pathDigest(dir)
       val (li, ord) = (s"graft_b_lineitem_$suffix", s"graft_b_orders_$suffix")
       val base = java.nio.file.Files
         .createTempDirectory("graft_bucket").toString
@@ -1328,6 +1375,8 @@ object ExtQueries {
     "q_text_knn" -> (qTextKnn _),
     "q_sessions" -> (qSessions _),
     "q_sessions_stream" -> (qSessionsStream _),
+    "q_sessions_fmgs" -> (qSessionsFmgs _),
+    "q_dedup_stream_wm" -> (qDedupStreamWm _),
     "q_cms_stream" -> (qCmsStream _),
     "q_attr_stream" -> (qAttrStream _),
     "q_attr_stream_outer" -> (qAttrStreamOuter _),
@@ -2195,6 +2244,14 @@ object ExtQueries {
     // the streaming bridge must reproduce the BATCH sessions exactly —
     // same oracle, different engine path
     "q_sessions_stream" -> sessionsOracleSql,
+    // the custom-state (flatMapGroupsWithState) sessionizer must equal
+    // the session_window bridge relation — one oracle, two mechanisms
+    "q_sessions_fmgs" -> sessionsOracleSql,
+    // streamed dropDuplicatesWithinWatermark with delay > span ⇒ the
+    // global batch distinct on the dedup key
+    "q_dedup_stream_wm" ->
+      ("SELECT DISTINCT user_id, event_type, ts::DATE AS day FROM events " +
+        "ORDER BY user_id, event_type, day"),
     // windowed-CMS bridge: same md5 bucket recipe as q_cms (w = 64),
     // epoch-aligned hourly windows = date_trunc('hour')
     "q_cms_stream" ->

@@ -62,8 +62,8 @@ class QueriesSmokeSpec extends SparkTestBase {
     * correctness report. Update the constant when adding queries.
     */
   test("registry size is pinned (no silent gate dropouts)") {
-    assert(SparkEntry.queries.size === 244,
-      s"registry has ${SparkEntry.queries.size} queries; expected 244 — " +
+    assert(SparkEntry.queries.size === 246,
+      s"registry has ${SparkEntry.queries.size} queries; expected 246 — " +
         "if you added/removed queries update this pin deliberately")
   }
 }

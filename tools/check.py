@@ -21,6 +21,36 @@ import pyarrow.parquet as pq
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
+# Contract-aware compares (r12, VERDICT r11 task 3): for these queries
+# the gate marks its exactness domain with a boolean column — a sketch
+# whose guarantee covers only part of the output (q_heavy: Misra-Gries
+# retains a token only above N/(capacity+1); an anti-Zipf corpus can
+# push real top-k rows below that bound). Rows where the flag is true
+# must match EXACTLY (both sides filtered to the flag, then the normal
+# value compare); the remaining rows are count-matched only (total row
+# count and flagged row count both matching pins the unflagged count).
+# Queries absent from this map keep the full exact compare.
+CONTRACTS = {"q_heavy": "support_guaranteed"}
+
+
+def first_mismatch(want, got, cols):
+    """First (col, row, oracle, spark) value difference, or None."""
+    for c in cols:
+        wv = [norm(x) for x in want.column(c).to_pylist()]
+        gv = [norm(x) for x in got.column(c).to_pylist()]
+        for i, (a, b) in enumerate(zip(wv, gv)):
+            # list-typed cells: pd.isna is elementwise — compare as lists
+            if isinstance(a, list) or isinstance(b, list):
+                if [str(norm(x)) for x in (a or [])] != [str(norm(x)) for x in (b or [])]:
+                    return (c, i, a, b)
+                continue
+            na, nb = pd.isna(a), pd.isna(b)
+            if na and nb:
+                continue
+            if na != nb or str(a) != str(b):
+                return (c, i, a, b)
+    return None
+
 
 def norm(v):
     if isinstance(v, float):
@@ -94,25 +124,27 @@ def main(sfdir, outdir):
         tdiff = {c: (wt[c], gt[c]) for c in wcols if wt[c] != gt[c]}
         if tdiff:
             print(f"WARN {name}: type diff {tdiff}")
-        bad = None
-        for c in wcols:
-            wv = [norm(x) for x in want.column(c).to_pylist()]
-            gv = [norm(x) for x in got.column(c).to_pylist()]
-            for i, (a, b) in enumerate(zip(wv, gv)):
-                # list-typed cells: pd.isna is elementwise — compare as lists
-                if isinstance(a, list) or isinstance(b, list):
-                    if [str(norm(x)) for x in (a or [])] != [str(norm(x)) for x in (b or [])]:
-                        bad = (c, i, a, b)
-                        break
-                    continue
-                na, nb = pd.isna(a), pd.isna(b)
-                if na and nb:
-                    continue
-                if na != nb or str(a) != str(b):
-                    bad = (c, i, a, b)
-                    break
-            if bad:
-                break
+        contract_col = CONTRACTS.get(name)
+        if contract_col and contract_col in wcols:
+            import pyarrow.compute as pc
+            wmask = pc.fill_null(want.column(contract_col).cast("bool"), False)
+            gmask = pc.fill_null(got.column(contract_col).cast("bool"), False)
+            want_f, got_f = want.filter(wmask), got.filter(gmask)
+            if want_f.num_rows != got_f.num_rows:
+                print(f"FAIL {name}: {contract_col} rows differ: "
+                      f"oracle={want_f.num_rows} spark={got_f.num_rows}")
+                n_fail += 1
+                continue
+            bad = first_mismatch(want_f, got_f, wcols)
+            if not bad:
+                ng = want.num_rows - want_f.num_rows
+                print(f"PASS {name} ({want_f.num_rows} rows exact + {ng} "
+                      f"count-only per {contract_col} contract, "
+                      f"oracle {time.time() - t0:.1f}s)", flush=True)
+                n_pass += 1
+                continue
+        else:
+            bad = first_mismatch(want, got, wcols)
         if bad:
             c, i, a, b = bad
             print(f"FAIL {name}: col {c} row {i}: oracle={a!r} spark={b!r}")
