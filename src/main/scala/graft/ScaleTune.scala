@@ -65,6 +65,10 @@ object ScaleTune {
     val exact = Similarity.cosineTopK(qd, cd, k = 10, scoreRounding = Det.r6)
       .cache()
     exact.count()
+    // untimed warm-up: the first combination otherwise pays the whole
+    // PQ family's codegen/JIT bill and reads slower than finer configs
+    ProductQuantization.train(emb, "vec_id", "embedding",
+      m = 8, k = 16, iters = 2).count()
     for (m <- Seq(8, 16, 32); k <- Seq(16, 256)) {
       val t0 = System.nanoTime()
       val cb = ProductQuantization.train(emb, "vec_id", "embedding",
@@ -74,8 +78,22 @@ object ScaleTune {
         codes, cb, queries, m = m, topK = 10, stride = stride, nProbe = 2)
       approx.count()
       val secs = (System.nanoTime() - t0) / 1e9
+      // two recall instruments, both vs exact brute-force cosine:
+      //  - ivfpq: ADC over the IVF-pruned candidates (the gate's path)
+      //    — on clustered fixtures the small pool makes this
+      //    COARSE-limited, nearly flat in (m, k);
+      //  - full-scan ADC (ProductQuantization.topK over the whole
+      //    corpus): the instrument where codebook resolution BINDS —
+      //    coarse codes collide distant vectors into ad2 ties that
+      //    flood the top-10 (the §10k "≈0.1" figure), finer m/k
+      //    resolve them. This is the number the m/k knob buys.
       val adcRec = Similarity.recallAtK(
         approx.filter(col("qid") =!= col("cid")), exact)
+        .agg(avg(col("recall")).as("mean"), min(col("recall")).as("min"))
+        .head()
+      val fullRec = Similarity.recallAtK(
+        ProductQuantization.topK(codes, cb, queries, m = m, topK = 11)
+          .filter(col("qid") =!= col("cid")), exact)
         .agg(avg(col("recall")).as("mean"), min(col("recall")).as("min"))
         .head()
       val bits = m * (math.log(k) / math.log(2)).round
@@ -83,7 +101,9 @@ object ScaleTune {
         f""""bits_per_vec":$bits,"bytes_per_vec":${bits / 8.0}%.1f,""" +
         f""""pq_secs":$secs%.3f,""" +
         f""""adc_recall_mean":${adcRec.getDouble(0)}%.4f,""" +
-        f""""adc_recall_min":${adcRec.getDouble(1)}%.4f}""")
+        f""""adc_recall_min":${adcRec.getDouble(1)}%.4f,""" +
+        f""""fullscan_recall_mean":${fullRec.getDouble(0)}%.4f,""" +
+        f""""fullscan_recall_min":${fullRec.getDouble(1)}%.4f}""")
     }
     spark.stop()
   }
