@@ -335,10 +335,31 @@ object Bench {
         def pct(p: Double) = lat(math.min(n - 1, math.ceil(p * n).toInt - 1))
         (pct(0.50), pct(0.99), lat(n - 1))
       }
+      // fast path (r13, VERDICT r12 task 3): same request mix through
+      // Scoring.FastScorer — driver-side featurize + GBT tree walk, no
+      // per-request Catalyst analysis. Same min-of-3 convention.
+      val scorer = Scoring.fastScorer(model)
+      (0 until 20).foreach(i => scorer.predict(req(i)))
+      val fastSweeps = (0 until 3).map { _ =>
+        val lat = Array.ofDim[Double](n)
+        var i = 0
+        while (i < n) {
+          val t0 = System.nanoTime()
+          scorer.predict(req(i))
+          lat(i) = (System.nanoTime() - t0) / 1e6
+          i += 1
+        }
+        java.util.Arrays.sort(lat)
+        def pct(p: Double) = lat(math.min(n - 1, math.ceil(p * n).toInt - 1))
+        (pct(0.50), pct(0.99), lat(n - 1))
+      }
       s""""serve_ms":{"n":$n,"sweeps":3,""" +
         s""""p50":${fmt3(sweeps.map(_._1).min)},""" +
         s""""p99":${fmt3(sweeps.map(_._2).min)},""" +
         s""""max":${fmt3(sweeps.map(_._3).min)},""" +
+        s""""fast_p50":${fmt3(fastSweeps.map(_._1).min)},""" +
+        s""""fast_p99":${fmt3(fastSweeps.map(_._2).min)},""" +
+        s""""fast_max":${fmt3(fastSweeps.map(_._3).min)},""" +
         sweeps.map(s => fmt3(s._1)).mkString(""""p50_runs":[""", ",", "]},")
     }.getOrElse("")
 

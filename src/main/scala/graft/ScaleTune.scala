@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.ops.{ProductQuantization, Similarity}
@@ -37,6 +38,7 @@ object ScaleTune {
     case "dbscan" => dbscan(args(1), args(2).toInt, args(3).toInt,
       args(4).toDouble)
     case "pq"     => pqSweep(args(1), args(2).toInt)
+    case "adamic" => adamicCap(args(1), args(2).toInt)
     case other => sys.error(s"unknown ScaleTune mode: $other")
   }
 
@@ -74,8 +76,23 @@ object ScaleTune {
       val cb = ProductQuantization.train(emb, "vec_id", "embedding",
         m = m, k = k, iters = 2)
       val codes = ProductQuantization.encode(emb, "vec_id", "embedding", cb, m = m)
+      // Queries are drawn from the corpus, so a raw ADC top-10 can
+      // contain the self row (when the codebook is fine enough to rank
+      // it) — with self filtered afterwards that left only 9 true
+      // candidates vs the 10-row exact baseline (cosineTopK excludes
+      // self by construction), capping r12's reported ADC recall at
+      // 0.9. Both instruments now take top-11, drop self, and re-rank
+      // to EXACTLY the top-10 non-self — the precise mirror of exact
+      // (11-after-filter alone can leave 11 rows when the coarse
+      // codebook misses self, mildly inflating recall instead).
+      def top10NonSelf(raw: DataFrame): DataFrame =
+        raw.filter(col("qid") =!= col("cid"))
+          .withColumn("_r", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("qid")
+              .orderBy(col("ad2"), col("cid"))))
+          .filter(col("_r") <= 10)
       val approx = ProductQuantization.ivfPqTopK(emb, "vec_id", "embedding",
-        codes, cb, queries, m = m, topK = 10, stride = stride, nProbe = 2)
+        codes, cb, queries, m = m, topK = 11, stride = stride, nProbe = 2)
       approx.count()
       val secs = (System.nanoTime() - t0) / 1e9
       // two recall instruments, both vs exact brute-force cosine:
@@ -87,13 +104,13 @@ object ScaleTune {
       //    coarse codes collide distant vectors into ad2 ties that
       //    flood the top-10 (the §10k "≈0.1" figure), finer m/k
       //    resolve them. This is the number the m/k knob buys.
-      val adcRec = Similarity.recallAtK(
-        approx.filter(col("qid") =!= col("cid")), exact)
+      val adcRec = Similarity.recallAtK(top10NonSelf(approx), exact)
         .agg(avg(col("recall")).as("mean"), min(col("recall")).as("min"))
         .head()
       val fullRec = Similarity.recallAtK(
-        ProductQuantization.topK(codes, cb, queries, m = m, topK = 11)
-          .filter(col("qid") =!= col("cid")), exact)
+        top10NonSelf(
+          ProductQuantization.topK(codes, cb, queries, m = m, topK = 11)),
+        exact)
         .agg(avg(col("recall")).as("mean"), min(col("recall")).as("min"))
         .head()
       val bits = m * (math.log(k) / math.log(2)).round
@@ -186,6 +203,56 @@ object ScaleTune {
       f""""ivf_recall_min":${ivfRec.getDouble(1)}%.4f,""" +
       f""""adc_recall_mean":${adcRec.getDouble(0)}%.4f,""" +
       f""""adc_recall_min":${adcRec.getDouble(1)}%.4f}""")
+    spark.stop()
+  }
+
+  /** Priced hub-cap run for Adamic–Adar at scales where the gate's
+    * p99-derived cap (182 on the co-purchase graph) shuffles more wedge
+    * pairs than a single host's scratch disk holds (r12: sf10 died at
+    * ~0.4–0.5 TB vs 75 GB). Wedge volume scales ~cap² per center, so
+    * maxNeighborDeg ∈ {32, 64} prices the knob a production run would
+    * turn: the scores a tighter cap drops are hub-centered ≈0-signal
+    * pairs (1/log(deg) terms of max-degree centers). Reports wall,
+    * result rows, and total shuffle read/write bytes from the stage
+    * metrics — the resource the r12 run actually died on.
+    *
+    * Usage: runMain graft.ScaleTune adamic <sfDir> <cap>
+    */
+  def adamicCap(dir: String, cap: Int): Unit = {
+    val spark = graft.util.Sessions.get("graft-scaletune", "local[32]", 32)
+    val sc = spark.sparkContext
+    val shufWrite = new java.util.concurrent.atomic.AtomicLong()
+    val shufRead = new java.util.concurrent.atomic.AtomicLong()
+    sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          ev: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = ev.stageInfo.taskMetrics
+        if (m != null) {
+          shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        }
+      }
+    })
+    // edge build outside the timed window (same as the gate's
+    // checkpoint discipline): the knob under price is the wedge stage
+    val eGen = graft.util.Lineage.checkpoint(
+      graft.ops.Graphs.coOccurrenceEdges(
+        graft.sources.Tables.table(spark, dir, "lineitem"),
+        "l_orderkey", "l_partkey"))
+    val nEdges = eGen.df.count()
+    val w0 = shufWrite.get(); val r0 = shufRead.get()
+    val t0 = System.nanoTime()
+    val out = graft.ops.Graphs.adamicAdar(
+      eGen.df, maxNeighborDeg = cap, topK = 50)
+    val rows = out.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    // listener events drain asynchronously (listenerBus is
+    // spark-private); a bounded settle is enough for a one-line report
+    Thread.sleep(2000)
+    println(f"""{"dir":"$dir","cap":$cap,"edges":$nEdges,"rows":$rows,""" +
+      f""""adamic_secs":$secs%.1f,""" +
+      f""""shuffle_write_gb":${(shufWrite.get() - w0) / 1e9}%.2f,""" +
+      f""""shuffle_read_gb":${(shufRead.get() - r0) / 1e9}%.2f}""")
     spark.stop()
   }
 }

@@ -43,4 +43,12 @@ object SparkEntry {
       ScaleQueries.oracleSql ++ SelectionQueries.oracleSql ++ TpchDeepQueries.oracleSql ++
       DriftQueries.oracleSql ++ MiningQueries.oracleSql ++ EvalQueries.oracleSql ++
       StructuralQueries.oracleSql ++ SignalQueries.oracleSql
+
+  /** Iterative (scripted) oracle spellings for gates whose
+    * single-statement oracle cannot run at sweep scale — dumped by
+    * Verify as `oracle_iter.json` for tools/check.py; the driver's own
+    * compare keeps using [[oracleSql]]. See [[graft.queries.IterOracle]].
+    */
+  def iterativeOracles: Map[String, graft.queries.IterOracle] =
+    MiningQueries.iterativeOracles
 }

@@ -64,6 +64,16 @@ object Verify {
     val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
+    // scripted oracle spellings (loops the single-statement form can't
+    // express without unrolling) — consumed by tools/check.py only
+    def arr(xs: Seq[String]): String = xs.map(q).mkString("[", ",", "]")
+    val iterJson = SparkEntry.iterativeOracles.filter(e => selected(e._1))
+      .map { case (k, o) =>
+        s"${q(k)}: {${q("setup")}: ${arr(o.setup)}, ${q("loop")}: ${arr(o.loop)}, " +
+          s"${q("fixpoint")}: ${q(o.fixpoint)}, ${q("max_rounds")}: ${o.maxRounds}, " +
+          s"${q("final")}: ${q(o.finalSql)}}"
+      }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_iter.json"), iterJson)
     spark.stop()
   }
 }

@@ -228,6 +228,66 @@ object Dedup {
       .select("batch_id", "corpus_id", "jac")
   }
 
+  /** Global dense rank (1-based, ordered by `idCol`) WITHOUT the
+    * single-partition window `row_number().over(Window.orderBy(id))`
+    * plans — that spelling funnels the whole table through one task.
+    * Two-stage cumulative-offset spelling instead: bucket ids by fixed
+    * width, rank within each bucket (a PARTITIONED window), and add the
+    * bucket's cumulative row offset. The only unpartitioned window runs
+    * over the bucket-count summary — one row per OCCUPIED bucket, ≪ N —
+    * and the offsets join back as a broadcast. Equals `row_number()
+    * OVER (ORDER BY id)` exactly for unique ids at any scale.
+    *
+    * `bucketWidth` trades summary size against per-bucket skew: ids
+    * clustered inside one width-sized range all land in one bucket
+    * (that bucket's window sorts them in one task). The default 2^20
+    * keeps the summary under ~10^5 rows per 10^11 of id range.
+    */
+  def denseRank(
+      df: DataFrame,
+      idCol: String,
+      rankCol: String = "rk",
+      bucketWidth: Long = 1L << 20,
+  ): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val b = df.withColumn("_b",
+      floor(col(idCol).cast("double") / lit(bucketWidth.toDouble)).cast("long"))
+    val offsets = b.groupBy("_b").agg(count(lit(1)).as("_n"))
+      .withColumn("_off", coalesce(
+        sum(col("_n")).over(w.orderBy("_b")
+          .rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .select("_b", "_off")
+    b.join(broadcast(offsets), "_b")
+      .withColumn(rankCol,
+        col("_off") + row_number().over(w.partitionBy("_b").orderBy(idCol)))
+      .drop("_b", "_off")
+  }
+
+  /** Neighbor-window n-gram Jaccard pairs: each doc against the next
+    * `window` docs in id order. Candidates come from an equi-join on a
+    * DENSIFIED rank (([[denseRank]]) + offset — never a theta join), so
+    * sparse or surrogate ids are safe: `doc_id + 3` being absent no
+    * longer silently shrinks a doc's candidate set (the raw-id spelling
+    * this replaced was a dense-id-only demonstration, SCALE.md §11).
+    */
+  def ngramNeighborPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int = 3,
+  ): DataFrame = {
+    val tk = denseRank(
+      df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks")),
+      idCol)
+    val a = tk.select(col(idCol).as("doc_a"), col("toks").as("toks_a"),
+      col("rk").as("rk_a"))
+      .withColumn("off", explode(expr(s"sequence(1, $window)")))
+      .withColumn("rk", col("rk_a") + col("off"))
+    a.join(tk.select(col(idCol).as("doc_b"), col("toks").as("toks_b"),
+      col("rk")), Seq("rk"))
+      .select(col("doc_a"), col("doc_b"), jaccard(col("toks_a"), col("toks_b")).as("jac"))
+  }
+
   /** Exact token-set Jaccard similarity between two token arrays —
     * integer set sizes, one double division (deterministic).
     */

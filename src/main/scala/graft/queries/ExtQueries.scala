@@ -102,19 +102,16 @@ object ExtQueries {
       .orderBy("batch_id", "corpus_id")
   }
 
-  def qDedupNgram(s: SparkSession, dir: String): DataFrame = {
-    val tk = docs(s, dir)
-      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
-    // bounded id-window candidates via equi-join on doc_id+offset (no
-    // theta join: stays a shuffled hash join at scale)
-    val a = tk.toDF("doc_a", "toks_a")
-      .withColumn("off", explode(expr("sequence(1, 3)")))
-      .withColumn("doc_b", col("doc_a") + col("off"))
-    a.join(tk.toDF("doc_b", "toks_b"), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        r6(Dedup.jaccard(col("toks_a"), col("toks_b"))).as("jac"))
+  /** Bounded neighbor-window candidates via equi-join on a DENSIFIED
+    * rank + offset ([[Dedup.ngramNeighborPairs]]): no theta join (stays
+    * a shuffled hash join at scale) and safe on sparse/surrogate ids —
+    * the r12 raw-id spelling missed neighbors wherever `doc_id + k`
+    * didn't exist (SCALE.md §11, closed r13).
+    */
+  def qDedupNgram(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramNeighborPairs(docs(s, dir), "doc_id", "text", window = 3)
+      .withColumn("jac", r6(col("jac")))
       .orderBy("doc_a", "doc_b")
-  }
 
   /** SimHash fingerprints, emitted as the 16-hex-char form so the DuckDB
     * oracle can rebuild them bit-by-bit from `md5(token)` without 64-bit
@@ -1818,11 +1815,14 @@ object ExtQueries {
           .mkString("(", " | ", ")") + " AS z " +
         "FROM (SELECT event_id, user_id % 1024 AS xb, event_id % 1024 AS yb " +
         "FROM events) ORDER BY event_id"),
+    // rank-densified neighbor window (row_number, not raw id offsets):
+    // matches Dedup.ngramNeighborPairs on sparse ids too
     "q_dedup_ngram" ->
-      ("WITH tk AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS td FROM documents) " +
+      ("WITH tk AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rk, " +
+        "list_distinct(string_split(text, ' ')) AS td FROM documents) " +
         "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
         O.r6("len(list_intersect(a.td, b.td)) / len(list_distinct(list_concat(a.td, b.td)))") +
-        " AS jac FROM tk a JOIN tk b ON b.doc_id - a.doc_id BETWEEN 1 AND 3 " +
+        " AS jac FROM tk a JOIN tk b ON b.rk - a.rk BETWEEN 1 AND 3 " +
         "ORDER BY doc_a, doc_b"),
     "q_dedup_simhash" -> (simhashHexSelect + " ORDER BY doc_id"),
     // banded pairs + exact Hamming over the same hex fingerprints: band

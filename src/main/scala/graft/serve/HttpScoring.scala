@@ -119,6 +119,14 @@ object HttpScoring {
     */
   def start(spark: SparkSession, model: PipelineModel, port: Int): HttpServer = {
     val server = HttpServer.create(new InetSocketAddress(port), 0)
+    // -Dgraft.serve.fast=true flips /predict onto the driver-side
+    // featurize-and-score path (Scoring.FastScorer, ~µs of tree walks);
+    // default stays the reference-parity 1-row transform. Predictions
+    // are bit-for-bit identical (TrainerSpec pins it).
+    val fast: Option[Scoring.FastScorer] =
+      if (sys.props.get("graft.serve.fast").contains("true"))
+        Some(Scoring.fastScorer(model))
+      else None
 
     def respond(ex: HttpExchange, code: Int, json: String): Unit = {
       val bytes = json.getBytes(UTF_8)
@@ -137,7 +145,7 @@ object HttpScoring {
           parseRequest(body) match {
             case Left(err) => respond(ex, 400, Json.obj("error" -> err))
             case Right(req) =>
-              val pred = Scoring.predict(spark, model, req)
+              val pred = fast.fold(Scoring.predict(spark, model, req))(_.predict(req))
               respond(ex, 200, Json.obj("prediction_total_amount" -> pred))
           }
         }

@@ -267,6 +267,21 @@ object EventStreams {
     * State per user is one fixed-size record; the watermark bounds how
     * long a silent user's record lives. At 100 TB-of-stream the state
     * store scales with ACTIVE users, not history.
+    *
+    * Boundary semantics match the batch ISLANDS oracle exactly: merge
+    * on STRICT `t - last < gap` (an event landing exactly `gap` later
+    * opens a new session — the oracle breaks at `diff >= gap`), and a
+    * merge takes min(start, t) as well as max(last, t) so any
+    * in-watermark arrival order yields the right session_start. Note
+    * Spark's built-in `session_window` differs at that measure-zero
+    * boundary (touching `[t, t+gap)` windows COALESCE — EventStreamsSpec
+    * pins both behaviors); this operator follows the oracle its gate
+    * replays. Remaining contract: the
+    * state is ONE open session per user, so an in-watermark event older
+    * than `start - gap` (a distinct EARLIER session arriving after a
+    * later one opened) merges instead of forming its own session —
+    * full generality there needs interval-set state; under event-time-
+    * ordered replay (the bridge contract) the case cannot occur.
     */
   def sessionize(
       events: Dataset[Event],
@@ -294,8 +309,19 @@ object EventStreams {
             sorted.foreach { e =>
               val t = tsMicros(e.ts)
               open match {
-                case Some(s) if t - s.lastUs <= gapUs =>
-                  open = Some(s.copy(lastUs = math.max(s.lastUs, t),
+                // STRICT <: an event exactly `gap` after the last one
+                // starts a NEW session — `session_window` merges only
+                // when the next start is strictly before last + gap,
+                // and the batch islands oracle breaks at
+                // `t - lag(t) >= gap`. `<=` here would silently merge
+                // boundary-landing events and diverge from both.
+                case Some(s) if t - s.lastUs < gapUs =>
+                  // min on startUs too: an in-watermark arrival older
+                  // than the open session's start must extend the
+                  // session backwards, or session_start diverges from
+                  // batch session_window under out-of-order replay.
+                  open = Some(s.copy(startUs = math.min(s.startUs, t),
+                    lastUs = math.max(s.lastUs, t),
                     nEvents = s.nEvents + 1, sumValue = s.sumValue + e.value))
                 case Some(s) =>
                   close(s)
@@ -603,29 +629,95 @@ object EventStreams {
       .toDF("ts", "user_id", "event_type", "value"))
     writeSlice(Seq((new Timestamp(maxMs + 31 * dayMs), -1L, "_sentinel", 0.0))
       .toDF("ts", "user_id", "event_type", "value"))
-    // complete the build (marker INSIDE, so it travels with the rename),
-    // then publish atomically: the winner's rename succeeds, a loser
-    // adopts whatever complete stage now sits at stageRoot
+    // complete the build (markers INSIDE, so they travel with the
+    // rename), then publish atomically: the winner's rename succeeds,
+    // a loser adopts whatever complete stage now sits at stageRoot.
+    // `_SOURCE` records the staged source path so stale stages for the
+    // SAME source (the digest covers file mtimes, so every fixture
+    // regeneration keys a fresh dir) can be pruned instead of orphaned.
+    Files.writeString(buildRoot.resolve("_SOURCE"), srcKey)
     Files.createFile(buildRoot.resolve("_STAGED"))
-    try Files.move(buildRoot, stageRoot,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    catch {
+    def wipe(root: Path): Unit =
+      scala.util.Using.resource(Files.walk(root))(
+        _.sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p)))
+    def publish(): Unit =
+      Files.move(buildRoot, stageRoot,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    val raceFailure: PartialFunction[Throwable, Boolean] = {
       case _: java.nio.file.FileAlreadyExistsException |
            _: java.nio.file.DirectoryNotEmptyException |
-           _: java.nio.file.AccessDeniedException =>
-        if (!Files.exists(stageRoot.resolve("_STAGED"))) {
-          // marker-less leftover from a dead pre-publish JVM: replace it
-          scala.util.Using.resource(Files.walk(stageRoot))(
-            _.sorted(Comparator.reverseOrder[Path]())
-              .forEach(p => Files.deleteIfExists(p)))
-          Files.move(buildRoot, stageRoot,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        } else
-          scala.util.Using.resource(Files.walk(buildRoot))(
-            _.sorted(Comparator.reverseOrder[Path]())
-              .forEach(p => Files.deleteIfExists(p)))
+           _: java.nio.file.AccessDeniedException => true
     }
+    try publish()
+    catch {
+      case e: Throwable if raceFailure.applyOrElse(e, (_: Throwable) => false) =>
+        if (!Files.exists(stageRoot.resolve("_STAGED"))) {
+          // marker-less leftover from a dead pre-publish JVM: replace
+          // it — but another process may publish a COMPLETE stage
+          // between this wipe and the retry move, so on a second race
+          // failure adopt the winner instead of propagating
+          wipe(stageRoot)
+          try publish()
+          catch {
+            case e2: Throwable
+                if raceFailure.applyOrElse(e2, (_: Throwable) => false) &&
+                  Files.exists(stageRoot.resolve("_STAGED")) =>
+              wipe(buildRoot)
+          }
+        } else wipe(buildRoot)
+    }
+    pruneStaleStages(stageRoot, srcKey)
     published
+  }
+
+  /** Delete orphaned stage dirs for `srcKey` other than the live
+    * `stageRoot`: published stages whose digest no longer matches (the
+    * digest covers source mtimes, so a regenerated fixture keys a fresh
+    * dir and strands the old one at full fixture size) and `.build_*`
+    * leftovers from dead JVMs. A stale PUBLISHED stage is safe to drop
+    * under the documented fixture contract (a source is immutable for
+    * its stage's lifetime — a new digest means the old slices describe
+    * data that no longer exists); a build dir is only dropped when its
+    * owning pid is gone, so a concurrent builder is never sabotaged.
+    * Best-effort: races with another pruner just mean the file is
+    * already gone.
+    */
+  private def pruneStaleStages(
+      stageRoot: java.nio.file.Path, srcKey: String): Unit = {
+    import java.nio.file.{Files, Path}
+    import java.util.Comparator
+    val tmp = stageRoot.getParent
+    if (tmp == null || !Files.isDirectory(tmp)) return
+    def sourceOf(dir: Path): Option[String] =
+      try {
+        val f = dir.resolve("_SOURCE")
+        if (Files.isRegularFile(f)) Some(Files.readString(f)) else None
+      } catch { case _: java.io.IOException => None }
+    def pidAlive(name: String): Boolean =
+      name.split("\\.build_", 2) match {
+        case Array(_, pid) =>
+          pid.toLongOption.exists(p =>
+            ProcessHandle.of(p).map[Boolean](_.isAlive).orElse(false))
+        case _ => false
+      }
+    try scala.util.Using.resource(Files.list(tmp))(_
+      .filter(p => p.getFileName.toString.startsWith("graft_replay_stage_"))
+      .filter(p => p != stageRoot && !p.startsWith(stageRoot))
+      .filter(p => Files.isDirectory(p))
+      .forEach { p =>
+        val name = p.getFileName.toString
+        val isBuild = name.contains(".build_")
+        val stale =
+          if (isBuild) !pidAlive(name) && sourceOf(p).forall(_ == srcKey)
+          else sourceOf(p).contains(srcKey)
+        if (stale)
+          try scala.util.Using.resource(Files.walk(p))(
+            _.sorted(Comparator.reverseOrder[Path]())
+              .forEach(q => Files.deleteIfExists(q)))
+          catch { case _: java.io.IOException => () }
+      })
+    catch { case _: java.io.IOException => () }
   }
 
   /** End-to-end streaming sessionization into a parquet RESULT table —

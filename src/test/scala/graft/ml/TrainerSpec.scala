@@ -84,6 +84,45 @@ class TrainerSpec extends SparkTestBase {
     assert(p == Scoring.round2(p)) // idempotent 2-dp
   }
 
+  test("fast scorer equals model.transform bit-for-bit across the fixture (r13)") {
+    // the production fast path (driver-side indexer map + OHE +
+    // assemble + GBT tree walk) must be indistinguishable from the
+    // 1-row-plan transform path — including the handleInvalid=keep
+    // branch (unseen payment_type → dropped-last OHE category)
+    import spark.implicits._
+    val (model, _) = trained
+    val scorer = Scoring.fastScorer(model)
+    val fixture = Trainer.prepare(clean).limit(50).collect().map { r =>
+      Scoring.ScoringRequest(
+        r.getAs[Double]("trip_distance"), r.getAs[Double]("trip_duration_min"),
+        r.getAs[Int]("passenger_count"), r.getAs[Int]("pickup_hour"),
+        r.getAs[Int]("payment_type"))
+    }
+    val reqs = fixture ++ Seq(
+      Scoring.ScoringRequest(2.5, 12.5, 1, 9, 99), // unseen payment_type
+      Scoring.ScoringRequest(0.0, 0.0, 0, 0, 1), // degenerate corner
+      Scoring.ScoringRequest(99.99, 239.9, 6, 23, 2)) // upper bounds
+    val df = reqs.zipWithIndex
+      .map { case (r, i) => (i, r.trip_distance, r.trip_duration_min,
+        r.passenger_count, r.pickup_hour, r.payment_type) }
+      .toSeq
+      .toDF("id", "trip_distance", "trip_duration_min",
+        "passenger_count", "pickup_hour", "payment_type")
+    val expected = model.transform(df)
+      .orderBy("id").select("prediction").collect().map(_.getDouble(0))
+    val got = reqs.map(scorer.predictRaw)
+    assert(got.length == expected.length && got.length > 50)
+    got.zip(expected).zipWithIndex.foreach { case ((g, e), i) =>
+      assert(java.lang.Double.doubleToRawLongBits(g) ==
+        java.lang.Double.doubleToRawLongBits(e),
+        s"row $i: fast $g vs transform $e")
+    }
+    // the rounded serving value rides the shared HALF_EVEN round2
+    reqs.take(3).foreach { r =>
+      assert(scorer.predict(r) == Scoring.predict(spark, model, r))
+    }
+  }
+
   test("scoring CLI: line protocol with heuristic fill and error path") {
     import graft.serve.ScoringMain
     val (model, _) = trained

@@ -299,6 +299,77 @@ class EventStreamsSpec extends SparkTestBase {
     assert(got.sameElements(Array((7L, 2L, 3.0))), s"got ${got.mkString(",")}")
   }
 
+  test("fmgs sessionize splits on an EXACT-gap pair (strict boundary, r13)") {
+    // the DuckDB islands oracle the gate hash-checks against breaks at
+    // `t - lag(t) >= gap`, so an exactly-gap-spaced pair is TWO
+    // sessions; the sessionizer's old `<=` silently merged the boundary
+    // — the fixtures just never carried an exact-gap pair (ADVICE r12).
+    // Note Spark's own session_window is measured HERE to be
+    // gap-INCLUSIVE (touching [t, t+gap) windows coalesce → one
+    // session), so at this measure-zero boundary the built-in diverges
+    // from the islands oracle; the custom operator follows the ORACLE,
+    // which is what its gate replays.
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.sessionize(input.toDS(), gapMs = 30 * 60 * 1000L)
+      .toDF()
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("gap_boundary").start()
+    try {
+      input.addData(
+        Event(ts(0, 0), 7, "click", 1.0),
+        Event(ts(0, 30), 7, "click", 2.0)) // EXACTLY gap later → new session
+      q.processAllAvailable()
+      input.addData(Event(ts(9, 0), 8, "view", 5.0)) // watermark push
+      q.processAllAvailable()
+      input.addData(Event(ts(9, 30), 8, "view", 5.0)) // timers fire next trigger
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("gap_boundary")
+      .filter(col("user_id") === 7)
+      .orderBy("session_start")
+      .collect()
+      .map(r => (r.getTimestamp(1), r.getTimestamp(2), r.getLong(3), r.getDouble(4)))
+    // islands-oracle twin: break at diff >= gap → two one-event
+    // sessions, each ending last + gap
+    assert(got.sameElements(Array(
+      (ts(0, 0), ts(0, 30), 1L, 1.0),
+      (ts(0, 30), ts(1, 0), 1L, 2.0))),
+      s"exact-gap pair must split per the islands oracle: ${got.mkString(",")}")
+  }
+
+  test("fmgs sessionize extends session_start on an older in-watermark arrival (r13)") {
+    // an out-of-order but non-late event older than the open session's
+    // start must pull session_start back (min), matching batch
+    // session_window semantics — lastUs-only max kept the wrong start
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.sessionize(input.toDS(), gapMs = 30 * 60 * 1000L)
+      .toDF()
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ooo_start").start()
+    try {
+      input.addData(Event(ts(1, 0), 7, "click", 1.0)) // opens at 1:00
+      q.processAllAvailable()
+      // 0:50 arrives later but is within the 2 h watermark and within
+      // gap of the open session → merge backwards
+      input.addData(Event(ts(0, 50), 7, "click", 2.0))
+      q.processAllAvailable()
+      input.addData(Event(ts(9, 0), 8, "view", 5.0)) // watermark push
+      q.processAllAvailable()
+      input.addData(Event(ts(9, 30), 8, "view", 5.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ooo_start")
+      .filter(col("user_id") === 7)
+      .collect()
+      .map(r => (r.getTimestamp(1), r.getTimestamp(2), r.getLong(3), r.getDouble(4)))
+    assert(got.sameElements(Array(
+      (ts(0, 50), ts(1, 30), 2L, 3.0))), s"got ${got.mkString(",")}")
+  }
+
   test("stream-static join enriches each micro-batch from the broadcast lookup") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
