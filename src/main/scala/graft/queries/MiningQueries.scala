@@ -425,10 +425,17 @@ object MiningQueries {
     * labels_next; prior rounds are freed on CREATE OR REPLACE), with
     * check.py driving rounds until the label-sum fixpoint (labels are
     * min-contracted, so a round that leaves sum(l) unchanged is a
-    * no-op — the same early-exit the engine's pointer-doubling loop
-    * uses) or the unrolled spelling's 96-round bound, whichever first.
-    * Identical result by construction: extra rounds past the fixpoint
-    * are no-ops, so stopping early equals l96 exactly.
+    * no-op — at the fixpoint every component carries its min id, i.e.
+    * the TRUE connected-components labeling, the engine's semantic).
+    *
+    * maxRounds is a runaway bound, NOT the convergence count: the
+    * loop's first sf1 run measured the recurrence needing MORE than
+    * the unrolled spelling's 96 rounds there (the structured-id
+    * lattice propagates the min label far slower than the sf0.01
+    * fixture's 12 rounds — the iterative instrument surfaced what the
+    * spill wall had been hiding). The unrolled 96-round margin remains
+    * validated at the DRIVER scale it runs at (sf0.01: 12 rounds,
+    * 8× headroom); wherever both spellings converge they agree.
     */
   val iterativeOracles: Map[String, IterOracle] = Map(
     "q_dbscan" -> IterOracle(
@@ -445,7 +452,7 @@ object MiningQueries {
         "CREATE OR REPLACE TEMP TABLE labels AS SELECT id, l FROM labels_next",
         "DROP TABLE labels_next"),
       fixpoint = "SELECT coalesce(sum(l), 0) FROM labels",
-      maxRounds = 96,
+      maxRounds = 4096,
       finalSql = "WITH cc AS (SELECT id, l AS cluster_id FROM labels), " +
         dbscanTailSql))
 

@@ -84,7 +84,10 @@ class Round13Spec extends SparkTestBase {
     // the loop round-robins labels via labels_next, final consumes
     // `labels`, and the round bound equals the unrolled 96
     val it = graft.queries.MiningQueries.iterativeOracles("q_dbscan")
-    assert(it.maxRounds == 96)
+    // 4096 is a runaway bound; the loop exits at the label-sum fixpoint
+    // (measured: 12 rounds at sf0.01, >96 at sf1 — which is WHY the
+    // cap exceeds the unrolled spelling's 96)
+    assert(it.maxRounds == 4096)
     assert(it.setup.exists(_.contains("TEMP TABLE labels AS SELECT pid AS id, pid AS l FROM core")))
     assert(it.loop.head.contains("TEMP TABLE labels_next"))
     assert(it.finalSql.startsWith("WITH cc AS (SELECT id, l AS cluster_id FROM labels)"))
