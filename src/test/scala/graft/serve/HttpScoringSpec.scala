@@ -58,6 +58,28 @@ class HttpScoringSpec extends SparkTestBase {
     }
   }
 
+  test("POST /predict with -Dgraft.serve.fast=true answers identically (r13)") {
+    // the fast path (driver-side featurize + GBT predict) is wired at
+    // server start; same payload must produce the same 2-dp answer as
+    // the parity transform path
+    val slow = withServer { (c, port) =>
+      val Json.JObj(f) = Json.parse(post(c, port, examplePayload).body()): @unchecked
+      val Json.JNum(p) = f("prediction_total_amount"): @unchecked
+      p
+    }
+    System.setProperty("graft.serve.fast", "true")
+    try {
+      val fast = withServer { (c, port) =>
+        val resp = post(c, port, examplePayload)
+        assert(resp.statusCode() == 200)
+        val Json.JObj(f) = Json.parse(resp.body()): @unchecked
+        val Json.JNum(p) = f("prediction_total_amount"): @unchecked
+        p
+      }
+      assert(fast == slow, s"fast $fast vs transform $slow")
+    } finally System.clearProperty("graft.serve.fast")
+  }
+
   test("POST /predict: missing field → 400 with the reference's message") {
     withServer { (c, port) =>
       val resp = post(c, port,
