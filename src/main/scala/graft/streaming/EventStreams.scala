@@ -683,7 +683,7 @@ object EventStreams {
     * Best-effort: races with another pruner just mean the file is
     * already gone.
     */
-  private def pruneStaleStages(
+  private[streaming] def pruneStaleStages(
       stageRoot: java.nio.file.Path, srcKey: String): Unit = {
     import java.nio.file.{Files, Path}
     import java.util.Comparator

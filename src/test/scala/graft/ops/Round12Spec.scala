@@ -14,8 +14,12 @@ class Round12Spec extends SparkTestBase {
   test("fmgs sessionize bridge equals the session_window bridge at sf0.001") {
     // two mechanisms, one relation: the flatMapGroupsWithState
     // sessionizer (event-time timers, emit-on-close) must produce the
-    // SAME session rows as the declarative session_window aggregate —
-    // boundary semantics (diff > gap breaks), end = last + gap, and
+    // SAME session rows as the declarative session_window aggregate on
+    // this fixture (whose micro-precision timestamps carry no
+    // exact-gap pairs — at that measure-zero boundary the two
+    // mechanisms deliberately differ: the sessionizer follows the
+    // islands oracle, session_window coalesces; EventStreamsSpec r13
+    // pins both), end = last + gap, and
     // per-session count/sum all agree
     val workF = java.nio.file.Files
       .createTempDirectory("graft_fmgs_bridge").toString

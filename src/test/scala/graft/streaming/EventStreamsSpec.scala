@@ -370,6 +370,37 @@ class EventStreamsSpec extends SparkTestBase {
       (ts(0, 50), ts(1, 30), 2L, 3.0))), s"got ${got.mkString(",")}")
   }
 
+  test("stale replay-stage pruning: same-source orphans die, live and foreign dirs survive (r13)") {
+    // the stage digest covers source mtimes, so every fixture
+    // regeneration orphans a full-size stage dir — pruning reclaims
+    // them without sabotaging a live stage, another source's stage, or
+    // a CONCURRENT builder's .build_<pid> dir
+    import java.nio.file.{Files, Path}
+    val parent = Files.createTempDirectory("graft_prune_spec")
+    def mk(name: String, source: Option[String], staged: Boolean): Path = {
+      val d = Files.createDirectories(parent.resolve(name))
+      source.foreach(s => Files.writeString(d.resolve("_SOURCE"), s))
+      if (staged) Files.createFile(d.resolve("_STAGED"))
+      Files.writeString(d.resolve("payload"), "x")
+      d
+    }
+    val live = mk("graft_replay_stage_livedigest", Some("/data/srcA"), staged = true)
+    val stale = mk("graft_replay_stage_olddigest", Some("/data/srcA"), staged = true)
+    val foreign = mk("graft_replay_stage_otherdigest", Some("/data/srcB"), staged = true)
+    val deadBuild = mk("graft_replay_stage_zz.build_999999999", None, staged = false)
+    val myBuild = mk(
+      s"graft_replay_stage_yy.build_${ProcessHandle.current().pid()}",
+      None, staged = false)
+    val unrelated = mk("not_a_stage_dir", Some("/data/srcA"), staged = true)
+    EventStreams.pruneStaleStages(live, "/data/srcA")
+    assert(Files.exists(live), "the live stage must survive")
+    assert(!Files.exists(stale), "same-source stale stage must be pruned")
+    assert(Files.exists(foreign), "another source's stage must survive")
+    assert(!Files.exists(deadBuild), "a dead pid's build dir must be pruned")
+    assert(Files.exists(myBuild), "a live pid's build dir must survive")
+    assert(Files.exists(unrelated), "non-stage dirs are never touched")
+  }
+
   test("stream-static join enriches each micro-batch from the broadcast lookup") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
