@@ -65,6 +65,50 @@ class Round13Spec extends SparkTestBase {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("denseRank plans its only unpartitioned window over the bucket SUMMARY, not the data") {
+    // the scale contract: the raw `row_number().over(Window.orderBy(id))`
+    // spelling funnels the whole table through one task; the bucketed
+    // spelling's single-partition window must sit above the bucket-count
+    // HashAggregate (one row per occupied bucket), while the data-sized
+    // rank window is hash-partitioned by bucket. Walk the physical tree:
+    // every SinglePartition shuffle's subtree must contain an aggregate
+    // between it and any file scan.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    val df = graft.queries.ExtQueries.qDedupNgram(spark, Sf0001)
+    df.count() // materialize so AQE finalizes the plan
+    def walk(p: SparkPlan): Seq[SparkPlan] =
+      p +: (p.children ++ p.subqueries).flatMap(walk)
+    def finalPlan(p: SparkPlan): SparkPlan = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    val nodes = walk(finalPlan(df.queryExecution.executedPlan))
+      .map {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => q.plan
+        case other => other
+      }
+      .flatMap(walk)
+    val singleParts = nodes.collect {
+      case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition => e
+    }
+    assert(singleParts.nonEmpty, "expected the bucket-summary window's exchange")
+    singleParts.foreach { e =>
+      def guarded(p: SparkPlan): Boolean = p match {
+        case _: BaseAggregateExec => true // scan below is aggregate-shielded
+        case leaf if leaf.children.isEmpty && leaf.subqueries.isEmpty =>
+          !leaf.nodeName.toLowerCase.contains("scan") // a bare scan = data-sized
+        case other =>
+          (other.children ++ other.subqueries).forall(guarded)
+      }
+      assert(guarded(e.child),
+        s"SinglePartition exchange over un-aggregated data:\n${e.child.treeString}")
+    }
+  }
+
   test("check.py CONTRACTS map is pinned to the known sketch gates (r12 task 7)") {
     // contract-aware compare is the one mechanism that can WEAKEN a
     // gate (value compare relaxed to key compare on unflagged rows) —
