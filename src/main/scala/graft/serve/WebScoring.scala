@@ -222,12 +222,16 @@ object WebScoring {
 
   /** Handle one /predict_web form post: the reference's five steps
     * (`webapp.py:33-77`) — read form, derive duration, build the row,
-    * score, render. Returns (status, html).
+    * score, render. Returns (status, html). `fast` (wired from
+    * `-Dgraft.serve.fast=true` at server start, like [[HttpScoring]])
+    * scores via the driver-side [[Scoring.FastScorer]] — bit-for-bit
+    * equal predictions, no per-request plan analysis.
     */
   private[serve] def predictWeb(
       spark: SparkSession,
       model: PipelineModel,
-      body: String): (Int, String) =
+      body: String,
+      fast: Option[Scoring.FastScorer] = None): (Int, String) =
     try {
       val form = parseForm(body)
       val tripDistance = HttpScoring.pyFloat(formField(form, "trip_distance"))
@@ -235,12 +239,13 @@ object WebScoring {
       val pickupHour = HttpScoring.pyInt(formField(form, "pickup_hour"))
       val paymentType = HttpScoring.pyInt(formField(form, "payment_type"))
       val durationEst = Scoring.estimateDurationMin(tripDistance)
-      val pred = Scoring.predict(spark, model, Scoring.ScoringRequest(
+      val req = Scoring.ScoringRequest(
         trip_distance = tripDistance,
         trip_duration_min = durationEst,
         passenger_count = passengerCount,
         pickup_hour = pickupHour,
-        payment_type = paymentType))
+        payment_type = paymentType)
+      val pred = fast.fold(Scoring.predict(spark, model, req))(_.predict(req))
       (200, page(result =
         Some((pred, tripDistance, passengerCount, pickupHour, round1(durationEst)))))
     } catch {
@@ -253,6 +258,10 @@ object WebScoring {
     */
   def start(spark: SparkSession, model: PipelineModel, port: Int): HttpServer = {
     val server = HttpServer.create(new InetSocketAddress(port), 0)
+    val fast: Option[Scoring.FastScorer] =
+      if (sys.props.get("graft.serve.fast").contains("true"))
+        Some(Scoring.fastScorer(model))
+      else None
 
     def respond(ex: HttpExchange, code: Int, html: String): Unit = {
       val bytes = html.getBytes(UTF_8)
@@ -268,7 +277,7 @@ object WebScoring {
           respond(ex, 405, page(error = Some("Method Not Allowed")))
         else {
           val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
-          val (code, html) = predictWeb(spark, model, body)
+          val (code, html) = predictWeb(spark, model, body, fast)
           respond(ex, code, html)
         }
       } catch {

@@ -75,6 +75,22 @@ class WebScoringSpec extends SparkTestBase {
     }
   }
 
+  test("POST /predict_web with -Dgraft.serve.fast=true renders the same fare (r13)") {
+    val form = "trip_distance=3.2&passenger_count=1&pickup_hour=18&payment_type=1"
+    def fareOf(html: String): String =
+      "\\$\\d+\\.\\d+".r.findFirstIn(html).getOrElse(sys.error(s"no fare in:\n$html"))
+    val slow = withServer { (c, port) => fareOf(post(c, port, form).body()) }
+    System.setProperty("graft.serve.fast", "true")
+    try {
+      val fast = withServer { (c, port) =>
+        val resp = post(c, port, form)
+        assert(resp.statusCode() == 200, resp.body())
+        fareOf(resp.body())
+      }
+      assert(fast == slow, s"fast-path fare $fast vs transform-path $slow")
+    } finally System.clearProperty("graft.serve.fast")
+  }
+
   test("gaugeSvg: arc endpoint tracks the fare fraction, clamped at range") {
     // half range → arc ends at the top of the semicircle (100, 20)
     val half = WebScoring.gaugeSvg(40.0)
