@@ -125,6 +125,23 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("denseRank == global row_number over arbitrary unique ids (r13)") {
+    import spark.implicits._
+    // ids spanning many bucket widths, negative values, and dense
+    // clusters — the bucketed cumulative-offset spelling must equal
+    // the single-partition reference exactly for ANY unique id set
+    val genIds = Gen.choose(5, 200).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-5_000_000_000L, 5_000_000_000L)))
+    for (seed <- 1L to 4L) {
+      val ids = sample(genIds, seed).distinct
+      val got = Dedup.denseRank(ids.toDF("id"), "id")
+        .select("id", "rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val want = ids.sorted.zipWithIndex.map { case (v, i) => (v, (i + 1).toLong) }
+      assert(got.toSeq == want, s"seed $seed diverged")
+    }
+  }
+
   test("jaccard: symmetric, bounded, identity on non-empty sets") {
     import spark.implicits._
     val genToks = Gen.listOfN(12, Gen.oneOf("a", "b", "c", "d", "e", "f"))
