@@ -64,6 +64,48 @@ import graft.util.Sessions
   */
 object Bench {
 
+  /** JVM-state probes (r14, VERDICT r13 task 1): the q_gram
+    * investigation needed to distinguish "the host stole CPU" from
+    * "this JVM converged into a slow state" (GC pressure, JIT/code-
+    * cache exhaustion, interpreter fallback). These three counters —
+    * cumulative GC pause ms, cumulative JIT compilation ms, code-cache
+    * occupancy — are the cheap machine-readable split: a slow state
+    * with flat GC and flat JIT on a quiet host is a compiled-code
+    * quality problem (deopt/megamorphic/interpreted), not an
+    * environment problem. Deltas ride in `query_stats` next to
+    * steal_pct for every repeated query. Same JVM as the executors
+    * (local mode), so these see the whole engine.
+    */
+  private def gcMs(): Long = {
+    val it = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.iterator()
+    var s = 0L
+    while (it.hasNext) { val t = it.next().getCollectionTime; if (t > 0) s += t }
+    s
+  }
+
+  private def jitMs(): Long =
+    Option(java.lang.management.ManagementFactory.getCompilationMXBean)
+      .filter(_.isCompilationTimeMonitoringSupported)
+      .map(_.getTotalCompilationTime).getOrElse(-1L)
+
+  /** Used bytes across the CodeHeap/CodeCache pools, in MB. JIT output
+    * lives here; at the default 240 MB reserve a full cache disables
+    * compilation for the rest of the run — exactly the kind of
+    * converged-slow state the dump exists to name.
+    */
+  private def codeCacheMb(): Double = {
+    val it = java.lang.management.ManagementFactory
+      .getMemoryPoolMXBeans.iterator()
+    var s = 0L
+    while (it.hasNext) {
+      val p = it.next()
+      if (p.getName.contains("CodeHeap") || p.getName.contains("CodeCache"))
+        s += p.getUsage.getUsed
+    }
+    s / 1e6
+  }
+
   /** One /proc/stat cpu-line snapshot: (steal jiffies, total jiffies).
     * Steal is the hypervisor-contention counter — jiffies this guest's
     * runnable vCPUs spent waiting for physical CPU. None off-Linux.
@@ -82,6 +124,36 @@ object Bench {
       a: Option[(Long, Long)], b: Option[(Long, Long)]): Option[Double] =
     for ((s0, t0) <- a; (s1, t1) <- b if t1 > t0)
       yield 100.0 * (s1 - s0) / (t1 - t0)
+
+  /** Per-gate floor table (r14, VERDICT r13 task 7): BENCH_floors.json
+    * holds the min-across-runs per-gate wall-clock — the number every
+    * round-over-round comparison actually cited once the r12 noise
+    * protocol landed ("take the min across the round's runs"). Bench
+    * MERGES its own t_min into the table after each full run (floor =
+    * min(old, new)) and appends one provenance line per run to
+    * BENCH_floors_runs.jsonl, so next round's deltas start from floors
+    * instead of re-adjudicating host state. The builder resets a
+    * gate's floor when its plan changes (a floor from retired code is
+    * not a target). Parsing is a flat {"gate":sec,...} regex — the
+    * file is written by this object, not foreign input.
+    */
+  private val floorRe = """"([^"]+)":([-0-9.eE+]+)""".r
+
+  private def readFloors(path: String): Map[String, Double] =
+    try {
+      val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+      floorRe.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+
+  private def writeFloors(path: String, floors: Map[String, Double]): Unit = {
+    val line = floors.toSeq.sortBy(_._1)
+      .map { case (k, v) =>
+        s""""$k":${String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))}"""
+      }
+      .mkString("{", ",", "}\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), line)
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -134,14 +206,19 @@ object Bench {
     val onlyQueries = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     if (onlyQueries.isDefined) {
+      val soloStats = mutable.LinkedHashMap[String, String]()
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter(e => onlyQueries.exists(_.contains(e._1)))
         .foreach { case (name, fn) =>
           try fn(spark, sfDir).count()
           catch { case scala.util.control.NonFatal(_) => () }
           clearCaches()
+          val (gc0, jit0) = (gcMs(), jitMs())
           timed(name)(fn(spark, sfDir).count())
           clearCaches()
+          soloStats(name) = s"""{"gc_ms":${gcMs() - gc0},""" +
+            s""""jit_ms":${jitMs() - jit0},""" +
+            s""""code_cache_mb":${codeCacheMb().round}}"""
         }
       // "train_gbt" is a stage, not a registry query; accept it here so
       // the fit's run-to-run variance can be measured in isolation
@@ -159,7 +236,9 @@ object Bench {
       val errs0 = errors.map { case (k, v) =>
         s"${graft.serve.Json.quote(k)}:${graft.serve.Json.quote(v)}"
       }.mkString("{", ",", "}")
-      println(s"""{"metric":"total","value":${ok0.values.sum},"unit":"sec","queries":$qs0,"errors":$errs0,"sf":"$sfDir"}""")
+      val stats0 = soloStats
+        .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+      println(s"""{"metric":"total","value":${ok0.values.sum},"unit":"sec","queries":$qs0,"query_stats":$stats0,"errors":$errs0,"sf":"$sfDir"}""")
       spark.stop()
       return
     }
@@ -253,6 +332,49 @@ object Bench {
     val queryStats = mutable.LinkedHashMap[String, String]()
     def fmtS(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+    // Slow-state dump (r14, VERDICT r13 task 1): when a repeated gate's
+    // t_min exceeds SPARK_GRAFT_BENCH_SLOW_FACTOR (default 2×) times
+    // its committed floor, dump what's needed to NAME the state —
+    // executed plan, per-subtree codegen bytecode stats, the gate's
+    // GC/JIT/code-cache deltas, the BLAS backend — to
+    // BENCH_slowdump_<gate>.txt. Exists because r13's driver bench held
+    // q_gram at 8.96 s with 0.002% steal while same-jar floors read
+    // 2.48 s: two converged states and no artifact to tell GC pressure
+    // from deopt from interpreter fallback.
+    val floorsPath =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_FLOORS", "BENCH_floors.json")
+    val floors = readFloors(floorsPath)
+    val slowFactor =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_SLOW_FACTOR", "2.0").toDouble
+    def slowDump(
+        name: String,
+        fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+        header: String): Unit = try {
+      val df = fn(spark, sfDir)
+      df.count() // finalize the AQE plan so executedPlan is the real one
+      val sb = new StringBuilder(header)
+      sb ++= (try s"blas=${dev.ludovic.netlib.blas.BLAS.getInstance.getClass.getName}\n"
+      catch { case scala.util.control.NonFatal(e) => s"blas=unavailable(${e.getMessage})\n" })
+      sb ++= s"== executed plan ==\n${df.queryExecution.executedPlan}\n"
+      val subs = org.apache.spark.sql.execution.debug
+        .codegenStringSeq(df.queryExecution.executedPlan)
+      sb ++= s"== whole-stage codegen: ${subs.size} subtrees ==\n"
+      subs.zipWithIndex.foreach { case ((subtree, code, st), i) =>
+        sb ++= s"-- subtree $i bytecode=$st codeChars=${code.length}\n$subtree\n"
+      }
+      // generated source of the largest subtree — where an over-limit
+      // method (JIT refuses >8000 bytecode bytes) would live
+      subs.sortBy(-_._2.length).headOption.foreach { case (_, code, _) =>
+        sb ++= s"== largest subtree source (first 60k chars) ==\n${code.take(60000)}\n"
+      }
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"BENCH_slowdump_$name.txt"), sb.toString)
+      System.err.println(s"[bench] slow-state dump written: BENCH_slowdump_$name.txt")
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] slow dump for $name failed: $e")
+    }
+
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (name != "q_e2e") {
         try fn(spark, sfDir).count() // untimed codegen/JIT warm-up pass
@@ -264,6 +386,7 @@ object Bench {
         // caches rebuilt by the timed run are part of its honest cost)
         clearCaches()
         val st0 = cpuStat()
+        val (gc0, jit0) = (gcMs(), jitMs())
         timed(name)(fn(spark, sfDir).count())
         clearCaches()
         if (!errors.contains(name) && times(name) > repeatThreshold) {
@@ -277,6 +400,7 @@ object Bench {
             clearCaches()
           }
           val steal = stealPct(st0, cpuStat())
+          val (gcD, jitD) = (gcMs() - gc0, jitMs() - jit0)
           val sorted = runs.sorted
           times(name) = sorted.head
           queryStats(name) =
@@ -284,7 +408,18 @@ object Bench {
               s""""t_med":${fmtS(sorted(sorted.size / 2))},""" +
               s""""spread":${fmtS(sorted.last - sorted.head)}""" +
               steal.map(s => s""","steal_pct":${fmtS(s)}""").getOrElse("") +
-              "}"
+              s""","gc_ms":$gcD,"jit_ms":$jitD""" +
+              s""","code_cache_mb":${fmtS(codeCacheMb())}}"""
+          floors.get(name).filter(f => sorted.head > slowFactor * f)
+            .foreach { f =>
+              slowDump(name, fn,
+                s"slow-state dump: $name t_min=${fmtS(sorted.head)} " +
+                  s"floor=${fmtS(f)} (factor ${fmtS(sorted.head / f)})\n" +
+                  s"runs=${runs.map(fmtS).mkString(",")} " +
+                  s"steal_pct=${steal.map(fmtS).getOrElse("n/a")} " +
+                  s"gc_ms=$gcD jit_ms=$jitD " +
+                  s"code_cache_mb=${fmtS(codeCacheMb())}\n")
+            }
         }
       }
     }
@@ -404,6 +539,36 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""errors":${jmap(errors)},"slice_rows":$sliceRows,$runStealJson$queryStatsJson$readRunsJson$gbtStagesJson$serveJson$gbtStats"sf":"$sfDir"}"""
+    // Floors merge (r14, VERDICT r13 task 7): fold this run's per-gate
+    // numbers (t_min for repeated gates) into BENCH_floors.json as
+    // floor = min(old, new), and append one provenance line per run to
+    // BENCH_floors_runs.jsonl. Only full runs at the official bench
+    // scale (sf0.1 — what BASELINE.md's convention defines floors at)
+    // contribute; a builder resets a gate's floor when its plan changes
+    // (a floor from retired code is not a target). Disable with
+    // SPARK_GRAFT_BENCH_FLOORS_MERGE=0.
+    if (sfDir.endsWith("sf0.1") &&
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_FLOORS_MERGE", "1") != "0") {
+      try {
+        val merged = (floors.keySet ++ ok.keySet).map { k =>
+          k -> math.min(
+            floors.getOrElse(k, Double.MaxValue),
+            ok.getOrElse(k, Double.MaxValue))
+        }.toMap
+        writeFloors(floorsPath, merged)
+        val prov =
+          s"""{"ts":"${java.time.Instant.now()}",""" +
+            s""""sf":"$sfDir",$runStealJson"gates":$qs}""" + "\n"
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(floorsPath.stripSuffix(".json") + "_runs.jsonl"),
+          prov,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] floors merge failed: $e")
+      }
+    }
+
     // every stage/query at full precision → BENCH_full.json (the
     // cross-round comparison artifact; SPARK_GRAFT_BENCH_OUT overrides;
     // empty disables)

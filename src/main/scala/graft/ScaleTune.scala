@@ -37,9 +37,62 @@ object ScaleTune {
     case "ivfpq"  => ivfpq(args(1), args(2).toInt)
     case "dbscan" => dbscan(args(1), args(2).toInt, args(3).toInt,
       args(4).toDouble)
+    case "dbscan_cd" => dbscanCd(args(1), args(2).toInt, args(3).toInt,
+      args(4).toDouble, args(5))
     case "pq"     => pqSweep(args(1), args(2).toInt)
     case "adamic" => adamicCap(args(1), args(2).toInt)
     case other => sys.error(s"unknown ScaleTune mode: $other")
+  }
+
+  /** Constant-density dbscan ORACLE run (r14, VERDICT r13 task 5): the
+    * §10l decade point proved the engine's row scaling on the
+    * area-scaled lattice but carried no oracle row — the fixed-lattice
+    * sf10 replica's quadratic pair mass walls DuckDB, and that wall is
+    * the FIXTURE's, not the operator's. This mode makes the
+    * constant-density shape checkable end-to-end: derive the
+    * area-scaled points, land them as parquet (the shared input BOTH
+    * engines read — no cross-engine lattice arithmetic to trust), run
+    * the identical gate operator, dump the result sorted (natural
+    * partitioning — the coalesce(1) instrument is exactly what task 4
+    * retired at this scale), and emit the iterative oracle script with
+    * the pts source swapped to the parquet table (loop fragments
+    * byte-identical to the registry gate's — MiningQueries.
+    * dbscanIterOracle). tools/check.py then compares as usual:
+    *   GRAFT_CHECK_MEM=80GB python3 tools/check.py <sfDir> <outDir>
+    */
+  def dbscanCd(dir: String, latSites: Int, lonSites: Int,
+      maxAbsLat: Double, outDir: String): Unit = {
+    val spark = graft.util.Sessions.get("graft-scaletune", "local[32]", 32)
+    val pts = graft.sources.Tables.events(spark, dir).select(
+      col("event_id"),
+      (lit(40.2) + (col("user_id") % latSites) * lit(0.0008)).as("lat"),
+      (lit(-74.6) + (col("event_id") % lonSites) * lit(0.0008)).as("lon"))
+    val ptsPath = s"$outDir/pts_parquet"
+    pts.write.mode("overwrite").parquet(ptsPath)
+    val shared = spark.read.parquet(ptsPath)
+    val n = shared.count()
+    val t0 = System.nanoTime()
+    graft.ops.Spatial.dbscan(shared, "event_id", "lat", "lon",
+        radiusM = 300.0, minPts = 5, cellDeg = 0.0065,
+        maxAbsLatDeg = maxAbsLat)
+      .orderBy("point_id")
+      .write.mode("overwrite").parquet(s"$outDir/q_dbscan_cd")
+    val secs = (System.nanoTime() - t0) / 1e9
+    def q(s: String) = graft.serve.Json.quote(s)
+    def arr(xs: Seq[String]) = xs.map(q).mkString("[", ",", "]")
+    val o = graft.queries.MiningQueries.dbscanIterOracle(
+      s"SELECT event_id, lat, lon FROM '$ptsPath/*.parquet'")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/oracle_sql.json"),
+      s"""{${q("q_dbscan_cd")}: ${q("-- iterative (oracle_iter.json)")}}""")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/oracle_iter.json"),
+      s"""{${q("q_dbscan_cd")}: {${q("setup")}: ${arr(o.setup)}, """ +
+        s"""${q("loop")}: ${arr(o.loop)}, ${q("fixpoint")}: ${q(o.fixpoint)}, """ +
+        s"""${q("max_rounds")}: ${o.maxRounds}, ${q("final")}: ${q(o.finalSql)}}}""")
+    println(f"""{"dir":"$dir","n":$n,"lat_sites":$latSites,""" +
+      f""""lon_sites":$lonSites,"dbscan_write_secs":$secs%.3f,"out":"$outDir"}""")
+    spark.stop()
   }
 
   /** PQ-resolution sweep (r12, VERDICT r11 task 5): §10k measured the

@@ -22,9 +22,28 @@ object Verify {
     // never match an oracle — so the gate shows up as a loud FAIL, and we
     // collect the messages into verify_errors.json for diagnosis.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // SPARK_GRAFT_VERIFY_NOCOALESCE (r14, VERDICT r13 task 4): gate
+    // names (or "*") whose dump keeps the plan's natural partitioning.
+    // coalesce(1) does NOT shuffle — it collapses the ENTIRE upstream
+    // plan into one task, which is what OOM'd the q_dbscan dump at sf10
+    // while the bench-path count of the same plan succeeded: the
+    // instrument, not the operator, was the scale wall. The driver's
+    // sf0.01 gate keeps the single-file layout (unset env); local scale
+    // sweeps set this for the big gates. Order stays compare-faithful:
+    // every gate ends in orderBy, a sorted write lands range-partitioned
+    // files in partition-index order, and check.py concatenates
+    // sorted(part files) — i.e. index order — so the global sort
+    // survives the multi-file layout.
+    val noCoalesce = sys.env.get("SPARK_GRAFT_VERIFY_NOCOALESCE")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
     SparkEntry.queries.filter(e => selected(e._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val res = fn(spark, sfDir)
+        val shaped =
+          if (noCoalesce(name) || noCoalesce("*")) res else res.coalesce(1)
+        shaped.write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
         System.err.println(s"[verify] $name failed: $msg")

@@ -240,18 +240,53 @@ object Dedup {
     *
     * `bucketWidth` trades summary size against per-bucket skew: ids
     * clustered inside one width-sized range all land in one bucket
-    * (that bucket's window sorts them in one task). The default 2^20
-    * keeps the summary under ~10^5 rows per 10^11 of id range.
+    * (that bucket's window sorts them in one task). The default (0) is
+    * ADAPTIVE (r14, ADVICE r13): a fixed width fails exactly in the
+    * sparse/surrogate-id case this op targets — random 64-bit ids land
+    * ~1 row per fixed-width bucket, making the summary O(N) and the
+    * "summary-sized" window/broadcast data-sized again. Adaptive width
+    * = ceil(observed id range / targetBuckets) with targetBuckets =
+    * clamp(n/4096, 1024, 2^20): the summary is bounded by 2^20 rows
+    * (≤ ~16 MB broadcast, single-task cum-window over ≤ 1M rows) and
+    * the average bucket holds ~4096 rows REGARDLESS of how ids are
+    * distributed across their range. Costs one narrow min/max/count
+    * pass. Residual (documented, not hidden): equi-width buckets are
+    * quantile-free by design (no extra shuffle), so a cluster+outlier
+    * distribution — 99% of ids inside one width, one id far away —
+    * still concentrates that cluster's sort in one task; true
+    * range-partitioned ranking would fix it at the cost of a sampled
+    * boundary pass whose reuse-across-branches is not contractual.
     */
+  /** The [[denseRank]] adaptive width: summary ≤ min(2^20, max(1024,
+    * n/4096)) occupied buckets whatever the id distribution's RANGE is,
+    * average bucket ~4096 rows. Pure so the bound is unit-testable.
+    */
+  private[ops] def adaptiveBucketWidth(lo: Long, hi: Long, n: Long): Long = {
+    // hi ≥ lo, but the span of a full-64-bit id domain overflows —
+    // saturate instead (the width only has to be monotone-consistent)
+    val d = hi - lo
+    val range = if (d < 0 || d == Long.MaxValue) Long.MaxValue else d + 1
+    val targetBuckets = math.max(1024L, math.min(1L << 20, n / 4096))
+    math.max(1L, range / targetBuckets + (if (range % targetBuckets == 0) 0 else 1))
+  }
+
   def denseRank(
       df: DataFrame,
       idCol: String,
       rankCol: String = "rk",
-      bucketWidth: Long = 1L << 20,
+      bucketWidth: Long = 0L,
   ): DataFrame = {
+    val width =
+      if (bucketWidth > 0) bucketWidth
+      else {
+        val r = df.agg(min(col(idCol).cast("long")),
+          max(col(idCol).cast("long")), count(lit(1))).head()
+        if (r.isNullAt(0)) 1L
+        else adaptiveBucketWidth(r.getLong(0), r.getLong(1), r.getLong(2))
+      }
     val w = org.apache.spark.sql.expressions.Window
     val b = df.withColumn("_b",
-      floor(col(idCol).cast("double") / lit(bucketWidth.toDouble)).cast("long"))
+      floor(col(idCol).cast("double") / lit(width.toDouble)).cast("long"))
     val offsets = b.groupBy("_b").agg(count(lit(1)).as("_n"))
       .withColumn("_off", coalesce(
         sum(col("_n")).over(w.orderBy("_b")

@@ -69,8 +69,18 @@ object Det {
     * with trillions of terms, beyond any bounded-fanout operator here.
     */
   def dsum6(c: Column): Column =
+    dsumScaled6(floor(c * lit(1e6) + lit(0.5)).cast("long"))
+
+  /** [[dsum6]] for terms ALREADY scaled to 1e-6-unit longs (an operator
+    * that rounds products itself — [[graft.ops.LinAlg.scale6]] — hands
+    * the exact scaled integers straight in, skipping the double
+    * round-trip). The long sum IS the DECIMAL(·,6) sum; the rebuild
+    * spelling is byte-identical to [[dsum6]]'s so values hash-match
+    * the [[dsum]] family.
+    */
+  def dsumScaled6(c: Column): Column =
     r6(dec2dbl(
-      (sum(floor(c * lit(1e6) + lit(0.5)).cast("long")).cast("decimal(38,6)")
+      (sum(c).cast("decimal(38,6)")
         / lit(1000000)).cast("decimal(38,6)")))
 }
 

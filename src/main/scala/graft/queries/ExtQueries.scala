@@ -2242,7 +2242,15 @@ object ExtQueries {
         "ORDER BY doc_id, rnk"),
     "q_sessions" -> sessionsOracleSql,
     // the streaming bridge must reproduce the BATCH sessions exactly —
-    // same oracle, different engine path
+    // same oracle, different engine path. VALID ONLY on fixtures with
+    // no exact-gap pair (consecutive same-user events exactly `gap`
+    // apart): Spark's session_window merges at the boundary while the
+    // islands oracle (and q_sessions_fmgs, pinned r13) splits, so an
+    // exact-gap fixture would fail this gate while fmgs passes. The
+    // invariant is machine-checked over every base fixture by
+    // Round14Spec ("fixtures carry no exact-gap pair"); ScaleUp
+    // replicas inherit it (user ids are strided per copy, so no new
+    // same-user pair crosses replicas).
     "q_sessions_stream" -> sessionsOracleSql,
     // the custom-state (flatMapGroupsWithState) sessionizer must equal
     // the session_window bridge relation — one oracle, two mechanisms

@@ -438,9 +438,19 @@ object MiningQueries {
     * 8× headroom); wherever both spellings converge they agree.
     */
   val iterativeOracles: Map[String, IterOracle] = Map(
-    "q_dbscan" -> IterOracle(
+    "q_dbscan" -> dbscanIterOracle(dbscanPtsSql))
+
+  /** The q_dbscan iterative script parametrized over the `pts` source
+    * (r14, VERDICT r13 task 5): the registry gate reads the fixture's
+    * fixed lattice via [[dbscanPtsSql]]; the constant-density sf10
+    * oracle run (ScaleTune `dbscan_cd`) substitutes a parquet-backed
+    * points table with the lattice AREA scaled to the replica — the
+    * same loop, core/edge/CC/tail fragments byte-identical.
+    */
+  private[graft] def dbscanIterOracle(ptsSql: String): IterOracle =
+    IterOracle(
       setup = Seq(
-        s"CREATE OR REPLACE TEMP TABLE pts AS $dbscanPtsSql",
+        s"CREATE OR REPLACE TEMP TABLE pts AS $ptsSql",
         s"CREATE OR REPLACE TEMP TABLE p AS $dbscanPSql",
         s"CREATE OR REPLACE TEMP TABLE j AS WITH q AS ($dbscanQSql) $dbscanJSql",
         "DROP TABLE p",
@@ -454,7 +464,7 @@ object MiningQueries {
       fixpoint = "SELECT coalesce(sum(l), 0) FROM labels",
       maxRounds = 4096,
       finalSql = "WITH cc AS (SELECT id, l AS cluster_id FROM labels), " +
-        dbscanTailSql))
+        dbscanTailSql)
 
   private def havSql(lat1: String, lon1: String, lat2: String, lon2: String): String = {
     val sLat = s"sin(radians($lat2 - $lat1) / 2)"

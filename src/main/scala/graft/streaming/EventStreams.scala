@@ -689,6 +689,22 @@ object EventStreams {
     import java.util.Comparator
     val tmp = stageRoot.getParent
     if (tmp == null || !Files.isDirectory(tmp)) return
+    // Two-phase prune (r14, ADVICE r13): a published-but-stale stage is
+    // deleted only a grace period AFTER it was first SEEN stale. The
+    // pruner is the racing WRITER (it runs at new-digest publish, i.e.
+    // right after a fixture regeneration), and a concurrent JVM that
+    // resolved the old digest just before the regeneration may still be
+    // mid-replay on those slices — deleting immediately would yank
+    // files out from under a live file-source. First pass stamps a
+    // `_STALE` marker; only a marker older than the grace (default
+    // 10 min ≫ any replay; GRAFT_STAGE_STALE_GRACE_MS overrides) is
+    // reaped — by the next fresh staging of this source, which is when
+    // the walk runs again. Readers never re-resolve a stage mid-replay,
+    // so anything that started before the marker is long done when the
+    // reap lands. Build-dir leftovers keep the immediate delete: their
+    // owning pid is checked dead, so no reader exists by construction.
+    val graceMs = sys.env.get("GRAFT_STAGE_STALE_GRACE_MS")
+      .flatMap(_.toLongOption).getOrElse(600000L)
     def sourceOf(dir: Path): Option[String] =
       try {
         val f = dir.resolve("_SOURCE")
@@ -701,6 +717,11 @@ object EventStreams {
             ProcessHandle.of(p).map[Boolean](_.isAlive).orElse(false))
         case _ => false
       }
+    def reap(p: Path): Unit =
+      try scala.util.Using.resource(Files.walk(p))(
+        _.sorted(Comparator.reverseOrder[Path]())
+          .forEach(q => Files.deleteIfExists(q)))
+      catch { case _: java.io.IOException => () }
     try scala.util.Using.resource(Files.list(tmp))(_
       .filter(p => p.getFileName.toString.startsWith("graft_replay_stage_"))
       .filter(p => p != stageRoot && !p.startsWith(stageRoot))
@@ -708,14 +729,16 @@ object EventStreams {
       .forEach { p =>
         val name = p.getFileName.toString
         val isBuild = name.contains(".build_")
-        val stale =
-          if (isBuild) !pidAlive(name) && sourceOf(p).forall(_ == srcKey)
-          else sourceOf(p).contains(srcKey)
-        if (stale)
-          try scala.util.Using.resource(Files.walk(p))(
-            _.sorted(Comparator.reverseOrder[Path]())
-              .forEach(q => Files.deleteIfExists(q)))
-          catch { case _: java.io.IOException => () }
+        if (isBuild) {
+          if (!pidAlive(name) && sourceOf(p).forall(_ == srcKey)) reap(p)
+        } else if (sourceOf(p).contains(srcKey)) {
+          val mark = p.resolve("_STALE")
+          try {
+            if (!Files.exists(mark)) Files.createFile(mark)
+            else if (System.currentTimeMillis() -
+              Files.getLastModifiedTime(mark).toMillis > graceMs) reap(p)
+          } catch { case _: java.io.IOException => () }
+        }
       })
     catch { case _: java.io.IOException => () }
   }

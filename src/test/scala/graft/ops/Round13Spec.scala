@@ -117,9 +117,21 @@ class Round13Spec extends SparkTestBase {
     val src = java.nio.file.Files.readString(
       java.nio.file.Path.of("tools/check.py"))
     val line = src.linesIterator.filter(_.startsWith("CONTRACTS = ")).toList
+    // r14 (VERDICT r13 task 3): the entry gained a third element — the
+    // FULL exact aggregate every engine unflagged row is value-checked
+    // against (closes the engine-only fabricated-row blind spot). The
+    // exact SQL itself must stay the un-limited spelling of the gate's
+    // oracle aggregate; pin its load-bearing shape too.
     assert(line == List(
-      """CONTRACTS = {"q_heavy": ("support_guaranteed", ["token"])}"""),
+      """CONTRACTS = {"q_heavy": ("support_guaranteed", ["token"], HEAVY_EXACT)}"""),
       s"CONTRACTS changed — if deliberate, update this pin + DECISIONS.md: $line")
+    val exact = src.linesIterator.dropWhile(!_.startsWith("HEAVY_EXACT = "))
+      .takeWhile(l => !l.startsWith("CONTRACTS")).mkString("\n")
+    for (frag <- Seq("string_split(text, ' ')", "count(*) * 257 >= n_tokens",
+        "GROUP BY token, n_tokens"))
+      assert(exact.contains(frag), s"HEAVY_EXACT lost fragment '$frag':\n$exact")
+    assert(!exact.toUpperCase.contains("LIMIT"),
+      s"HEAVY_EXACT must be the FULL aggregate (no top-k):\n$exact")
   }
 
   test("iterative q_dbscan oracle script matches the unrolled oracle's fragments") {

@@ -132,6 +132,47 @@ class HttpScoringSpec extends SparkTestBase {
     }
   }
 
+  test("fast flag + non-conforming model fails AT SERVER START with a clear message (r14)") {
+    // the flag is read once at process/server start; a pipeline the
+    // FastScorer can't replicate must refuse to serve, not throw on
+    // the first request. Three non-conformances, each with its own
+    // message: missing model stage, wrong handleInvalid, and a
+    // reordered assembler layout (mutated + restored on the shared
+    // fitted pipeline — Params on fitted stages are mutable).
+    import org.apache.spark.ml.Pipeline
+    import org.apache.spark.ml.feature.{StringIndexerModel, VectorAssembler}
+    import spark.implicits._
+    // 1) no StringIndexerModel stage at all
+    val bare = new Pipeline().setStages(Array(
+      new VectorAssembler().setInputCols(Array("a")).setOutputCol("v")))
+      .fit(Seq((1.0, 2.0)).toDF("a", "b"))
+    val e1 = intercept[RuntimeException](Scoring.fastScorer(bare))
+    assert(e1.getMessage.contains("no StringIndexerModel stage"), e1.getMessage)
+    val indexer = model.stages.collectFirst { case m: StringIndexerModel => m }.get
+    val asm = model.stages.collectFirst { case m: VectorAssembler => m }.get
+    // 2) handleInvalid != keep — and the HTTP server with the flag ON
+    // must die at start(), before any request exists
+    indexer.setHandleInvalid("skip")
+    try {
+      val e2 = intercept[IllegalArgumentException](Scoring.fastScorer(model))
+      assert(e2.getMessage.contains("handleInvalid=keep"), e2.getMessage)
+      System.setProperty("graft.serve.fast", "true")
+      try {
+        val e3 = intercept[IllegalArgumentException](HttpScoring.start(spark, model, 0))
+        assert(e3.getMessage.contains("handleInvalid=keep"), e3.getMessage)
+      } finally System.clearProperty("graft.serve.fast")
+    } finally indexer.setHandleInvalid("keep")
+    // 3) assembler layout the hardcoded featurizer doesn't match
+    val saved = asm.getInputCols
+    asm.setInputCols(Array("trip_distance"))
+    try {
+      val e4 = intercept[IllegalArgumentException](Scoring.fastScorer(model))
+      assert(e4.getMessage.contains("unexpected assembler layout"), e4.getMessage)
+    } finally asm.setInputCols(saved)
+    // restored pipeline conforms again
+    Scoring.fastScorer(model)
+  }
+
   test("POST /predict: malformed unicode escape → 400, not 500") {
     withServer { (c, port) =>
       // built by concatenation: scalac pre-processes \uXXXX even in

@@ -394,11 +394,27 @@ class EventStreamsSpec extends SparkTestBase {
     val unrelated = mk("not_a_stage_dir", Some("/data/srcA"), staged = true)
     EventStreams.pruneStaleStages(live, "/data/srcA")
     assert(Files.exists(live), "the live stage must survive")
-    assert(!Files.exists(stale), "same-source stale stage must be pruned")
+    // r14 (ADVICE r13): a published stale stage is NOT deleted on first
+    // sight — a concurrent JVM that resolved the old digest just before
+    // the fixture regeneration may still be replaying it. The first
+    // walk stamps _STALE; only a marker older than the grace period is
+    // reaped on a later walk.
+    assert(Files.exists(stale), "same-source stale stage survives the first walk")
+    assert(Files.exists(stale.resolve("_STALE")), "first walk stamps the _STALE marker")
     assert(Files.exists(foreign), "another source's stage must survive")
     assert(!Files.exists(deadBuild), "a dead pid's build dir must be pruned")
     assert(Files.exists(myBuild), "a live pid's build dir must survive")
     assert(Files.exists(unrelated), "non-stage dirs are never touched")
+    // second walk inside the grace window: still alive
+    EventStreams.pruneStaleStages(live, "/data/srcA")
+    assert(Files.exists(stale), "still within grace — not reaped")
+    // age the marker past the grace and walk again: now it reaps
+    Files.setLastModifiedTime(stale.resolve("_STALE"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 601000L))
+    EventStreams.pruneStaleStages(live, "/data/srcA")
+    assert(!Files.exists(stale), "marker older than grace — reaped")
+    assert(Files.exists(foreign) && Files.exists(live))
   }
 
   test("stream-static join enriches each micro-batch from the broadcast lookup") {

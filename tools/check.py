@@ -31,14 +31,27 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 # compare). Unflagged rows carry NO membership guarantee — that is the
 # contract (measured at sf1: the anti-Zipf replica's engine top-20 and
 # exact top-20 legitimately differ in membership below the bound, so a
-# row-by-row key compare would fail correct behavior). What r12's
-# count-only check missed and this closes (ADVICE r12): any unflagged
-# key BOTH engines kept must agree on ALL values — a gate emitting
-# fabricated counts for real tokens now fails; only membership drift
-# below the bound stays contract-relaxed. Queries absent from this map
-# keep the full exact compare. The CONTRACTS population is pinned by
-# Round13Spec — adding an entry is a deliberate diff.
-CONTRACTS = {"q_heavy": ("support_guaranteed", ["token"])}
+# row-by-row key compare would fail correct behavior). Queries absent
+# from this map keep the full exact compare. The CONTRACTS population
+# is pinned by Round13Spec — adding an entry is a deliberate diff.
+#
+# r14 (VERDICT r13 task 3): the third element is the FULL exact
+# aggregate (no top-k) and closes the engine-only-row blind spot r13's
+# shared-key merge left open: an unflagged row that exists only in the
+# engine output was never value-checked, so a fabricated (token, count)
+# pair rode through whenever row counts matched. Now EVERY engine
+# unflagged row is semi-joined against this aggregate and must match it
+# on every column — membership below the sketch bound stays
+# contract-free (that IS the Misra-Gries contract), but every value the
+# engine emits is unforgeable: a token absent from the corpus, or a
+# count differing from the exact count, is a FAIL.
+HEAVY_EXACT = (
+    "WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents), "
+    "n AS (SELECT count(*) AS n_tokens FROM t) "
+    "SELECT token, count(*) AS freq, "
+    "(count(*) * 257 >= n_tokens) AS support_guaranteed "
+    "FROM t CROSS JOIN n GROUP BY token, n_tokens")
+CONTRACTS = {"q_heavy": ("support_guaranteed", ["token"], HEAVY_EXACT)}
 
 
 def first_mismatch(want, got, cols):
@@ -145,7 +158,17 @@ def main(sfdir, outdir):
             continue
         try:
             if name in iter_oracle:
-                want = run_iterative(con, iter_oracle[name])
+                # run on a cursor (child connection): the loop's TEMP
+                # tables (pts, j, core, e, labels, ...) die with it, so
+                # a later oracle spelling one of those names as a bare
+                # table errors instead of silently reading q_dbscan
+                # state (ADVICE r13). Views live in the main catalog
+                # and stay visible; .arrow() materializes before close.
+                cur = con.cursor()
+                try:
+                    want = run_iterative(cur, iter_oracle[name])
+                finally:
+                    cur.close()
             else:
                 want = con.sql(sql).arrow()
         except Exception as e:
@@ -174,7 +197,7 @@ def main(sfdir, outdir):
         # filter the tables, so a bare index would not correspond to a
         # row of the dumped output)
         if contract and contract[0] in wcols:
-            contract_col, key_cols = contract
+            contract_col, key_cols, exact_sql = contract
             import pyarrow.compute as pc
             wmask = pc.fill_null(want.column(contract_col).cast("bool"), False)
             gmask = pc.fill_null(got.column(contract_col).cast("bool"), False)
@@ -186,30 +209,63 @@ def main(sfdir, outdir):
                 continue
             bad = first_mismatch(want_f, got_f, wcols)
             where = f" (flagged-row ordinal within {contract_col}=true)"
-            n_common = 0
+            n_checked = 0
             if not bad:
                 # unflagged rows: membership is contract-relaxed, but
-                # keys both engines kept must agree on every value
+                # every ENGINE row must match the full exact aggregate
+                # on every column (r14 — semi-join against truth, not
+                # against the oracle's own top-k)
                 keys = [c for c in key_cols if c in wcols]
-                wu = want.filter(pc.invert(wmask)).to_pandas()
+                val_cols = [c for c in wcols if c not in keys]
                 gu = got.filter(pc.invert(gmask)).to_pandas()
-                merged = wu.merge(gu, on=keys, suffixes=("_o", "_s"))
-                n_common = len(merged)
-                for c in wcols:
-                    if c in keys or bad:
-                        continue
-                    for i, (a, b) in enumerate(zip(merged[f"{c}_o"], merged[f"{c}_s"])):
-                        na, nb = pd.isna(a), pd.isna(b)
-                        if (na and nb) or (na == nb and str(norm(a)) == str(norm(b))):
-                            continue
-                        bad = (c, i, a, b)
-                        break
-                where = " (shared-key unflagged row ordinal)"
+                n_checked = len(gu)
+                if n_checked:
+                    con.register("_graft_engine_unflagged", gu)
+                    on = " AND ".join(f"e.{k} = x.{k}" for k in keys)
+                    found = " AND ".join(f"x.{k} IS NOT NULL" for k in keys)
+                    sel = ", ".join(
+                        [f"e.{c} AS {c}_s" for c in val_cols] +
+                        [f"x.{c} AS {c}_x" for c in val_cols])
+                    ex = con.sql(
+                        f"SELECT {sel}, ({found}) AS _found "
+                        f"FROM _graft_engine_unflagged e "
+                        f"LEFT JOIN ({exact_sql}) x ON {on}").df()
+                    con.unregister("_graft_engine_unflagged")
+                    for i in range(len(ex)):
+                        if not bool(ex["_found"].iloc[i]):
+                            bad = (keys[0], i, "<absent from exact aggregate>",
+                                   gu[keys[0]].iloc[i])
+                            break
+                        for c in val_cols:
+                            a, b = ex[f"{c}_x"].iloc[i], ex[f"{c}_s"].iloc[i]
+                            na, nb = pd.isna(a), pd.isna(b)
+                            if na and nb:
+                                continue
+                            if na == nb:
+                                # numeric-aware: the LEFT JOIN makes the
+                                # exact-side columns nullable, which
+                                # pandas promotes int64 -> float64; a
+                                # str compare would then fail 896.0 vs
+                                # 896 on a CORRECT row
+                                if not isinstance(a, str) and not isinstance(b, str):
+                                    try:
+                                        if float(a) == float(b):
+                                            continue
+                                    except (TypeError, ValueError):
+                                        pass
+                                if str(norm(a)) == str(norm(b)):
+                                    continue
+                            bad = (c, i, a, b)
+                            break
+                        if bad:
+                            break
+                where = " (engine unflagged row ordinal, vs exact aggregate)"
             if not bad:
                 ng = want.num_rows - want_f.num_rows
                 print(f"PASS {name} ({want_f.num_rows} rows exact + {ng} "
-                      f"contract-relaxed ({n_common} shared keys value-checked) "
-                      f"per {contract_col}, oracle {time.time() - t0:.1f}s)",
+                      f"contract-relaxed ({n_checked} engine rows "
+                      f"exact-aggregate-checked) per {contract_col}, "
+                      f"oracle {time.time() - t0:.1f}s)",
                       flush=True)
                 n_pass += 1
                 continue
