@@ -46,7 +46,8 @@ MECHANISM = {
     "q_heavy": "contract-aware compare (support_guaranteed flag; engine rows "
                "exact-aggregate-checked since r14 — tools/check.py CONTRACTS)",
     "q_dbscan": "single-statement at sf0.01/sf0.1; iterative temp-table loop at sf1 "
-                "(oracle_iter.json)",
+                "(oracle_iter.json) and at sf10 on the constant-density variant "
+                "(ScaleTune dbscan_cd, r14)",
 }
 
 # Decade-verdict overrides where the honest story is not a plain ratio.
@@ -54,10 +55,12 @@ DECADE_OVERRIDES = {
     "q_adamic": "priced cap curve, not a free decade: wedge volume is degree-quantile-"
                 "capped; cap=p10 → 630M wedges/240s/11.8GB shuffle at sf10, p99 → "
                 "~0.45TB = the single-host wall (BENCH_adamic_caps_r13.jsonl, SCALE.md §10)",
-    "q_dbscan": "engine decade-proven on the constant-density shape (grid join is "
-                "occupancy-bounded); the FIXED-LATTICE sf10 replica densifies "
-                "quadratically and walls the DuckDB oracle, not the engine "
-                "(SCALE.md §10, commit 895c602)",
+    "q_dbscan": "decade-proven AND sf10-oracle-proven on the constant-density shape "
+                "(r14: 10M-point run, engine 126.6s Verify-shaped, DuckDB iterative "
+                "oracle 1783 rounds/1607s, 10M rows hash-exact — "
+                "BENCH_scale_r14_dbscan_cd_sf10.json); the FIXED-LATTICE sf10 replica "
+                "is a ~3.6B-pair quadratic object that exceeds the host's storage on "
+                "either engine (SCALE.md §12)",
 }
 
 
