@@ -78,9 +78,14 @@ def main():
     full = load("BENCH_full.json")["queries"] if os.path.exists(
         os.path.join(ROOT, "BENCH_full.json")) else {}
 
-    # decade rows: min per (gate, sf-level) across every BENCH_scale file
-    decade = {}
-    decade_src = {}
+    # decade rows per (gate, sf-level): the LATEST round's measurement
+    # wins (min within a round) — a min across ALL history would keep
+    # citing a retired plan's number after a rewrite (e.g. the r12
+    # raw-id ngram window), and a floor from retired code is not a
+    # target (BASELINE.md convention).
+    decade = {}      # gate -> {level: t}
+    decade_src = {}  # gate -> {level: file}
+    decade_rnd = {}  # gate -> {level: round}
     for p in sorted(glob.glob(os.path.join(ROOT, "BENCH_scale_*.json"))):
         try:
             d = json.load(open(p))
@@ -93,11 +98,15 @@ def main():
         level = f"sf{m.group(1)}"
         if level not in ("sf1", "sf10"):
             continue
+        rm = re.search(r"_r(\d+)", os.path.basename(p))
+        rnd = int(rm.group(1)) if rm else 0
         for gate, t in d.get("queries", {}).items():
             cur = decade.setdefault(gate, {})
-            if level not in cur or t < cur[level]:
+            prev_rnd = decade_rnd.setdefault(gate, {}).get(level, -1)
+            if rnd > prev_rnd or (rnd == prev_rnd and t < cur.get(level, 1e18)):
                 cur[level] = round(t, 3)
                 decade_src.setdefault(gate, {})[level] = os.path.basename(p)
+                decade_rnd[gate][level] = rnd
 
     gates = {}
     for gate, row in sorted(corr.items()):
