@@ -139,14 +139,14 @@ object Bench {
     */
   private val floorRe = """"([^"]+)":([-0-9.eE+]+)""".r
 
-  private def readFloors(path: String): Map[String, Double] =
+  private[graft] def readFloors(path: String): Map[String, Double] =
     try {
       val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
       floorRe.findAllMatchIn(txt)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     } catch { case scala.util.control.NonFatal(_) => Map.empty }
 
-  private def writeFloors(path: String, floors: Map[String, Double]): Unit = {
+  private[graft] def writeFloors(path: String, floors: Map[String, Double]): Unit = {
     val line = floors.toSeq.sortBy(_._1)
       .map { case (k, v) =>
         s""""$k":${String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))}"""
