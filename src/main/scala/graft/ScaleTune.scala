@@ -41,6 +41,7 @@ object ScaleTune {
       args(4).toDouble, args(5))
     case "pq"     => pqSweep(args(1), args(2).toInt)
     case "adamic" => adamicCap(args(1), args(2).toInt)
+    case "semdedup" => semdedupKnob(args(1), args(2).toInt, args(3).toInt)
     case other => sys.error(s"unknown ScaleTune mode: $other")
   }
 
@@ -306,6 +307,38 @@ object ScaleTune {
       f""""adamic_secs":$secs%.1f,""" +
       f""""shuffle_write_gb":${(shufWrite.get() - w0) / 1e9}%.2f,""" +
       f""""shuffle_read_gb":${(shufRead.get() - r0) / 1e9}%.2f}""")
+    spark.stop()
+  }
+
+  /** Embedding-dedup production-knob retune (r14). The q_semdedup /
+    * q_dedup_embed gates pin k=8 / nBits=4 at every scale for oracle
+    * determinism, so their sf10 decade rows measure cell occupancy
+    * growing with N (pair mass ∝ N²/cells), not the operator — the
+    * SemDeDup recipe scales clusters WITH the corpus (~100k cells at
+    * web scale; `semanticDupSurvivors` scaladoc) and LSH dedup adds
+    * hash bits. This mode runs BOTH operators with the scaled knobs
+    * (k ∝ N keeps cell size constant; nBits ≈ log2(N/occupancy) keeps
+    * bucket occupancy constant) and prints one JSON line:
+    * {"dir","n","k","nbits","semdedup_secs","survivors",
+    *  "embedpairs_secs","pairs"}.
+    */
+  def semdedupKnob(dir: String, k: Int, nBits: Int): Unit = {
+    val spark = graft.util.Sessions.get("graft-scaletune", "local[32]", 32)
+    val emb = graft.sources.Tables.table(spark, dir, "embeddings")
+    val n = emb.count()
+    val t0 = System.nanoTime()
+    val survivors = graft.ops.Dedup.semanticDupSurvivors(
+      emb, "vec_id", "embedding", k = k, iters = 2, threshold = 0.35).count()
+    val t1 = System.nanoTime()
+    val pairs = graft.ops.Dedup.embeddingDupPairs(
+      emb.select("vec_id", "embedding"), "vec_id", "embedding",
+      threshold = 0.35, nBits = nBits).count()
+    val t2 = System.nanoTime()
+    println(
+      s"""{"dir":${graft.serve.Json.quote(dir)},"n":$n,"k":$k,""" +
+      f""""nbits":$nBits,"semdedup_secs":${(t1 - t0) / 1e9}%.3f,""" +
+      f""""survivors":$survivors,"embedpairs_secs":${(t2 - t1) / 1e9}%.3f,""" +
+      s""""pairs":$pairs}""")
     spark.stop()
   }
 }

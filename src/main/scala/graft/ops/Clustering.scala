@@ -31,10 +31,19 @@ import org.apache.spark.sql.functions._
   */
 object Clustering {
 
-  /** Squared L2 distance between two double arrays, as an index-order
-    * left fold (deterministic across engines and partitionings).
+  /** Squared L2 distance between two double arrays — the native
+    * codegen'd [[graft.functions.SqDist]] expression (r14). Index-order
+    * accumulation, deterministic across engines and partitionings;
+    * bit-identical to [[sqDistHof]] (Round14Spec pins it), which was
+    * the pre-r14 spelling: an interpreted CodegenFallback fold paying
+    * one `Expression.eval` dispatch + zipped-array allocation per
+    * (vector, centroid) pair in every Lloyd assign and ADC LUT build.
     */
   def sqDist(a: Column, b: Column): Column =
+    graft.functions.SqDist.sq(a, b)
+
+  /** The HOF spelling of [[sqDist]], kept for the A/B pin. */
+  private[graft] def sqDistHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
 
   /** Fixed-iteration Lloyd k-means.

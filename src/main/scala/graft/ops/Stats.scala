@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -457,6 +457,11 @@ object Stats {
       .orderBy("x", "y")
   }
 
+  /** One replicate's per-partition bootstrap partial: replicate index
+    * `b`, Σw in `n`, and the floor-scaled long term sum in `s`.
+    */
+  private[ops] case class BootCell(b: Int, n: Long, s: Long)
+
   /** Poisson(1) cumulative probabilities, shared verbatim with the
     * oracle spelling so the inverse-CDF cut points are bit-identical
     * in both engines (the PPR literal-interpolation discipline).
@@ -478,12 +483,20 @@ object Stats {
     * Hash-seeded like [[Privacy.noisyCounts]]: the resample — and so
     * the CI — replays exactly under any partitioning.
     *
-    * Scale shape: one explode by the replicate count (N·b rows, the
-    * documented cost knob — production subsamples first), one
-    * (replicate)-keyed aggregate to b rows, windows only over the
-    * b-row frame. Determinism (r11): each term rounds to the 6-dp grid
-    * as the SAME IEEE expression in both engines — `floor(w·x·1e6+0.5)`
-    * — and accumulates as a LONG (the per-wedge-BigDecimal lesson from
+    * Scale shape (rewritten r14, the [[LinAlg.gramCov]] discipline): a
+    * per-partition fused fold walks each row once, computes its b
+    * md5-derived weights in a primitive loop (same digest bytes as the
+    * codegen spelling — first 4 digest bytes == the hex-prefix conv),
+    * and accumulates b (Σw, Σfloor(w·x·1e6+0.5)) long pairs per
+    * partition; ONE b-row partial per partition then merges in a tiny
+    * long-sum group-by, windows only over the b-row frame. The
+    * logical N·b replicate blow-up (the documented cost knob —
+    * production subsamples first) never materializes as rows. The
+    * prior explode spelling is kept as [[bootstrapMeanCIExplode]] for
+    * the A/B; Round14Spec pins bit-equality between the two.
+    * Determinism (r11): each term rounds to the 6-dp grid as the SAME
+    * IEEE expression in both engines — `floor(w·x·1e6+0.5)` — and
+    * accumulates as a LONG (the per-wedge-BigDecimal lesson from
     * q_adamic: a 64M-row accumulate should be a long add, not a heap
     * decimal add); the long→double conversion is correctly rounded on
     * both sides (Spark cast; DuckDB via VARCHAR, since its HUGEINT sum
@@ -498,17 +511,79 @@ object Stats {
       valCol: String,
       b: Int = 64,
       salt: String = "boot"): DataFrame = {
-    require(b >= 4, "need at least 4 replicates for order-statistic CIs")
-    // the replicate ranking below is a single-partition window — safe
-    // ONLY because its frame is the b-row replicate table, never the
-    // data. This bound makes that contract enforced rather than
-    // advisory (the topEigen discipline): b beyond it would turn the
-    // window into a serialization point, and a bootstrap with
-    // thousands of replicates should subsample per replicate (bag of
-    // little bootstraps) instead of widening this frame.
-    require(b <= 4096,
-      s"b=$b replicates: the rank window is bounded by construction " +
-        "at b <= 4096 — use bag-of-little-bootstraps subsampling beyond")
+    requireReplicateBounds(b)
+    val buckets = 1 << 20
+    // cast the id to string HERE so the fold sees exactly the string
+    // the explode spelling's concat_ws saw (Spark cast semantics, not
+    // a JVM toString)
+    val base = df.filter(col(valCol).isNotNull)
+      .select(col(idCol).cast("string").as("_id"),
+        col(valCol).cast("double").as("_x"))
+    val nRep = b
+    val saltLocal = salt
+    val cums: Array[Double] = PoissonCum.toArray
+    val cells = base.mapPartitions { it =>
+      val ns = new Array[Long](nRep)
+      val ss = new Array[Long](nRep)
+      var any = false
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val utf8 = java.nio.charset.StandardCharsets.UTF_8
+      val saltBytes = saltLocal.getBytes(utf8)
+      val sep = "|".getBytes(utf8)
+      val bBytes = Array.tabulate(nRep)(_.toString.getBytes(utf8))
+      val dig = new Array[Byte](16)
+      while (it.hasNext) {
+        val row = it.next()
+        val x = row.getDouble(1)
+        // concat_ws skips a NULL id entirely (no separator either)
+        val idBytes =
+          if (row.isNullAt(0)) null else row.getString(0).getBytes(utf8)
+        any = true
+        var k = 0
+        while (k < nRep) {
+          md.reset()
+          md.update(saltBytes)
+          if (idBytes != null) { md.update(idBytes); md.update(sep) }
+          md.update(bBytes(k))
+          md.digest(dig, 0, 16)
+          // first 8 hex chars of the digest == unsigned int of the
+          // first 4 bytes (conv(substr(md5, 1, 8), 16, 10) % buckets)
+          val v = ((dig(0) & 0xffL) << 24) | ((dig(1) & 0xffL) << 16) |
+            ((dig(2) & 0xffL) << 8) | (dig(3) & 0xffL)
+          val u = ((v % buckets) + 0.5) / buckets.toDouble
+          var w = 0
+          while (w < cums.length && !(u < cums(w))) w += 1
+          ns(k) += w
+          // floor(w·x·1e6 + 0.5) as the explode spelling computes it —
+          // long*double promotes left-to-right, floor(0.5)=0 when w=0
+          ss(k) += math.floor(w.toDouble * x * 1e6 + 0.5).toLong
+          k += 1
+        }
+      }
+      if (!any) Iterator.empty
+      else Iterator.range(0, nRep).map(k => BootCell(k, ns(k), ss(k)))
+    }(Encoders.product[BootCell])
+    val reps = cells.groupBy(col("b").as("_b"))
+      .agg(sum(col("n")).as("_n"), sum(col("s")).as("_s"))
+    replicateCI(reps, base)
+  }
+
+  /** The pre-r14 spelling of [[bootstrapMeanCI]], kept verbatim for
+    * the A/B: a 64×-explode whose per-(row, replicate) weight runs
+    * through codegen'd string concat + md5 + hex conv + a 10-arm CASE,
+    * materializing N·b rows into the hash aggregate. Semantically
+    * identical to the fused fold (Round14Spec pins bit-equality);
+    * physically ~10× the wall-clock for the same shuffle (the partial
+    * aggregate already collapsed each partition to b rows — the cost
+    * was per-exploded-row evaluation overhead, the q_gram lesson).
+    */
+  private[graft] def bootstrapMeanCIExplode(
+      df: DataFrame,
+      idCol: String,
+      valCol: String,
+      b: Int = 64,
+      salt: String = "boot"): DataFrame = {
+    requireReplicateBounds(b)
     val buckets = 1 << 20
     val base = df.filter(col(valCol).isNotNull)
       .select(col(idCol).as("_id"), col(valCol).cast("double").as("_x"))
@@ -527,6 +602,29 @@ object Stats {
         sum(col("_w")).as("_n"),
         sum(floor(col("_w") * col("_x") * lit(1e6) + lit(0.5))
           .cast("long")).as("_s"))
+    replicateCI(reps, base)
+  }
+
+  private def requireReplicateBounds(b: Int): Unit = {
+    require(b >= 4, "need at least 4 replicates for order-statistic CIs")
+    // the replicate ranking below is a single-partition window — safe
+    // ONLY because its frame is the b-row replicate table, never the
+    // data. This bound makes that contract enforced rather than
+    // advisory (the topEigen discipline): b beyond it would turn the
+    // window into a serialization point, and a bootstrap with
+    // thousands of replicates should subsample per replicate (bag of
+    // little bootstraps) instead of widening this frame.
+    require(b <= 4096,
+      s"b=$b replicates: the rank window is bounded by construction " +
+        "at b <= 4096 — use bag-of-little-bootstraps subsampling beyond")
+  }
+
+  /** Shared tail of both bootstrap spellings: replicate means from the
+    * (\_b, \_n, \_s) long partials, order-statistic CI over the b-row
+    * frame, overall count/mean from `base`.
+    */
+  private def replicateCI(repl: DataFrame, base: DataFrame): DataFrame = {
+    val reps = repl
       .filter(col("_n") > 0)
       .select(col("_b"),
         r6(col("_s").cast("double") / lit(1e6) / col("_n").cast("double"))
