@@ -221,12 +221,18 @@ object Bench {
             s""""code_cache_mb":${codeCacheMb().round}}"""
         }
       // "train_gbt" is a stage, not a registry query; accept it here so
-      // the fit's run-to-run variance can be measured in isolation
+      // the fit's run-to-run variance can be measured in isolation.
+      // rmse/mae ride in the solo stats so an A/B of training internals
+      // can prove result-identity from the same artifact it times.
       if (onlyQueries.exists(_.contains("train_gbt")))
         timed("train_gbt") {
           val taxi = graft.ml.SyntheticTaxi.frame(spark, 300000).coalesce(8)
           graft.ml.Trainer.trainFareModel(taxi, "",
             graft.ml.Trainer.TrainConfig(sampleFraction = 1.0, maxRows = 0))
+        }.foreach { case (_, m) =>
+          soloStats("train_gbt") =
+            s"""{"rmse":${graft.serve.Json.format(m.rmse)},""" +
+              s""""mae":${graft.serve.Json.format(m.mae)}}"""
         }
       // same errors discipline as the full path: a throwing query keeps
       // its `errors` entry but is dropped from the timings — a fail-fast
