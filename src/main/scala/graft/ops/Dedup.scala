@@ -175,13 +175,20 @@ object Dedup {
       .agg(sort_array(collect_list(col(idCol))).as("ids"))
       .filter(size(col("ids")) > 1)
     // all (i < j) pairs within the sorted bucket: ids is ascending, so
-    // pairing each element with its tail yields canonical doc_a < doc_b
+    // pairing each element with its tail yields canonical doc_a < doc_b.
+    // Spelled as two codegen'd generates (posexplode × slice-explode —
+    // the adamicAdar/coOccurrenceEdges discipline), not the r13
+    // flatten(transform(transform(...))) HOF: that spelling built the
+    // whole O(|bucket|²) pair ARRAY per bucket row through interpreted
+    // CodegenFallback lambdas before the explode could stream it —
+    // the same per-row interpreted stretch the r14 gramCov retirement
+    // named, plus a cap²-sized allocation the streamed form never makes.
     val inCapPairs = buckets
-      .select(explode(expr(
-        "flatten(transform(ids, (x, i) -> " +
-          "transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x AS doc_a, y AS doc_b))))"
-      )).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
+      .select(col("ids"), posexplode(col("ids")).as(Seq("_i", "doc_a")))
+      .select(col("doc_a"),
+        explode(slice(col("ids"), col("_i") + lit(2),
+          greatest(size(col("ids")) - col("_i") - lit(1), lit(0))))
+          .as("doc_b"))
     // overflow star: min_id has rn = 1 < rn here, so doc_a < doc_b holds
     val overflowPairs = ranked
       .filter(col("rn") > bucketCap)
